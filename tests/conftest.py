@@ -1,15 +1,22 @@
-"""Test configuration: force an 8-device CPU platform for sharding tests.
+"""Test configuration: force an 8-device CPU platform for all tests.
 
 Multi-chip TPU hardware is unavailable in CI; all sharding/collective tests
 run on a virtual 8-device CPU mesh (``xla_force_host_platform_device_count``),
 the standard JAX technique for testing pjit/shard_map layouts.
+
+NOTE: the axon TPU plugin in this image ignores the ``JAX_PLATFORMS``
+environment variable, so we must force the platform through
+``jax.config`` before any backend initializes.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
