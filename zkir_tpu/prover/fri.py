@@ -1,0 +1,229 @@
+"""FRI low-degree proof over the CM31 NTT domain.
+
+Commit phase: repeatedly fold the evaluation vector in half with
+verifier-supplied challenges, committing each layer with a Poseidon2 Merkle
+tree whose leaves pair ``(e_j, e_{j+n/2})`` so one query opens both fold
+inputs with a single path.  Query phase: spot-check the fold chain at
+random indices.
+
+Folding rule on the multiplicative domain x_j = w^j (w of order n, so
+x_{j+n/2} = -x_j):
+
+    e'_j = (e_j + e_{j+n/2}) / 2  +  beta * (e_j - e_{j+n/2}) / (2 x_j)
+
+which is exactly f'(x^2) for f'(y) = f_even(y) + beta * f_odd(y); the new
+domain is the order-n/2 subgroup.  Each fold halves the committed degree,
+so evaluations of a degree < n / 2^log_blowup polynomial end in a final
+layer whose iNTT has only its low 2^(log_final - log_blowup) coefficients
+non-zero — which the verifier checks directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import merkle
+from ..ops.field_ops import m31_mul
+from ..ops.ntt import (
+    cm31_add,
+    cm31_inv_scalar,
+    cm31_mul,
+    cm31_mul_scalar,
+    cm31_pow_scalar,
+    cm31_sub,
+    intt,
+    root_of_unity,
+    _twiddle_table,
+)
+from ..spec.field import M31_PRIME, m31_inv as s_inv
+from .challenger import Challenger
+
+P = M31_PRIME
+
+
+@dataclasses.dataclass(frozen=True)
+class FriConfig:
+    log_blowup: int = 2
+    log_final: int = 3     # stop folding at 2^log_final evaluations
+    num_queries: int = 24
+
+
+def _pair_matrix(re, im):
+    """Stack (e_j, e_{j+h}) pairs as rows [h, 4] for leaf hashing."""
+    h = re.shape[0] // 2
+    return jnp.stack(
+        [re[:h], im[:h], re[h:], im[h:]], axis=1
+    )
+
+
+def fri_prove(re, im, log_n: int, challenger: Challenger,
+              config: FriConfig = FriConfig()) -> Dict[str, Any]:
+    """Prove that (re, im) are evaluations of a polynomial of degree
+    < 2^(log_n - log_blowup) on the order-2^log_n subgroup."""
+    inv2 = s_inv(2)
+    layers = []          # (tree levels, re, im) per fold layer
+    betas = []
+    cur_r, cur_i = jnp.asarray(re), jnp.asarray(im)
+    log = log_n
+
+    while log > config.log_final:
+        n = 1 << log
+        h = n // 2
+        leaves = merkle.hash_rows(_pair_matrix(cur_r, cur_i))
+        levels = merkle.build_tree(leaves)
+        layer_root = merkle.root(levels)
+        challenger.observe_many(int(x) for x in layer_root)
+        beta = challenger.sample_cm31()
+        betas.append(beta)
+        layers.append((levels, np.asarray(cur_r), np.asarray(cur_i)))
+
+        # Fold.
+        twr, twi = _twiddle_table(log, inverse=True)  # w^{-j}
+        xinv = (jnp.asarray(twr[:h]), jnp.asarray(twi[:h]))
+        lo = (cur_r[:h], cur_i[:h])
+        hi = (cur_r[h:], cur_i[h:])
+        s = cm31_add(lo, hi)
+        d = cm31_sub(lo, hi)
+        half_s = (m31_mul(s[0], jnp.uint32(inv2)),
+                  m31_mul(s[1], jnp.uint32(inv2)))
+        half_d = (m31_mul(d[0], jnp.uint32(inv2)),
+                  m31_mul(d[1], jnp.uint32(inv2)))
+        odd = cm31_mul(half_d, xinv)
+        beta_arr = (jnp.full(h, beta[0], dtype=jnp.uint32),
+                    jnp.full(h, beta[1], dtype=jnp.uint32))
+        cur_r, cur_i = cm31_add(half_s, cm31_mul(beta_arr, odd))
+        log -= 1
+
+    final_r = np.asarray(cur_r)
+    final_i = np.asarray(cur_i)
+    challenger.observe_many(int(x) for x in final_r)
+    challenger.observe_many(int(x) for x in final_i)
+
+    # Query phase.
+    queries = []
+    query_indices = []
+    for _ in range(config.num_queries):
+        idx = challenger.sample_bits(log_n - 1)
+        query_indices.append(idx)
+        steps = []
+        cur_idx = idx
+        for depth, (levels, lr, li) in enumerate(layers):
+            n = 1 << (log_n - depth)
+            h = n // 2
+            leaf_idx = cur_idx % h
+            steps.append({
+                "leaf_idx": leaf_idx,
+                "lo": (int(lr[leaf_idx]), int(li[leaf_idx])),
+                "hi": (int(lr[leaf_idx + h]), int(li[leaf_idx + h])),
+                "path": [
+                    [int(x) for x in sib]
+                    for sib in merkle.open_path(levels, leaf_idx)
+                ],
+            })
+            cur_idx = leaf_idx
+        queries.append(steps)
+
+    return {
+        "log_n": log_n,
+        "config": config,
+        "roots": [
+            [int(x) for x in merkle.root(levels)]
+            for levels, _, _ in layers
+        ],
+        "final_re": [int(x) for x in final_r],
+        "final_im": [int(x) for x in final_i],
+        "queries": queries,
+        "query_indices": query_indices,
+    }
+
+
+def fri_verify(proof: Dict[str, Any], challenger: Challenger) -> bool:
+    """Verify a FRI proof; the challenger must be in the same state the
+    prover's was when fri_prove began."""
+    log_n = proof["log_n"]
+    config: FriConfig = proof["config"]
+    inv2 = s_inv(2)
+
+    # Replay transcript.
+    betas = []
+    for layer_root in proof["roots"]:
+        challenger.observe_many(int(x) for x in layer_root)
+        betas.append(challenger.sample_cm31())
+    challenger.observe_many(int(x) for x in proof["final_re"])
+    challenger.observe_many(int(x) for x in proof["final_im"])
+
+    num_layers = len(proof["roots"])
+    if num_layers != log_n - config.log_final:
+        return False
+
+    # Final layer must be low degree: its iNTT beyond the degree bound
+    # (2^(log_final - log_blowup)) must vanish.
+    fr = jnp.asarray(np.asarray(proof["final_re"], dtype=np.uint32))
+    fi = jnp.asarray(np.asarray(proof["final_im"], dtype=np.uint32))
+    cr, ci = intt(fr, fi, config.log_final)
+    bound = 1 << max(config.log_final - config.log_blowup, 0)
+    if np.any(np.asarray(cr)[bound:]) or np.any(np.asarray(ci)[bound:]):
+        return False
+
+    # Check each query chain.
+    for steps in proof["queries"]:
+        idx = challenger.sample_bits(log_n - 1)
+        if len(steps) != num_layers:
+            return False
+        cur_idx = idx
+        expected = None  # folded value to match at the next layer
+        for depth, step in enumerate(steps):
+            log = log_n - depth
+            h = 1 << (log - 1)
+            leaf_idx = step["leaf_idx"]
+            if leaf_idx != cur_idx % h:
+                return False
+            lo = tuple(step["lo"])
+            hi = tuple(step["hi"])
+            leaf = np.asarray(
+                [[lo[0], lo[1], hi[0], hi[1]]], dtype=np.uint32)
+            leaf_digest = np.asarray(merkle.hash_rows(jnp.asarray(leaf)))[0]
+            if not merkle.verify_path(
+                np.asarray(proof["roots"][depth], dtype=np.uint32),
+                leaf_idx, leaf_digest,
+                [np.asarray(s, dtype=np.uint32) for s in step["path"]],
+            ):
+                return False
+            if expected is not None:
+                # The previous fold is this layer's value at cur_idx:
+                # lo if cur_idx is in the lower half, hi otherwise.
+                value_here = lo if cur_idx < h else hi
+                if value_here != expected:
+                    return False
+            # Compute the fold.
+            beta = betas[depth]
+            w_inv = cm31_inv_scalar(root_of_unity(log))
+            xinv = cm31_pow_scalar(w_inv, leaf_idx)
+            s = ((lo[0] + hi[0]) % P, (lo[1] + hi[1]) % P)
+            d = ((lo[0] - hi[0]) % P, (lo[1] - hi[1]) % P)
+            half_s = ((s[0] * inv2) % P, (s[1] * inv2) % P)
+            half_d = ((d[0] * inv2) % P, (d[1] * inv2) % P)
+            odd = cm31_mul_scalar(half_d, xinv)
+            folded = cm31_mul_scalar(beta, odd)
+            folded = ((half_s[0] + folded[0]) % P, (half_s[1] + folded[1]) % P)
+            expected = folded
+            cur_idx = leaf_idx
+        # Final layer: the last fold must equal the plaintext final value.
+        final_h = 1 << config.log_final
+        final_idx = cur_idx % final_h
+        if (proof["final_re"][final_idx], proof["final_im"][final_idx]) \
+                != expected:
+            return False
+
+    return True
+
+
+def fri_layer0_value(proof: Dict[str, Any], query: int):
+    """(index, lo, hi) of a query's opening in the first (input) layer —
+    used by the outer protocol to bind FRI to the trace commitment."""
+    step = proof["queries"][query][0]
+    return step["leaf_idx"], tuple(step["lo"]), tuple(step["hi"])
