@@ -64,7 +64,9 @@ def bench_trace_gen(lanes=512, chunk=512, n_chunks=4):
     return cycles / elapsed
 
 
-def bench_poseidon2(log_batch=18, iters=5):
+def bench_poseidon2(log_batch=18, iters=8):
+    """Chained permutations (each iteration consumes the previous output so
+    calls cannot overlap or dedupe)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -76,11 +78,17 @@ def bench_poseidon2(log_batch=18, iters=5):
     states = jnp.asarray(
         np.random.default_rng(0).integers(0, M31_PRIME, (n, 16),
                                           dtype=np.uint32))
-    elapsed = _time(poseidon2_permute_batch, states, iters=iters)
+    states = jax.block_until_ready(poseidon2_permute_batch(states))  # warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        states = poseidon2_permute_batch(states)
+    jax.block_until_ready(states)
+    elapsed = (time.perf_counter() - t0) / iters
     return n / elapsed
 
 
-def bench_ntt(log_n=20, iters=3):
+def bench_ntt(log_n=20, iters=5):
+    """Chained forward NTTs (output feeds the next input)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -92,7 +100,12 @@ def bench_ntt(log_n=20, iters=3):
     rng = np.random.default_rng(1)
     re = jnp.asarray(rng.integers(0, M31_PRIME, n, dtype=np.uint32))
     im = jnp.asarray(rng.integers(0, M31_PRIME, n, dtype=np.uint32))
-    elapsed = _time(lambda r, i: ntt(r, i, log_n), re, im, iters=iters)
+    re, im = jax.block_until_ready(ntt(re, im, log_n))  # warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        re, im = ntt(re, im, log_n)
+    jax.block_until_ready((re, im))
+    elapsed = (time.perf_counter() - t0) / iters
     return elapsed * 1e3  # ms
 
 
