@@ -4,42 +4,53 @@ Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
 Headline metric: batched trace-generation throughput (cycles/sec summed
-over lanes) of the columnar interpreter on a fibonacci loop.  The reference
-publishes no measured numbers (BASELINE.md); its own stated target is
->10M steps/sec (README.md:279), which we use as the baseline denominator.
+over lanes) of the columnar interpreter.  The reference publishes no
+measured numbers (BASELINE.md); its own stated target is >10M steps/sec
+(README.md:279), used as the baseline denominator.
 
-Extra metrics: Poseidon2 permutations/sec/chip and 2^20 CM31 NTT time.
+Timing methodology: each measurement is ONE device dispatch containing the
+iterated computation (``lax.fori_loop`` / the interpreter's scan), timed on
+*fresh* input after a separate warmup input — immune to dispatch-pipeline
+and caching artifacts of the remote-TPU tunnel.
 """
 
 from __future__ import annotations
 
 import json
-import sys
 import time
 
 
-def _time(fn, *args, iters=3, warmup=1):
-    import jax
-
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+def _timed_single_dispatch(fn, warm_arg, fresh_arg, probe):
+    """Time one dispatch, forcing completion with a host readback of a
+    result scalar (``probe``) — block_until_ready alone does not reliably
+    wait on the remote-TPU tunnel used in this environment."""
+    probe(fn(warm_arg))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    out = fn(fresh_arg)
+    probe(out)
+    return time.perf_counter() - t0
 
 
-def bench_trace_gen(lanes=512, chunk=512, n_chunks=4):
-    """Interpreter throughput: lanes x chunk cycles per chunk call."""
-    import jax
+def _slope_time(make_fn, work_small, work_big, warm_arg, fresh_arg, probe):
+    """Throughput from the *difference* of two dispatch sizes, cancelling
+    the tunnel's fixed dispatch + readback latency:
+        rate = (work_big - work_small) / (t_big - t_small)."""
+    fn_small = make_fn(work_small)
+    fn_big = make_fn(work_big)
+    t_small = _timed_single_dispatch(fn_small, warm_arg, fresh_arg, probe)
+    t_big = _timed_single_dispatch(fn_big, warm_arg, fresh_arg, probe)
+    if t_big <= t_small:
+        return None  # noise dominated; caller falls back
+    return (work_big - work_small) / (t_big - t_small)
+
+
+def bench_trace_gen(lanes=512, chunk=2048):
+    """One scan dispatch = lanes x chunk machine cycles."""
     import jax.numpy as jnp
 
     from zkir_tpu.interp import InterpConfig, TpuInterpreter
     from zkir_tpu.spec import Instruction, Op, Program
 
-    # Infinite arithmetic loop: add/addi/jal back — a representative mix
-    # with no halting lanes.
     program = Program.from_instructions([
         Instruction(Op.ADDI, rd=1, rs1=0, imm=7),
         Instruction(Op.ADD, rd=2, rs1=2, rs2=1),
@@ -51,22 +62,30 @@ def bench_trace_gen(lanes=512, chunk=512, n_chunks=4):
     config = InterpConfig(lanes=lanes, chunk=chunk,
                           low_bytes=1 << 15, stack_bytes=1 << 12)
     interp = TpuInterpreter(program, config)
-    state = interp.init_state([[] for _ in range(lanes)])
     n_words = jnp.int32(interp.n_words)
 
-    def run_chunks(state):
-        for _ in range(n_chunks):
-            state, _ = interp._chunk_fn(interp.code, n_words, state)
-        return state
+    state_warm = interp.init_state([[] for _ in range(lanes)])
+    state_fresh = interp.init_state([[1] for _ in range(lanes)])
 
-    elapsed = _time(run_chunks, state, iters=3, warmup=1)
-    cycles = lanes * chunk * n_chunks
-    return cycles / elapsed
+    def make_fn(n_chunks):
+        def run(state):
+            for _ in range(n_chunks):
+                state, _ = interp._chunk_fn(interp.code, n_words, state)
+            return state
+        return run
+
+    per_chunk = lanes * chunk
+    rate = _slope_time(make_fn, per_chunk, 5 * per_chunk,
+                       state_warm, state_fresh, lambda s: int(s.cycles[0]))
+    if rate is None:
+        elapsed = _timed_single_dispatch(
+            make_fn(1), state_warm, state_fresh, lambda s: int(s.cycles[0]))
+        rate = per_chunk / elapsed
+    return rate
 
 
-def bench_poseidon2(log_batch=18, iters=8):
-    """Chained permutations (each iteration consumes the previous output so
-    calls cannot overlap or dedupe)."""
+def bench_poseidon2(log_batch=20, iters=16):
+    """One dispatch of `iters` chained permutations via fori_loop."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -75,38 +94,58 @@ def bench_poseidon2(log_batch=18, iters=8):
     from zkir_tpu.spec.field import M31_PRIME
 
     n = 1 << log_batch
-    states = jnp.asarray(
-        np.random.default_rng(0).integers(0, M31_PRIME, (n, 16),
-                                          dtype=np.uint32))
-    states = jax.block_until_ready(poseidon2_permute_batch(states))  # warmup
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        states = poseidon2_permute_batch(states)
-    jax.block_until_ready(states)
-    elapsed = (time.perf_counter() - t0) / iters
-    return n / elapsed
+
+    def make_fn(k):
+        @jax.jit
+        def iterate(states):
+            return jax.lax.fori_loop(
+                0, k, lambda i, s: poseidon2_permute_batch(s), states)
+        return lambda s: iterate(s)
+
+    rng = np.random.default_rng(0)
+    warm = jnp.asarray(rng.integers(0, M31_PRIME, (n, 16), dtype=np.uint32))
+    fresh = jnp.asarray(rng.integers(0, M31_PRIME, (n, 16), dtype=np.uint32))
+    rate = _slope_time(lambda k: make_fn(k // n), n * 2, n * 10,
+                       warm, fresh, lambda s: int(s[0, 0]))
+    if rate is None:
+        elapsed = _timed_single_dispatch(make_fn(iters), warm, fresh,
+                                         lambda s: int(s[0, 0]))
+        rate = n * iters / elapsed
+    return rate
 
 
-def bench_ntt(log_n=20, iters=5):
-    """Chained forward NTTs (output feeds the next input)."""
+def bench_ntt(log_n=20, iters=8):
+    """One dispatch of `iters` chained NTTs via fori_loop."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from zkir_tpu.ops.ntt import ntt
+    from zkir_tpu.ops.ntt import _ntt_core
     from zkir_tpu.spec.field import M31_PRIME
 
     n = 1 << log_n
+
+    def make_fn(k):
+        @jax.jit
+        def iterate(arrs):
+            def body(i, arrs):
+                re, im = arrs
+                return _ntt_core(re, im, log_n, inverse=False)
+            return jax.lax.fori_loop(0, k, body, arrs)
+        return lambda arrs: iterate(arrs)
+
     rng = np.random.default_rng(1)
-    re = jnp.asarray(rng.integers(0, M31_PRIME, n, dtype=np.uint32))
-    im = jnp.asarray(rng.integers(0, M31_PRIME, n, dtype=np.uint32))
-    re, im = jax.block_until_ready(ntt(re, im, log_n))  # warmup
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        re, im = ntt(re, im, log_n)
-    jax.block_until_ready((re, im))
-    elapsed = (time.perf_counter() - t0) / iters
-    return elapsed * 1e3  # ms
+    warm = (jnp.asarray(rng.integers(0, M31_PRIME, n, dtype=np.uint32)),
+            jnp.asarray(rng.integers(0, M31_PRIME, n, dtype=np.uint32)))
+    fresh = (jnp.asarray(rng.integers(0, M31_PRIME, n, dtype=np.uint32)),
+             jnp.asarray(rng.integers(0, M31_PRIME, n, dtype=np.uint32)))
+    rate = _slope_time(lambda k: make_fn(k), 2, 10,
+                       warm, fresh, lambda arrs: int(arrs[0][0]))
+    if rate is None:
+        elapsed = _timed_single_dispatch(make_fn(iters), warm, fresh,
+                                         lambda arrs: int(arrs[0][0]))
+        rate = iters / elapsed
+    return 1e3 / rate  # ms per 2^log_n NTT
 
 
 def main():
@@ -116,7 +155,7 @@ def main():
     except Exception as e:  # pragma: no cover
         extra["poseidon2_error"] = str(e)[:200]
     try:
-        extra["ntt_2e20_ms"] = round(bench_ntt(), 2)
+        extra["ntt_2e20_ms"] = round(bench_ntt(), 3)
     except Exception as e:  # pragma: no cover
         extra["ntt_error"] = str(e)[:200]
 

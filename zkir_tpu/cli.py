@@ -1,0 +1,152 @@
+"""Command-line toolchain: assemble, disassemble, run, prove, verify.
+
+(The reference workspace declares a CLI crate but ships none —
+``Cargo.toml:8`` comments it out; this module provides the working
+equivalent.)
+
+Usage:
+    python -m zkir_tpu asm program.zkasm -o program.zkir
+    python -m zkir_tpu disasm program.zkir
+    python -m zkir_tpu run program.zkir --input 5 --engine native
+    python -m zkir_tpu prove program.zkir --input 5 -o proof.json
+    python -m zkir_tpu verify proof.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+
+def _load_program(path: str):
+    from .asm import assemble
+    from .spec import Program
+
+    p = pathlib.Path(path)
+    if p.suffix == ".zkasm":
+        return assemble(p.read_text())
+    return Program.from_bytes(p.read_bytes())
+
+
+def cmd_asm(args) -> int:
+    from .asm import assemble
+
+    program = assemble(pathlib.Path(args.source).read_text())
+    out = args.output or str(pathlib.Path(args.source).with_suffix(".zkir"))
+    pathlib.Path(out).write_bytes(program.to_bytes())
+    print(f"assembled {len(program.code)} instructions -> {out}")
+    return 0
+
+
+def cmd_disasm(args) -> int:
+    from .asm import disassemble
+
+    print(disassemble(_load_program(args.binary)), end="")
+    return 0
+
+
+def cmd_run(args) -> int:
+    program = _load_program(args.binary)
+    inputs = [int(x, 0) for x in args.input]
+
+    if args.engine == "native":
+        from .runtime.native_vm import HALT_EXIT, run_native
+
+        result = run_native(program, inputs, max_cycles=args.max_cycles)
+        print(f"halt={result.halt} cycles={result.cycles} "
+              f"exit={result.exit_code} outputs={result.outputs}")
+        return 0 if result.halt in (1, HALT_EXIT) else 1
+    if args.engine == "tpu":
+        from .interp import InterpConfig, TpuInterpreter
+
+        interp = TpuInterpreter(program, InterpConfig(lanes=1, chunk=256))
+        result = interp.run([inputs], max_cycles=args.max_cycles)
+        print(f"halt={int(result['halted'][0])} "
+              f"cycles={int(result['cycles'][0])} "
+              f"exit={int(result['exit_code'][0])} "
+              f"outputs={[int(x) for x in result['outputs'][0]]}")
+        return 0
+    # oracle
+    from .runtime import VM, VMConfig
+
+    result = VM(program, inputs, VMConfig(max_cycles=args.max_cycles)).run()
+    print(f"halt={result.halt_reason.reason.value} cycles={result.cycles} "
+          f"exit={result.halt_reason.code} outputs={result.outputs}")
+    return 0
+
+
+def cmd_prove(args) -> int:
+    from .interp import InterpConfig, TpuInterpreter
+    from .prover import prove_trace, trace_to_matrix
+
+    program = _load_program(args.binary)
+    inputs = [int(x, 0) for x in args.input]
+    interp = TpuInterpreter(program, InterpConfig(
+        lanes=1, chunk=256, collect_trace=True))
+    result = interp.run([inputs], max_cycles=args.max_cycles)
+    matrix = trace_to_matrix(result["trace"])
+    proof = prove_trace(matrix)
+    proof["fri"]["config"] = {
+        "log_blowup": proof["fri"]["config"].log_blowup,
+        "log_final": proof["fri"]["config"].log_final,
+        "num_queries": proof["fri"]["config"].num_queries,
+    }
+    out = args.output or "proof.json"
+    pathlib.Path(out).write_text(json.dumps(proof))
+    print(f"proved {matrix.shape[0]} trace rows "
+          f"({int(result['cycles'][0])} cycles) -> {out}")
+    return 0
+
+
+def cmd_verify(args) -> int:
+    from .prover import verify_trace
+    from .prover.fri import FriConfig
+
+    proof = json.loads(pathlib.Path(args.proof).read_text())
+    proof["fri"]["config"] = FriConfig(**proof["fri"]["config"])
+    ok = verify_trace(proof)
+    print("VALID" if ok else "INVALID")
+    return 0 if ok else 1
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="zkir_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("asm", help="assemble .zkasm to a .zkir binary")
+    p.add_argument("source")
+    p.add_argument("-o", "--output")
+    p.set_defaults(fn=cmd_asm)
+
+    p = sub.add_parser("disasm", help="disassemble a .zkir binary")
+    p.add_argument("binary")
+    p.set_defaults(fn=cmd_disasm)
+
+    p = sub.add_parser("run", help="execute a program")
+    p.add_argument("binary")
+    p.add_argument("--input", action="append", default=[],
+                   help="input tape value (repeatable)")
+    p.add_argument("--engine", choices=["oracle", "native", "tpu"],
+                   default="native")
+    p.add_argument("--max-cycles", type=int, default=1_000_000)
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("prove", help="execute + prove the trace")
+    p.add_argument("binary")
+    p.add_argument("--input", action="append", default=[])
+    p.add_argument("--max-cycles", type=int, default=100_000)
+    p.add_argument("-o", "--output")
+    p.set_defaults(fn=cmd_prove)
+
+    p = sub.add_parser("verify", help="verify a proof")
+    p.add_argument("proof")
+    p.set_defaults(fn=cmd_verify)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -93,7 +93,8 @@ def _permute(x, external, internal, diag, mul):
         x = _external_matrix(x, mul)
     for r in range(ROUNDS_P):
         x0 = _sbox(m31_add(x[..., 0], internal[r]), mul)
-        x = x.at[..., 0].set(x0)
+        # Concatenate instead of scatter (Mosaic has no scatter lowering).
+        x = jnp.concatenate([x0[..., None], x[..., 1:]], axis=-1)
         x = _internal_matrix(x, diag, mul)
     for r in range(half, ROUNDS_F):
         x = _sbox(m31_add(x, external[r]), mul)
@@ -144,27 +145,60 @@ def poseidon2_sponge_batch(blocks):
 # ============================================================================
 
 
+def _ext_matrix_2d(x, mul):
+    """External matrix on [tile, 16] using only contiguous 2-D slices and
+    concatenation — the op set Mosaic lowers cleanly (no reshape-to-3D,
+    no strided gathers)."""
+    ys = []
+    for b in range(4):
+        blk = x[:, 4 * b: 4 * b + 4]
+        x0 = blk[:, 0:1]
+        x1 = blk[:, 1:2]
+        x2 = blk[:, 2:3]
+        x3 = blk[:, 3:4]
+        t0 = m31_add(x0, x1)
+        t1 = m31_add(x2, x3)
+        t2 = m31_add(m31_add(x1, x1), t1)
+        t3 = m31_add(m31_add(x3, x3), t0)
+        t4 = m31_add(m31_add(m31_add(t1, t1), m31_add(t1, t1)), t3)
+        t5 = m31_add(m31_add(m31_add(t0, t0), m31_add(t0, t0)), t2)
+        t6 = m31_add(t3, t5)
+        t7 = m31_add(t2, t4)
+        ys.append(jnp.concatenate([t6, t5, t7, t4], axis=1))  # [tile, 4]
+    sums = m31_add(m31_add(ys[0], ys[1]), m31_add(ys[2], ys[3]))
+    return jnp.concatenate([m31_add(y, sums) for y in ys], axis=1)
+
+
+def _internal_matrix_2d(x, dm1_row, mul):
+    """Internal matrix on [tile, 16]: halving-tree row sum + diagonal."""
+    t = x
+    while t.shape[1] > 1:
+        h = t.shape[1] // 2
+        t = m31_add(t[:, :h], t[:, h:])
+    return m31_add(t, mul(x, dm1_row))  # t broadcasts [tile, 1]
+
+
 def _poseidon2_kernel(ext_ref, int_ref, diag_ref, x_ref, out_ref):
     x = x_ref[:]  # [tile, 16]
     external = ext_ref[:]
     internal = int_ref[:]
-    diag = diag_ref[:]
+    diag_row = diag_ref[:]  # [1, 16] = diag - 1
     mul = m31_mul32
 
-    def ext_round(x, rc):
-        x = _sbox(m31_add(x, rc), mul)
-        return _external_matrix(x, mul)
+    def ext_round(x, r):
+        x = _sbox(m31_add(x, external[r: r + 1, :]), mul)
+        return _ext_matrix_2d(x, mul)
 
-    x = _external_matrix(x, mul)
+    x = _ext_matrix_2d(x, mul)
     half = ROUNDS_F // 2
     for r in range(half):
-        x = ext_round(x, external[r])
+        x = ext_round(x, r)
     for r in range(ROUNDS_P):
-        x0 = _sbox(m31_add(x[:, 0], internal[r, 0]), mul)
-        x = x.at[:, 0].set(x0)
-        x = _internal_matrix(x, diag[0], mul)
+        x0 = _sbox(m31_add(x[:, 0:1], internal[r: r + 1, :]), mul)
+        x = jnp.concatenate([x0, x[:, 1:]], axis=1)
+        x = _internal_matrix_2d(x, diag_row, mul)
     for r in range(half, ROUNDS_F):
-        x = ext_round(x, external[r])
+        x = ext_round(x, r)
     out_ref[:] = x
 
 
