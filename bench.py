@@ -75,7 +75,7 @@ def bench_trace_gen(lanes=512, chunk=2048):
         return run
 
     per_chunk = lanes * chunk
-    rate = _slope_time(make_fn, per_chunk, 5 * per_chunk,
+    rate = _slope_time(make_fn, per_chunk, 3 * per_chunk,
                        state_warm, state_fresh, lambda s: int(s.cycles[0]))
     if rate is None:
         elapsed = _timed_single_dispatch(

@@ -134,7 +134,7 @@ class TestTraceProof:
 
     def test_trace_matrix_shape(self):
         matrix = self._trace_matrix()
-        assert matrix.shape == (6, 45)
+        assert matrix.shape == (6, 47)
         assert (matrix < M31_PRIME).all()
         # pc limbs reconstruct the program counter
         assert matrix[0, 0] == 0x1000
@@ -154,7 +154,22 @@ class TestTraceProof:
     def test_tampered_opening_rejected(self):
         matrix = self._trace_matrix()
         proof = prove_trace(matrix, self.CFG)
-        key = next(iter(proof["openings"][0]["rows"]))
-        proof["openings"][0]["rows"][key][0] = \
-            (proof["openings"][0]["rows"][key][0] + 1) % M31_PRIME
+        key = next(iter(proof["openings"][0]["trace"]))
+        entry = proof["openings"][0]["trace"][key]
+        entry["row"][0] = (entry["row"][0] + 1) % M31_PRIME
+        assert not verify_trace(proof)
+
+    def test_constraint_violation_rejected(self):
+        # Corrupt the pc chain: a sequential row whose successor pc is
+        # wrong violates the AIR transition constraint, making the
+        # "quotient" a non-polynomial — FRI + the point checks reject it.
+        matrix = self._trace_matrix()
+        matrix[1, 0] = (matrix[1, 0] + 8) % M31_PRIME  # pc_lo of row 1
+        proof = prove_trace(matrix, self.CFG)
+        assert not verify_trace(proof)
+
+    def test_r0_violation_rejected(self):
+        matrix = self._trace_matrix()
+        matrix[2, 8] = 5  # r0 limb0 must be 0
+        proof = prove_trace(matrix, self.CFG)
         assert not verify_trace(proof)

@@ -185,19 +185,44 @@ def intt(re, im, log_n: int):
     return m31_mul(out_r, n_inv), m31_mul(out_i, n_inv)
 
 
-@functools.partial(jax.jit, static_argnames=("log_n", "log_blowup"))
-def lde(re, im, log_n: int, log_blowup: int):
-    """Low-degree extension: evaluations on the size-2^log_n subgroup ->
-    evaluations on the size-2^(log_n + log_blowup) subgroup.
+@functools.lru_cache(maxsize=None)
+def _shift_powers(shift: Tuple[int, int], log_n: int):
+    """(shift^0 .. shift^(n-1)) as numpy uint32 pairs, by doubling."""
+    re = np.ones(1, dtype=np.uint64)
+    im = np.zeros(1, dtype=np.uint64)
+    cur = shift
+    for _ in range(log_n):
+        cr, ci = cur
+        new_re = (re * cr + (P - im) * ci) % P
+        new_im = (re * ci + im * cr) % P
+        re = np.concatenate([re, new_re])
+        im = np.concatenate([im, new_im])
+        cur = cm31_mul_scalar(cur, cur)
+    return re.astype(np.uint32), im.astype(np.uint32)
 
-    (No coset shift: the larger subgroup strictly contains the smaller one,
-    so committed values include the originals at stride 2^log_blowup.)
+
+@functools.partial(jax.jit, static_argnames=("log_n", "log_blowup", "shift"))
+def lde(re, im, log_n: int, log_blowup: int,
+        shift: Tuple[int, int] = (1, 0)):
+    """Low-degree extension: evaluations on the size-2^log_n subgroup ->
+    evaluations on the coset ``shift * <w>`` of the size-2^(log_n +
+    log_blowup) subgroup.
+
+    With the default shift (1, 0) the larger subgroup strictly contains the
+    smaller one, so committed values include the originals at stride
+    2^log_blowup.  STARK quotient evaluation uses a proper coset (shift
+    outside the subgroup) so the trace-domain vanishing polynomial is
+    nonzero on every committed point.
     """
     coef_r, coef_i = intt(re, im, log_n)
     big = 1 << (log_n + log_blowup)
     pad = [(0, 0)] * (coef_r.ndim - 1) + [(0, big - (1 << log_n))]
     coef_r = jnp.pad(coef_r, pad)
     coef_i = jnp.pad(coef_i, pad)
+    if shift != (1, 0):
+        spow_r, spow_i = _shift_powers(shift, log_n + log_blowup)
+        coef_r, coef_i = cm31_mul(
+            (coef_r, coef_i), (jnp.asarray(spow_r), jnp.asarray(spow_i)))
     return ntt(coef_r, coef_i, log_n + log_blowup)
 
 

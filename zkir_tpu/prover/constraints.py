@@ -1,0 +1,258 @@
+"""AIR constraints over the trace matrix and quotient evaluation.
+
+First constraint set (round 1):
+
+  single-row (vanishing on all of H):
+    S1: r0 limb0 == 0              (column 8)
+    S2: r0 limb1 == 0              (column 24)
+    S3: is_seq  boolean            (column 45: s^2 - s)
+    S4: pc_carry boolean           (column 46)
+  transition (vanishing on H minus the last row):
+    T1: is_seq * (pc'_lo - pc_lo - 4 + carry * 2^20)
+    T2: is_seq * (pc'_hi - pc_hi - carry)
+
+where primed columns are next-row values (rotation by 2^log_blowup on the
+coset LDE: trace(g_n * x)).  The quotient
+
+    Q(x) = C_single(x) / Z_H(x)  +  C_trans(x) / Z_trans(x)
+
+with Z_H = x^n - 1 and Z_trans = Z_H / (x - w_n^{n-1}) is a polynomial of
+degree < n iff every constraint holds; it is committed and batched into
+FRI alongside the trace columns.
+
+(The selector columns is_seq/pc_carry are currently committed free columns;
+deriving them from the opcode column by constraint is the designated next
+AIR stage.)
+
+Evaluation runs on the *coset* LDE so Z_H is invertible at every committed
+point.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.field_ops import m31_inv as m31_inv_vec, m31_mul, m31_sub
+from ..ops.ntt import (
+    cm31_add,
+    cm31_inv_scalar,
+    cm31_mul,
+    cm31_mul_scalar,
+    cm31_pow_scalar,
+    cm31_sub,
+    root_of_unity,
+    _twiddle_table,
+)
+from ..spec.field import M31_PRIME
+
+P = M31_PRIME
+
+# Column indices (see prover/trace.py layout).
+COL_PC_LO = 0
+COL_PC_HI = 1
+COL_R0_LIMB0 = 8
+COL_R0_LIMB1 = 24
+COL_IS_SEQ = 45
+COL_PC_CARRY = 46
+
+NUM_SINGLE = 4
+NUM_TRANS = 2
+NUM_CONSTRAINTS = NUM_SINGLE + NUM_TRANS
+
+
+def _cm31_inv_vec(a: Tuple[jnp.ndarray, jnp.ndarray]):
+    """Vectorized CM31 inverse: conj(a) / |a|^2 (per-element Fermat)."""
+    ar, ai = a
+    norm = (m31_mul(ar, ar) + m31_mul(ai, ai)) % jnp.uint32(P)
+    ninv = m31_inv_vec(norm)
+    return (m31_mul(ar, ninv),
+            m31_mul((jnp.uint32(P) - ai) % jnp.uint32(P), ninv))
+
+
+def _scalar_vec(value: Tuple[int, int], n: int):
+    return (jnp.full(n, value[0], dtype=jnp.uint32),
+            jnp.full(n, value[1], dtype=jnp.uint32))
+
+
+def constraint_evals(ext_r, ext_i, log_n: int, log_blowup: int):
+    """Evaluate every constraint on the LDE domain.
+
+    ext_r/ext_i: uint32 [n_cols, N].  Returns a list of CM31 vectors,
+    singles first then transitions.
+    """
+    blowup = 1 << log_blowup
+
+    def col(c):
+        return (ext_r[c], ext_i[c])
+
+    def nxt(c):
+        return (jnp.roll(ext_r[c], -blowup), jnp.roll(ext_i[c], -blowup))
+
+    one = _scalar_vec((1, 0), ext_r.shape[1])
+    four = _scalar_vec((4, 0), ext_r.shape[1])
+    two20 = _scalar_vec((1 << 20, 0), ext_r.shape[1])
+
+    s_seq = col(COL_IS_SEQ)
+    carry = col(COL_PC_CARRY)
+
+    singles = [
+        col(COL_R0_LIMB0),
+        col(COL_R0_LIMB1),
+        cm31_mul(s_seq, cm31_sub(s_seq, one)),
+        cm31_mul(carry, cm31_sub(carry, one)),
+    ]
+
+    pc_lo, pc_hi = col(COL_PC_LO), col(COL_PC_HI)
+    pc_lo_n, pc_hi_n = nxt(COL_PC_LO), nxt(COL_PC_HI)
+    t1_inner = cm31_add(
+        cm31_sub(cm31_sub(pc_lo_n, pc_lo), four),
+        cm31_mul(carry, two20),
+    )
+    t2_inner = cm31_sub(cm31_sub(pc_hi_n, pc_hi), carry)
+    transitions = [
+        cm31_mul(s_seq, t1_inner),
+        cm31_mul(s_seq, t2_inner),
+    ]
+    return singles, transitions
+
+
+@functools.lru_cache(maxsize=None)
+def _vanishing_tables(log_n: int, log_blowup: int, shift: Tuple[int, int]):
+    """1/Z_H and 1/Z_trans on the coset LDE domain (numpy uint32 pairs).
+
+    Z_H(x) = x^n - 1 cycles with period 2^log_blowup on the domain (since
+    x_k^n = shift^n * w_b^k with w_b of order blowup); Z_trans divides out
+    the last-row factor (x - w_n^{n-1})."""
+    n = 1 << log_n
+    big = 1 << (log_n + log_blowup)
+    blowup = 1 << log_blowup
+
+    shift_n = cm31_pow_scalar(shift, n)
+    w_b = root_of_unity(log_blowup)
+    zh_cycle = []
+    for k in range(blowup):
+        val = cm31_mul_scalar(shift_n, cm31_pow_scalar(w_b, k))
+        zh_cycle.append(((val[0] - 1) % P, val[1]))
+    zh_r = np.tile(np.asarray([v[0] for v in zh_cycle], dtype=np.uint32),
+                   big // blowup)
+    zh_i = np.tile(np.asarray([v[1] for v in zh_cycle], dtype=np.uint32),
+                   big // blowup)
+    # But the cycle repeats in k with period blowup as k increments; the
+    # tiling above lays [k=0..blowup-1] repeated — correct ordering since
+    # zh[k] depends on k mod blowup.
+
+    # x_k = shift * w_N^k over the whole domain.
+    twr, twi = _twiddle_table(log_n + log_blowup, inverse=False)
+    xr = (twr.astype(np.uint64) * shift[0]
+          + (P - twi.astype(np.uint64)) * shift[1]) % P
+    xi = (twr.astype(np.uint64) * shift[1]
+          + twi.astype(np.uint64) * shift[0]) % P
+
+    last = cm31_pow_scalar(root_of_unity(log_n), n - 1)
+    lr = (xr + P - last[0]) % P
+    li = (xi + P - last[1]) % P
+
+    zh = (jnp.asarray(zh_r), jnp.asarray(zh_i))
+    zh_inv = _cm31_inv_vec(zh)
+    ztrans = cm31_mul(zh, _cm31_inv_vec(
+        (jnp.asarray(lr.astype(np.uint32)), jnp.asarray(li.astype(np.uint32)))
+    ))
+    ztrans_inv = _cm31_inv_vec(ztrans)
+    return (np.asarray(zh_inv[0]), np.asarray(zh_inv[1]),
+            np.asarray(ztrans_inv[0]), np.asarray(ztrans_inv[1]))
+
+
+def quotient_evals(ext_r, ext_i, log_n: int, log_blowup: int,
+                   shift: Tuple[int, int], alpha: Tuple[int, int]):
+    """Q(x) = sum_j alpha^j C_j(x) / D_j(x) on the coset LDE domain."""
+    singles, transitions = constraint_evals(ext_r, ext_i, log_n, log_blowup)
+    zh_inv_r, zh_inv_i, zt_inv_r, zt_inv_i = _vanishing_tables(
+        log_n, log_blowup, tuple(shift))
+    zh_inv = (jnp.asarray(zh_inv_r), jnp.asarray(zh_inv_i))
+    zt_inv = (jnp.asarray(zt_inv_r), jnp.asarray(zt_inv_i))
+
+    big = ext_r.shape[1]
+    acc = (jnp.zeros(big, dtype=jnp.uint32), jnp.zeros(big, dtype=jnp.uint32))
+    power = (1, 0)
+    for c in singles:
+        term = cm31_mul(cm31_mul(c, zh_inv), _scalar_vec(power, big))
+        acc = cm31_add(acc, term)
+        power = cm31_mul_scalar(power, alpha)
+    for c in transitions:
+        term = cm31_mul(cm31_mul(c, zt_inv), _scalar_vec(power, big))
+        acc = cm31_add(acc, term)
+        power = cm31_mul_scalar(power, alpha)
+    return acc
+
+
+# ============================================================================
+# Verifier-side scalar evaluation at one point
+# ============================================================================
+
+
+def constraint_value_at(row: List[int], next_row: List[int], n_cols: int):
+    """Scalar C_j values from an opened row pair (CM31 tuples: the row
+    layout is [re x n_cols, im x n_cols])."""
+
+    def cval(cols, c):
+        return (cols[c], cols[n_cols + c])
+
+    s_seq = cval(row, COL_IS_SEQ)
+    carry = cval(row, COL_PC_CARRY)
+    one = (1, 0)
+    singles = [
+        cval(row, COL_R0_LIMB0),
+        cval(row, COL_R0_LIMB1),
+        cm31_mul_scalar(s_seq, _sub2(s_seq, one)),
+        cm31_mul_scalar(carry, _sub2(carry, one)),
+    ]
+    pc_lo = cval(row, COL_PC_LO)
+    pc_hi = cval(row, COL_PC_HI)
+    pc_lo_n = cval(next_row, COL_PC_LO)
+    pc_hi_n = cval(next_row, COL_PC_HI)
+    t1 = _add2(_sub2(_sub2(pc_lo_n, pc_lo), (4, 0)),
+               cm31_mul_scalar(carry, (1 << 20, 0)))
+    t2 = _sub2(_sub2(pc_hi_n, pc_hi), carry)
+    transitions = [
+        cm31_mul_scalar(s_seq, t1),
+        cm31_mul_scalar(s_seq, t2),
+    ]
+    return singles, transitions
+
+
+def quotient_value_at(row, next_row, n_cols: int, index: int, log_n: int,
+                      log_blowup: int, shift: Tuple[int, int],
+                      alpha: Tuple[int, int]):
+    """Scalar Q(x_index) recomputed from opened rows (verifier side)."""
+    n = 1 << log_n
+    singles, transitions = constraint_value_at(row, next_row, n_cols)
+    x = cm31_mul_scalar(shift,
+                        cm31_pow_scalar(root_of_unity(log_n + log_blowup),
+                                        index))
+    zh = _sub2(cm31_pow_scalar(x, n), (1, 0))
+    last = cm31_pow_scalar(root_of_unity(log_n), n - 1)
+    ztrans = cm31_mul_scalar(zh, cm31_inv_scalar(_sub2(x, last)))
+
+    zh_inv = cm31_inv_scalar(zh)
+    zt_inv = cm31_inv_scalar(ztrans)
+    acc = (0, 0)
+    power = (1, 0)
+    for c in singles:
+        acc = _add2(acc, cm31_mul_scalar(cm31_mul_scalar(c, zh_inv), power))
+        power = cm31_mul_scalar(power, alpha)
+    for c in transitions:
+        acc = _add2(acc, cm31_mul_scalar(cm31_mul_scalar(c, zt_inv), power))
+        power = cm31_mul_scalar(power, alpha)
+    return acc
+
+
+def _add2(a, b):
+    return ((a[0] + b[0]) % P, (a[1] + b[1]) % P)
+
+
+def _sub2(a, b):
+    return ((a[0] - b[0]) % P, (a[1] - b[1]) % P)

@@ -61,14 +61,17 @@ def _pair_matrix(re, im):
 
 
 def fri_prove(re, im, log_n: int, challenger: Challenger,
-              config: FriConfig = FriConfig()) -> Dict[str, Any]:
+              config: FriConfig = FriConfig(),
+              shift=(1, 0)) -> Dict[str, Any]:
     """Prove that (re, im) are evaluations of a polynomial of degree
-    < 2^(log_n - log_blowup) on the order-2^log_n subgroup."""
+    < 2^(log_n - log_blowup) on the coset ``shift * <w>`` of the
+    order-2^log_n subgroup."""
     inv2 = s_inv(2)
     layers = []          # (tree levels, re, im) per fold layer
     betas = []
     cur_r, cur_i = jnp.asarray(re), jnp.asarray(im)
     log = log_n
+    cur_shift = tuple(shift)
 
     while log > config.log_final:
         n = 1 << log
@@ -81,9 +84,13 @@ def fri_prove(re, im, log_n: int, challenger: Challenger,
         betas.append(beta)
         layers.append((levels, np.asarray(cur_r), np.asarray(cur_i)))
 
-        # Fold.
+        # Fold: x_j = cur_shift * w^j, so 1/x_j = cur_shift^-1 * w^-j.
         twr, twi = _twiddle_table(log, inverse=True)  # w^{-j}
-        xinv = (jnp.asarray(twr[:h]), jnp.asarray(twi[:h]))
+        sinv = cm31_inv_scalar(cur_shift)
+        svr = jnp.full(h, sinv[0], dtype=jnp.uint32)
+        svi = jnp.full(h, sinv[1], dtype=jnp.uint32)
+        xinv = cm31_mul(
+            (jnp.asarray(twr[:h]), jnp.asarray(twi[:h])), (svr, svi))
         lo = (cur_r[:h], cur_i[:h])
         hi = (cur_r[h:], cur_i[h:])
         s = cm31_add(lo, hi)
@@ -96,6 +103,7 @@ def fri_prove(re, im, log_n: int, challenger: Challenger,
         beta_arr = (jnp.full(h, beta[0], dtype=jnp.uint32),
                     jnp.full(h, beta[1], dtype=jnp.uint32))
         cur_r, cur_i = cm31_add(half_s, cm31_mul(beta_arr, odd))
+        cur_shift = cm31_mul_scalar(cur_shift, cur_shift)
         log -= 1
 
     final_r = np.asarray(cur_r)
@@ -130,6 +138,7 @@ def fri_prove(re, im, log_n: int, challenger: Challenger,
     return {
         "log_n": log_n,
         "config": config,
+        "shift": tuple(shift),
         "roots": [
             [int(x) for x in merkle.root(levels)]
             for levels, _, _ in layers
@@ -146,6 +155,7 @@ def fri_verify(proof: Dict[str, Any], challenger: Challenger) -> bool:
     prover's was when fri_prove began."""
     log_n = proof["log_n"]
     config: FriConfig = proof["config"]
+    shift = tuple(proof.get("shift", (1, 0)))
     inv2 = s_inv(2)
 
     # Replay transcript.
@@ -199,10 +209,15 @@ def fri_verify(proof: Dict[str, Any], challenger: Challenger) -> bool:
                 value_here = lo if cur_idx < h else hi
                 if value_here != expected:
                     return False
-            # Compute the fold.
+            # Compute the fold (x = shift^(2^depth) * w^leaf_idx).
             beta = betas[depth]
             w_inv = cm31_inv_scalar(root_of_unity(log))
-            xinv = cm31_pow_scalar(w_inv, leaf_idx)
+            layer_shift = shift
+            for _ in range(depth):
+                layer_shift = cm31_mul_scalar(layer_shift, layer_shift)
+            xinv = cm31_mul_scalar(
+                cm31_pow_scalar(w_inv, leaf_idx),
+                cm31_inv_scalar(layer_shift))
             s = ((lo[0] + hi[0]) % P, (lo[1] + hi[1]) % P)
             d = ((lo[0] - hi[0]) % P, (lo[1] - hi[1]) % P)
             half_s = ((s[0] * inv2) % P, (s[1] * inv2) % P)

@@ -1,38 +1,52 @@
-"""End-to-end trace proof: commitment + batched low-degree argument.
+"""End-to-end STARK-style trace proof: commitment + constraints + FRI.
 
-Pipeline (single chip; the sharded variant lives in ``zkir_tpu.parallel``):
+Pipeline (single chip; distributed kernels live in ``zkir_tpu.parallel``):
 
 1. pad the trace matrix to 2^log_n rows;
-2. low-degree-extend every column onto the 2^(log_n + log_blowup) subgroup
-   (CM31 NTT — evaluations at stride 2^log_blowup reproduce the trace);
-3. commit the extended matrix with one Poseidon2 Merkle tree over rows;
-4. draw alpha from the transcript and take the random linear combination
-   of columns (the standard batching step);
-5. FRI-prove the combination is low degree;
-6. for every FRI query, open the committed matrix row pair and let the
-   verifier recompute the linear combination, binding FRI layer 0 to the
-   trace commitment.
+2. low-degree-extend every column onto a *coset* of the larger subgroup
+   (CM31 NTT; the coset keeps the trace-domain vanishing polynomial
+   invertible at every committed point);
+3. commit the extended matrix with a Poseidon2 Merkle tree (root_1);
+4. draw the constraint combiner alpha_c and evaluate the AIR quotient
+   Q = sum alpha_c^j C_j / D_j on the coset (``prover.constraints``);
+5. commit Q with a second tree (root_2);
+6. draw the batch combiner alpha_b; FRI-prove the combined polynomial
+   sum alpha_b^i col_i + alpha_b^{n_cols} Q is low degree;
+7. for every FRI query index k open both trees at k, k+half and their
+   next-row rotations — the verifier recomputes the batch combination
+   (binding FRI to the commitments) AND re-evaluates the constraints,
+   checking Q at the opened points.
 
-This is the commitment/low-degree core of a Plonky3-style STARK.  The AIR
-constraint/quotient composition over these columns is the designated next
-stage (the reference contains no prover at all — vm.rs:234-243 only shapes
-witness data for one).
+The reference contains no prover at all (vm.rs:234-243 shapes witness data
+for an absent Plonky3-style consumer); this module is that missing stage.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, List, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops import merkle
-from ..ops.ntt import cm31_add, cm31_mul, cm31_mul_scalar, lde
+from ..ops.ntt import (
+    _find_generator,
+    cm31_add,
+    cm31_mul,
+    cm31_mul_scalar,
+    lde,
+)
 from ..spec.field import M31_PRIME
 from .challenger import Challenger
+from .constraints import quotient_evals, quotient_value_at
 from .fri import FriConfig, fri_prove, fri_verify
 
 P = M31_PRIME
+
+
+def _coset_shift() -> Tuple[int, int]:
+    """A point outside every 2-power subgroup: the full-group generator."""
+    return _find_generator()
 
 
 def _pad_rows(matrix: np.ndarray):
@@ -43,74 +57,94 @@ def _pad_rows(matrix: np.ndarray):
     return padded, log_n
 
 
-def _combine_columns(ext_r, ext_i, alpha):
-    """sum_i alpha^i * col_i over CM31, columns on the leading axis."""
+def _combine(ext_r, ext_i, q, alpha):
+    """sum_i alpha^i col_i + alpha^n_cols * Q over CM31."""
     n_cols = ext_r.shape[0]
     acc = (jnp.zeros_like(ext_r[0]), jnp.zeros_like(ext_i[0]))
     power = (1, 0)
     for c in range(n_cols):
-        pr = jnp.uint32(power[0])
-        pi = jnp.uint32(power[1])
         term = cm31_mul((ext_r[c], ext_i[c]),
-                        (jnp.full_like(ext_r[0], pr),
-                         jnp.full_like(ext_i[0], pi)))
+                        (jnp.full_like(ext_r[0], power[0]),
+                         jnp.full_like(ext_i[0], power[1])))
         acc = cm31_add(acc, term)
         power = cm31_mul_scalar(power, alpha)
-    return acc
+    qterm = cm31_mul(q, (jnp.full_like(ext_r[0], power[0]),
+                         jnp.full_like(ext_i[0], power[1])))
+    return cm31_add(acc, qterm)
+
+
+def _open_rows(committed_np: np.ndarray, levels, indices):
+    return {
+        str(j): {
+            "row": [int(x) for x in committed_np[j]],
+            "path": [[int(x) for x in sib]
+                     for sib in merkle.open_path(levels, j)],
+        }
+        for j in indices
+    }
 
 
 def prove_trace(matrix: np.ndarray,
                 fri_config: FriConfig = FriConfig()) -> Dict[str, Any]:
-    """Prove knowledge of a committed low-degree trace matrix."""
     padded, log_n = _pad_rows(np.asarray(matrix, dtype=np.uint32))
     n_cols = padded.shape[1]
     log_big = log_n + fri_config.log_blowup
+    big = 1 << log_big
+    shift = _coset_shift()
 
-    # LDE all columns at once: [cols, n] -> [cols, N].
+    # Coset LDE of all columns: [cols, n] -> [cols, N].
     cols_r = jnp.asarray(padded.T)
     cols_i = jnp.zeros_like(cols_r)
-    ext_r, ext_i = lde(cols_r, cols_i, log_n, fri_config.log_blowup)
+    ext_r, ext_i = lde(cols_r, cols_i, log_n, fri_config.log_blowup,
+                       shift=shift)
 
-    # Commit the extended matrix (rows interleave re/im parts).
-    committed = jnp.concatenate([ext_r.T, ext_i.T], axis=1)  # [N, 2*cols]
-    leaves = merkle.hash_rows(committed)
-    levels = merkle.build_tree(leaves)
-    trace_root = merkle.root(levels)
+    # Phase 1: commit the trace columns.
+    trace_rows = jnp.concatenate([ext_r.T, ext_i.T], axis=1)  # [N, 2*cols]
+    levels1 = merkle.build_tree(merkle.hash_rows(trace_rows))
+    root1 = merkle.root(levels1)
 
     challenger = Challenger()
     challenger.observe(log_n)
     challenger.observe(n_cols)
-    challenger.observe_many(int(x) for x in trace_root)
-    alpha = challenger.sample_cm31()
+    challenger.observe_many(int(x) for x in root1)
+    alpha_c = challenger.sample_cm31()
 
-    comb_r, comb_i = _combine_columns(ext_r, ext_i, alpha)
-    fri_proof = fri_prove(comb_r, comb_i, log_big, challenger, fri_config)
+    # Phase 2: quotient.
+    q = quotient_evals(ext_r, ext_i, log_n, fri_config.log_blowup, shift,
+                       alpha_c)
+    q_rows = jnp.stack([q[0], q[1]], axis=1)  # [N, 2]
+    levels2 = merkle.build_tree(merkle.hash_rows(q_rows))
+    root2 = merkle.root(levels2)
+    challenger.observe_many(int(x) for x in root2)
+    alpha_b = challenger.sample_cm31()
 
-    # Open the committed rows referenced by FRI layer 0 (index and its
-    # half-domain mirror).
-    committed_np = np.asarray(committed)
+    batch_r, batch_i = _combine(ext_r, ext_i, q, alpha_b)
+    fri_proof = fri_prove(batch_r, batch_i, log_big, challenger, fri_config,
+                          shift=shift)
+
+    # Phase 3: open commitment rows at the FRI query points (and their
+    # next-row rotations for the transition constraints).
+    trace_np = np.asarray(trace_rows)
+    q_np = np.asarray(q_rows)
+    half = big // 2
+    blowup = 1 << fri_config.log_blowup
     openings = []
-    half = 1 << (log_big - 1)
     for steps in fri_proof["queries"]:
-        leaf_idx = steps[0]["leaf_idx"]
+        k = steps[0]["leaf_idx"]
+        indices = sorted({
+            k, (k + blowup) % big,
+            k + half, (k + half + blowup) % big,
+        })
         openings.append({
-            "rows": {
-                str(j): [int(x) for x in committed_np[j]]
-                for j in (leaf_idx, leaf_idx + half)
-            },
-            "paths": {
-                str(j): [
-                    [int(x) for x in sib]
-                    for sib in merkle.open_path(levels, j)
-                ]
-                for j in (leaf_idx, leaf_idx + half)
-            },
+            "trace": _open_rows(trace_np, levels1, indices),
+            "quotient": _open_rows(q_np, levels2, indices),
         })
 
     return {
         "log_n": log_n,
         "n_cols": n_cols,
-        "trace_root": [int(x) for x in trace_root],
+        "trace_root": [int(x) for x in root1],
+        "quotient_root": [int(x) for x in root2],
         "fri": fri_proof,
         "openings": openings,
     }
@@ -122,44 +156,77 @@ def verify_trace(proof: Dict[str, Any]) -> bool:
     fri_proof = proof["fri"]
     config: FriConfig = fri_proof["config"]
     log_big = log_n + config.log_blowup
-    half = 1 << (log_big - 1)
+    big = 1 << log_big
+    half = big // 2
+    blowup = 1 << config.log_blowup
+    shift = _coset_shift()
 
     challenger = Challenger()
     challenger.observe(log_n)
     challenger.observe(n_cols)
     challenger.observe_many(int(x) for x in proof["trace_root"])
-    alpha = challenger.sample_cm31()
+    alpha_c = challenger.sample_cm31()
+    challenger.observe_many(int(x) for x in proof["quotient_root"])
+    alpha_b = challenger.sample_cm31()
 
+    if tuple(fri_proof.get("shift", (1, 0))) != tuple(shift):
+        return False
     if not fri_verify(fri_proof, challenger):
         return False
 
     trace_root = np.asarray(proof["trace_root"], dtype=np.uint32)
-    for steps_idx, steps in enumerate(fri_proof["queries"]):
-        leaf_idx = steps[0]["leaf_idx"]
-        opening = proof["openings"][steps_idx]
-        for j, value in ((leaf_idx, tuple(steps[0]["lo"])),
-                         (leaf_idx + half, tuple(steps[0]["hi"]))):
-            row = opening["rows"].get(str(j))
-            path = opening["paths"].get(str(j))
-            if row is None or path is None or len(row) != 2 * n_cols:
+    q_root = np.asarray(proof["quotient_root"], dtype=np.uint32)
+
+    def check_opening(group, root, j, expect_width):
+        entry = group.get(str(j))
+        if entry is None or len(entry["row"]) != expect_width:
+            return None
+        digest = np.asarray(merkle.hash_rows(jnp.asarray(
+            np.asarray([entry["row"]], dtype=np.uint32))))[0]
+        if not merkle.verify_path(
+            root, j, digest,
+            [np.asarray(s, dtype=np.uint32) for s in entry["path"]],
+        ):
+            return None
+        return entry["row"]
+
+    for q_idx, steps in enumerate(fri_proof["queries"]):
+        k = steps[0]["leaf_idx"]
+        opening = proof["openings"][q_idx]
+        rows: Dict[int, List[int]] = {}
+        q_vals: Dict[int, Tuple[int, int]] = {}
+        needed = {k, (k + blowup) % big, k + half, (k + half + blowup) % big}
+        for j in needed:
+            row = check_opening(opening["trace"], trace_root, j, 2 * n_cols)
+            qrow = check_opening(opening["quotient"], q_root, j, 2)
+            if row is None or qrow is None:
                 return False
-            digest = np.asarray(merkle.hash_rows(
-                jnp.asarray(np.asarray([row], dtype=np.uint32))))[0]
-            if not merkle.verify_path(
-                trace_root, j, digest,
-                [np.asarray(s, dtype=np.uint32) for s in path],
-            ):
-                return False
-            # Recompute the alpha-combination of this row and compare with
-            # the FRI layer-0 value.
+            rows[j] = row
+            q_vals[j] = (qrow[0], qrow[1])
+
+        for j, fri_value in ((k, tuple(steps[0]["lo"])),
+                             (k + half, tuple(steps[0]["hi"]))):
+            # 1. Batch combination binds FRI layer 0 to the commitments.
             acc = (0, 0)
             power = (1, 0)
+            row = rows[j]
             for c in range(n_cols):
                 col = (row[c], row[n_cols + c])
                 term = cm31_mul_scalar(col, power)
                 acc = ((acc[0] + term[0]) % P, (acc[1] + term[1]) % P)
-                power = cm31_mul_scalar(power, alpha)
-            if acc != value:
+                power = cm31_mul_scalar(power, alpha_b)
+            qterm = cm31_mul_scalar(q_vals[j], power)
+            acc = ((acc[0] + qterm[0]) % P, (acc[1] + qterm[1]) % P)
+            if acc != fri_value:
+                return False
+
+            # 2. Constraint check: Q(x_j) must equal the recomputed
+            # combination of constraints at the opened rows.
+            jn = (j + blowup) % big
+            expected_q = quotient_value_at(
+                rows[j], rows[jn], n_cols, j, log_n, config.log_blowup,
+                shift, alpha_c)
+            if q_vals[j] != expected_q:
                 return False
 
     return True

@@ -7,6 +7,8 @@ into a 2-D matrix of M31 field elements, one row per cycle:
      16 x (reg limb0, reg limb1),
      mem_addr_lo, mem_addr_hi, mem_val_lo, mem_val_hi, mem_flags]
 
+plus the AIR helper columns [is_seq, pc_carry] (see prover/constraints.py).
+
 40-bit machine values split into 2 x 20-bit limbs (each < p); the 17-bit
 immediate and memory metadata fit directly.  This is the matrix committed
 by the prover (reference analogue: the TraceRow struct,
@@ -21,7 +23,7 @@ import numpy as np
 
 _M20 = (1 << 20) - 1
 
-N_COLUMNS = 8 + 32 + 5
+N_COLUMNS = 8 + 32 + 5 + 2
 
 
 def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0) -> np.ndarray:
@@ -61,4 +63,19 @@ def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0) -> np.ndarray:
         | (trace["mem_width"][valid, lane].astype(np.uint32) << 2)
     )
     out[:, base + 4] = flags
+
+    # AIR helper columns (constraints.py): is_seq marks rows whose pc
+    # advances by exactly 4 into the *next committed row* (non-control-flow
+    # ops with a successor); pc_carry witnesses the 20-bit limb carry.
+    op = out[:, 2]
+    sequential = ~(
+        ((op >= 0x40) & (op <= 0x45))   # branches
+        | (op == 0x48) | (op == 0x49)   # JAL / JALR
+        | (op == 0x50) | (op == 0x51)   # ECALL / EBREAK
+    )
+    if n > 0:
+        sequential[-1] = False  # last committed row has no successor
+    out[:, base + 5] = sequential.astype(np.uint32)
+    carry = sequential & (out[:, 0] + 4 >= (1 << 20))
+    out[:, base + 6] = carry.astype(np.uint32)
     return out
