@@ -106,3 +106,32 @@ class TestProveStepSharded:
         new_state, root = prove_step_sharded(interp, state, mesh8, log_n=10)
         assert np.asarray(root).shape == (8,)
         assert np.asarray(new_state.cycles).min() == 32
+
+
+class TestDistLde:
+    def test_matches_single_chip(self, mesh8):
+        from zkir_tpu.ops.ntt import lde
+        from zkir_tpu.parallel import dist_lde
+        import jax.numpy as jnp
+        log_n, log_blowup = 6, 2
+        cols = 16  # divisible by 8 devices
+        r = jnp.asarray(RNG.integers(0, M31_PRIME, (cols, 1 << log_n),
+                                     dtype=np.uint32))
+        i = jnp.zeros_like(r)
+        want_r, want_i = lde(r, i, log_n, log_blowup)
+        got_r, got_i = dist_lde(r, i, mesh8, log_n, log_blowup)
+        np.testing.assert_array_equal(np.asarray(got_r), np.asarray(want_r))
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+    def test_with_coset_shift(self, mesh2):
+        from zkir_tpu.ops.ntt import _find_generator, lde
+        from zkir_tpu.parallel import dist_lde
+        import jax.numpy as jnp
+        shift = _find_generator()
+        log_n, log_blowup = 5, 1
+        r = jnp.asarray(RNG.integers(0, M31_PRIME, (4, 1 << log_n),
+                                     dtype=np.uint32))
+        i = jnp.zeros_like(r)
+        want_r, _ = lde(r, i, log_n, log_blowup, shift=shift)
+        got_r, _ = dist_lde(r, i, mesh2, log_n, log_blowup, shift=shift)
+        np.testing.assert_array_equal(np.asarray(got_r), np.asarray(want_r))

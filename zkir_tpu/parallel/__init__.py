@@ -13,6 +13,7 @@ this layer is where the TPU build scales:
 
 from .mesh import make_mesh
 from .distributed import (
+    dist_lde,
     dist_ntt,
     dist_ntt_natural,
     dist_merkle_root,

@@ -103,6 +103,28 @@ def dist_ntt_natural(re, im, mesh: Mesh, log_n: int, axis: str = "d"):
     return zr.T.reshape(-1), zi.T.reshape(-1)
 
 
+def dist_lde(cols_r, cols_i, mesh: Mesh, log_n: int, log_blowup: int,
+             shift=(1, 0), axis: str = "d"):
+    """Column-sharded low-degree extension (the polynomial/limb "tensor
+    parallel" axis of SURVEY §2.4): each device extends its column subset
+    locally — zero communication; pairs with row-sharded commitment.
+
+    cols_r/cols_i: uint32 [n_cols, 2^log_n]; n_cols must divide evenly over
+    the mesh (pad with zero columns if needed)."""
+    from ..ops.ntt import lde as lde_local
+
+    def local(r, i):
+        return lde_local(r, i, log_n, log_blowup, shift=shift)
+
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(axis, None)),
+    )
+    return shard(cols_r, cols_i)
+
+
 # ============================================================================
 # Distributed Merkle
 # ============================================================================

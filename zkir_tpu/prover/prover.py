@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -85,7 +86,12 @@ def _open_rows(committed_np: np.ndarray, levels, indices):
 
 
 def prove_trace(matrix: np.ndarray,
-                fri_config: FriConfig = FriConfig()) -> Dict[str, Any]:
+                fri_config: FriConfig = FriConfig(),
+                mesh=None) -> Dict[str, Any]:
+    """Prove the trace matrix.  With ``mesh``, the heavy stages run sharded
+    (pjit style): columns are partitioned for the LDE, rows for hashing —
+    the sharding annotations let XLA insert the collectives; the proof is
+    bit-identical to the single-device one."""
     padded, log_n = _pad_rows(np.asarray(matrix, dtype=np.uint32))
     n_cols = padded.shape[1]
     log_big = log_n + fri_config.log_blowup
@@ -95,8 +101,33 @@ def prove_trace(matrix: np.ndarray,
     # Coset LDE of all columns: [cols, n] -> [cols, N].
     cols_r = jnp.asarray(padded.T)
     cols_i = jnp.zeros_like(cols_r)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        # Pad the column count to the mesh size for an even split.
+        n_dev = mesh.devices.size
+        pad_cols = (-n_cols) % n_dev
+        if pad_cols:
+            cols_r = jnp.concatenate(
+                [cols_r, jnp.zeros((pad_cols, cols_r.shape[1]),
+                                   dtype=jnp.uint32)], axis=0)
+            cols_i = jnp.zeros_like(cols_r)
+        col_sharding = NamedSharding(mesh, P(axis, None))
+        cols_r = jax.device_put(cols_r, col_sharding)
+        cols_i = jax.device_put(cols_i, col_sharding)
     ext_r, ext_i = lde(cols_r, cols_i, log_n, fri_config.log_blowup,
                        shift=shift)
+    if mesh is not None and ext_r.shape[0] != n_cols:
+        ext_r = ext_r[:n_cols]
+        ext_i = ext_i[:n_cols]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        row_sharding = NamedSharding(mesh, P(axis, None))
+        ext_r = jax.device_put(ext_r.T, row_sharding).T
+        ext_i = jax.device_put(ext_i.T, row_sharding).T
 
     # Phase 1: commit the trace columns.
     trace_rows = jnp.concatenate([ext_r.T, ext_i.T], axis=1)  # [N, 2*cols]
