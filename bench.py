@@ -44,7 +44,7 @@ def _slope_time(make_fn, work_small, work_big, warm_arg, fresh_arg, probe):
     return (work_big - work_small) / (t_big - t_small)
 
 
-def bench_trace_gen(lanes=32768, chunk=256):
+def bench_trace_gen(lanes=8192, chunk=512):
     """One scan dispatch = lanes x chunk machine cycles."""
     import jax.numpy as jnp
 
@@ -192,7 +192,7 @@ def main():
     else:
         extra["ntt_error"] = err
 
-    value, err = _run_isolated("trace")
+    value, err = _run_isolated("trace", timeout_s=600)
     if value is None:
         # Fall back to the native C++ engine so the headline metric always
         # reports a real measured number.
