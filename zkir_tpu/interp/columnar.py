@@ -833,6 +833,21 @@ def _chunk_fn_for(cfg: InterpConfig, code_bucket: int):
                     "mem_width": width,
                     "mem_is_write": is_store,
                 }
+                # Range-check witness columns: the reference defers a check
+                # when an ADD/MUL result's bound exceeds the data width
+                # (execute.rs:56-60, 92-96) and flushes it at checkpoints
+                # with a 4x10-bit chunk decomposition
+                # (range_check.rs:140-192).  The device emits the
+                # per-deferral witness row directly: (value, chunks, pc).
+                rc_value = jnp.where(op == Op.MUL, mul_r, add_r)
+                trace["rc_valid"] = (
+                    commit & ((op == Op.ADD) | (op == Op.MUL))
+                    & (new_bound > 40)
+                )
+                trace["rc_value"] = rc_value
+                trace["rc_chunks"] = jnp.stack(
+                    [(rc_value >> u64(10 * c)) & u64(0x3FF)
+                     for c in range(4)], axis=1)
                 if deferred:
                     trace["norm_valid"] = norm_w_valid
                     (trace["norm_reg"], trace["norm_acc0"], trace["norm_acc1"],
