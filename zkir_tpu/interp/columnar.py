@@ -70,6 +70,8 @@ class InterpConfig:
     max_inputs: int = 64
     max_outputs: int = 64
     chunk: int = 256               # cycles per jitted scan
+    enable_memory: bool = True     # auto-cleared when the program has no
+                                   # loads/stores/crypto (static analysis)
     collect_trace: bool = False
     deferred: bool = False
     normalized_bits: int = 20
@@ -145,6 +147,17 @@ class TpuInterpreter:
         padded = np.zeros(bucket, dtype=np.uint32)
         padded[: code.size] = code
         self.code = jnp.asarray(padded)
+        # Static program analysis: if no instruction can touch data memory
+        # (no loads/stores, no crypto syscalls possible), compile the step
+        # without the gather/scatter machinery.  (Device fetch always reads
+        # the immutable code buffer, so self-modifying code is out of scope
+        # for the TPU engine either way.)
+        ops = code & 0x7F
+        has_mem = bool(np.any(((ops >= 0x30) & (ops <= 0x3B))
+                              | (ops == 0x50)))
+        if not has_mem and self.config.enable_memory:
+            self.config = dataclasses.replace(self.config,
+                                              enable_memory=False)
         self._chunk_fn = _chunk_fn_for(self.config, bucket)
 
     # ------------------------------------------------------------------
@@ -558,25 +571,32 @@ def _chunk_fn_for(cfg: InterpConfig, code_bucket: int):
                 i32(0),
             )
             is_mem = is_load | is_store
-            aligned = jnp.where(
-                width > 0, addr % width.astype(u64) == 0, True)
-            off, in_window = _mem_offset(cfg, addr)
-            mem_err = is_mem & active & (~in_window | ~aligned)
+            if cfg.enable_memory:
+                aligned = jnp.where(
+                    width > 0, addr % width.astype(u64) == 0, True)
+                off, in_window = _mem_offset(cfg, addr)
+                mem_err = is_mem & active & (~in_window | ~aligned)
 
-            byte_idx = (off[:, None] + jnp.arange(8, dtype=u64)[None, :])
-            byte_idx = jnp.minimum(
-                byte_idx, u64(cfg.low_bytes + cfg.stack_bytes - 1)
-            ).astype(i32)
-            cur_bytes = jnp.take_along_axis(state.mem, byte_idx, axis=1)
+                byte_idx = (off[:, None]
+                            + jnp.arange(8, dtype=u64)[None, :])
+                byte_idx = jnp.minimum(
+                    byte_idx, u64(cfg.low_bytes + cfg.stack_bytes - 1)
+                ).astype(i32)
+                cur_bytes = jnp.take_along_axis(state.mem, byte_idx, axis=1)
 
-            shifts = (jnp.arange(8, dtype=np.uint32) * 8).astype(u64)
-            byte_in_width = jnp.arange(8, dtype=np.int32)[None, :] \
-                < width[:, None]
-            loaded = jnp.sum(
-                jnp.where(byte_in_width,
-                          cur_bytes.astype(u64) << shifts[None, :], u64(0)),
-                axis=1,
-            )
+                shifts = (jnp.arange(8, dtype=np.uint32) * 8).astype(u64)
+                byte_in_width = jnp.arange(8, dtype=np.int32)[None, :] \
+                    < width[:, None]
+                loaded = jnp.sum(
+                    jnp.where(byte_in_width,
+                              cur_bytes.astype(u64) << shifts[None, :],
+                              u64(0)),
+                    axis=1,
+                )
+            else:
+                # Program statically cannot touch memory.
+                mem_err = is_mem & active  # decoded garbage would fault
+                loaded = jnp.zeros_like(addr)
             # sign extension for LB/LH (through full 64 bits, execute.rs:477-510)
             lb_v = jnp.where((loaded & u64(0x80)) != 0,
                              loaded | u64(_M64 ^ 0xFF), loaded)
@@ -623,13 +643,16 @@ def _chunk_fn_for(cfg: InterpConfig, code_bucket: int):
 
             # ---- memory store (gated on commit) ----
             store_val = b_raw
-            store_bytes = (store_val[:, None] >> shifts[None, :]).astype(
-                jnp.uint8)
-            do_store = (commit & is_store)[:, None] & byte_in_width
-            new_bytes = jnp.where(do_store, store_bytes, cur_bytes)
-            mem = jax.vmap(lambda row, j, v: row.at[j].set(v))(
-                state.mem, byte_idx, new_bytes
-            )
+            if cfg.enable_memory:
+                store_bytes = (store_val[:, None]
+                               >> shifts[None, :]).astype(jnp.uint8)
+                do_store = (commit & is_store)[:, None] & byte_in_width
+                new_bytes = jnp.where(do_store, store_bytes, cur_bytes)
+                mem = jax.vmap(lambda row, j, v: row.at[j].set(v))(
+                    state.mem, byte_idx, new_bytes
+                )
+            else:
+                mem = state.mem
 
             # ---- I/O tape effects (gated on commit) ----
             read_val = jnp.where(
