@@ -226,6 +226,30 @@ def lde(re, im, log_n: int, log_blowup: int,
     return ntt(coef_r, coef_i, log_n + log_blowup)
 
 
+@functools.partial(jax.jit, static_argnames=("log_n", "shift"))
+def coset_ntt(re, im, log_n: int, shift: Tuple[int, int] = (1, 0)):
+    """Coefficients -> evaluations on the coset ``shift * <w>``:
+    NTT of (coeff_i * shift^i)."""
+    if shift != (1, 0):
+        spow_r, spow_i = _shift_powers(shift, log_n)
+        re, im = cm31_mul((re, im),
+                          (jnp.asarray(spow_r), jnp.asarray(spow_i)))
+    return ntt(re, im, log_n)
+
+
+@functools.partial(jax.jit, static_argnames=("log_n", "shift"))
+def coset_intt(re, im, log_n: int, shift: Tuple[int, int] = (1, 0)):
+    """Evaluations on the coset ``shift * <w>`` -> coefficients:
+    iNTT then divide coeff_i by shift^i."""
+    coef_r, coef_i = intt(re, im, log_n)
+    if shift != (1, 0):
+        sinv = cm31_inv_scalar(shift)
+        spow_r, spow_i = _shift_powers(sinv, log_n)
+        coef_r, coef_i = cm31_mul(
+            (coef_r, coef_i), (jnp.asarray(spow_r), jnp.asarray(spow_i)))
+    return coef_r, coef_i
+
+
 def domain_points(log_n: int) -> Tuple[np.ndarray, np.ndarray]:
     """The evaluation domain w^0..w^(n-1) as numpy uint32 pairs."""
     return _twiddle_table(log_n, inverse=False)

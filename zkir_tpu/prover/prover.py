@@ -35,7 +35,11 @@ from ..ops.ntt import (
     cm31_add,
     cm31_mul,
     cm31_mul_scalar,
+    cm31_pow_scalar,
+    coset_intt,
+    coset_ntt,
     lde,
+    root_of_unity,
 )
 from ..spec.field import M31_PRIME
 from .challenger import Challenger
@@ -58,8 +62,8 @@ def _pad_rows(matrix: np.ndarray):
     return padded, log_n
 
 
-def _combine(ext_r, ext_i, q, alpha):
-    """sum_i alpha^i col_i + alpha^n_cols * Q over CM31."""
+def _combine(ext_r, ext_i, extra_cols, alpha):
+    """sum_i alpha^i col_i + sum_j alpha^(n_cols+j) extra_j over CM31."""
     n_cols = ext_r.shape[0]
     acc = (jnp.zeros_like(ext_r[0]), jnp.zeros_like(ext_i[0]))
     power = (1, 0)
@@ -69,9 +73,12 @@ def _combine(ext_r, ext_i, q, alpha):
                          jnp.full_like(ext_i[0], power[1])))
         acc = cm31_add(acc, term)
         power = cm31_mul_scalar(power, alpha)
-    qterm = cm31_mul(q, (jnp.full_like(ext_r[0], power[0]),
-                         jnp.full_like(ext_i[0], power[1])))
-    return cm31_add(acc, qterm)
+    for col in extra_cols:
+        term = cm31_mul(col, (jnp.full_like(ext_r[0], power[0]),
+                              jnp.full_like(ext_i[0], power[1])))
+        acc = cm31_add(acc, term)
+        power = cm31_mul_scalar(power, alpha)
+    return acc
 
 
 def _open_rows(committed_np: np.ndarray, levels, indices):
@@ -140,16 +147,29 @@ def prove_trace(matrix: np.ndarray,
     challenger.observe_many(int(x) for x in root1)
     alpha_c = challenger.sample_cm31()
 
-    # Phase 2: quotient.
+    # Phase 2: quotient, split into degree-< n chunks
+    # Q(x) = Q0(x) + x^n Q1(x) (Plonky3-style quotient chunking: keeps
+    # every committed column at the same FRI degree bound while allowing
+    # constraints up to degree 3).
     q = quotient_evals(ext_r, ext_i, log_n, fri_config.log_blowup, shift,
                        alpha_c)
-    q_rows = jnp.stack([q[0], q[1]], axis=1)  # [N, 2]
+    qc_r, qc_i = coset_intt(q[0], q[1], log_big, shift=shift)
+    n_rows = 1 << log_n
+    q_chunks = []
+    for j in range(2):
+        cr = jnp.zeros(big, dtype=jnp.uint32).at[:n_rows].set(
+            qc_r[j * n_rows:(j + 1) * n_rows])
+        ci = jnp.zeros(big, dtype=jnp.uint32).at[:n_rows].set(
+            qc_i[j * n_rows:(j + 1) * n_rows])
+        q_chunks.append(coset_ntt(cr, ci, log_big, shift=shift))
+    q_rows = jnp.stack([q_chunks[0][0], q_chunks[0][1],
+                        q_chunks[1][0], q_chunks[1][1]], axis=1)  # [N, 4]
     levels2 = merkle.build_tree(merkle.hash_rows(q_rows))
     root2 = merkle.root(levels2)
     challenger.observe_many(int(x) for x in root2)
     alpha_b = challenger.sample_cm31()
 
-    batch_r, batch_i = _combine(ext_r, ext_i, q, alpha_b)
+    batch_r, batch_i = _combine(ext_r, ext_i, q_chunks, alpha_b)
     fri_proof = fri_prove(batch_r, batch_i, log_big, challenger, fri_config,
                           shift=shift)
 
@@ -229,11 +249,11 @@ def verify_trace(proof: Dict[str, Any]) -> bool:
         needed = {k, (k + blowup) % big, k + half, (k + half + blowup) % big}
         for j in needed:
             row = check_opening(opening["trace"], trace_root, j, 2 * n_cols)
-            qrow = check_opening(opening["quotient"], q_root, j, 2)
+            qrow = check_opening(opening["quotient"], q_root, j, 4)
             if row is None or qrow is None:
                 return False
             rows[j] = row
-            q_vals[j] = (qrow[0], qrow[1])
+            q_vals[j] = ((qrow[0], qrow[1]), (qrow[2], qrow[3]))
 
         for j, fri_value in ((k, tuple(steps[0]["lo"])),
                              (k + half, tuple(steps[0]["hi"]))):
@@ -246,18 +266,26 @@ def verify_trace(proof: Dict[str, Any]) -> bool:
                 term = cm31_mul_scalar(col, power)
                 acc = ((acc[0] + term[0]) % P, (acc[1] + term[1]) % P)
                 power = cm31_mul_scalar(power, alpha_b)
-            qterm = cm31_mul_scalar(q_vals[j], power)
-            acc = ((acc[0] + qterm[0]) % P, (acc[1] + qterm[1]) % P)
+            for qchunk in q_vals[j]:
+                qterm = cm31_mul_scalar(qchunk, power)
+                acc = ((acc[0] + qterm[0]) % P, (acc[1] + qterm[1]) % P)
+                power = cm31_mul_scalar(power, alpha_b)
             if acc != fri_value:
                 return False
 
-            # 2. Constraint check: Q(x_j) must equal the recomputed
-            # combination of constraints at the opened rows.
+            # 2. Constraint check: Q(x_j) = Q0 + x^n Q1 must equal the
+            # recomputed combination of constraints at the opened rows.
             jn = (j + blowup) % big
             expected_q = quotient_value_at(
                 rows[j], rows[jn], n_cols, j, log_n, config.log_blowup,
                 shift, alpha_c)
-            if q_vals[j] != expected_q:
+            x = cm31_mul_scalar(
+                shift, cm31_pow_scalar(root_of_unity(log_big), j))
+            xn = cm31_pow_scalar(x, 1 << log_n)
+            q_at = cm31_mul_scalar(q_vals[j][1], xn)
+            q_at = ((q_vals[j][0][0] + q_at[0]) % P,
+                    (q_vals[j][0][1] + q_at[1]) % P)
+            if q_at != expected_q:
                 return False
 
     return True
