@@ -134,7 +134,7 @@ class TestTraceProof:
 
     def test_trace_matrix_shape(self):
         matrix = self._trace_matrix()
-        assert matrix.shape == (6, 47)
+        assert matrix.shape == (6, 51)
         assert (matrix < M31_PRIME).all()
         # pc limbs reconstruct the program counter
         assert matrix[0, 0] == 0x1000

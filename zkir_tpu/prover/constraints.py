@@ -58,10 +58,15 @@ COL_R0_LIMB0 = 8
 COL_R0_LIMB1 = 24
 COL_IS_SEQ = 45
 COL_PC_CARRY = 46
+COL_CHUNK0 = 47          # 4 range-check chunk columns 47..50
+# Lookup columns appended by the prover when range_lookup is enabled:
+COL_TABLE = 51           # table values t_i
+COL_MULT0 = 52           # 4 multiplicity columns 52..55
 
 NUM_SINGLE = 4
 NUM_TRANS = 2
 NUM_CONSTRAINTS = NUM_SINGLE + NUM_TRANS
+NUM_LOOKUP = 4           # one cyclic LogUp constraint per chunk column
 
 
 def _cm31_inv_vec(a: Tuple[jnp.ndarray, jnp.ndarray]):
@@ -122,11 +127,13 @@ def constraint_evals(ext_r, ext_i, log_n: int, log_blowup: int):
 
 @functools.lru_cache(maxsize=None)
 def _vanishing_tables(log_n: int, log_blowup: int, shift: Tuple[int, int]):
-    """1/Z_H and 1/Z_trans on the coset LDE domain (numpy uint32 pairs).
+    """1/Z_H, 1/Z_trans, 1/Z_first, 1/Z_last on the coset LDE domain
+    (numpy uint32 pairs).
 
     Z_H(x) = x^n - 1 cycles with period 2^log_blowup on the domain (since
     x_k^n = shift^n * w_b^k with w_b of order blowup); Z_trans divides out
-    the last-row factor (x - w_n^{n-1})."""
+    the last-row factor (x - w_n^{n-1}); Z_first = x - 1 and
+    Z_last = x - w_n^{n-1} are the single-row boundary divisors."""
     n = 1 << log_n
     big = 1 << (log_n + log_blowup)
     blowup = 1 << log_blowup
@@ -141,9 +148,8 @@ def _vanishing_tables(log_n: int, log_blowup: int, shift: Tuple[int, int]):
                    big // blowup)
     zh_i = np.tile(np.asarray([v[1] for v in zh_cycle], dtype=np.uint32),
                    big // blowup)
-    # But the cycle repeats in k with period blowup as k increments; the
-    # tiling above lays [k=0..blowup-1] repeated — correct ordering since
-    # zh[k] depends on k mod blowup.
+    # zh[k] depends only on k mod blowup, so the tiling lays the cycle out
+    # in domain order.
 
     # x_k = shift * w_N^k over the whole domain.
     twr, twi = _twiddle_table(log_n + log_blowup, inverse=False)
@@ -155,22 +161,65 @@ def _vanishing_tables(log_n: int, log_blowup: int, shift: Tuple[int, int]):
     last = cm31_pow_scalar(root_of_unity(log_n), n - 1)
     lr = (xr + P - last[0]) % P
     li = (xi + P - last[1]) % P
+    fr = (xr + P - 1) % P
+    fi = xi.copy()
 
     zh = (jnp.asarray(zh_r), jnp.asarray(zh_i))
     zh_inv = _cm31_inv_vec(zh)
-    ztrans = cm31_mul(zh, _cm31_inv_vec(
-        (jnp.asarray(lr.astype(np.uint32)), jnp.asarray(li.astype(np.uint32)))
-    ))
-    ztrans_inv = _cm31_inv_vec(ztrans)
+    zlast = (jnp.asarray(lr.astype(np.uint32)),
+             jnp.asarray(li.astype(np.uint32)))
+    zlast_inv = _cm31_inv_vec(zlast)
+    ztrans_inv = _cm31_inv_vec(cm31_mul(zh, zlast_inv))
+    zfirst_inv = _cm31_inv_vec(
+        (jnp.asarray(fr.astype(np.uint32)), jnp.asarray(fi.astype(np.uint32))))
     return (np.asarray(zh_inv[0]), np.asarray(zh_inv[1]),
-            np.asarray(ztrans_inv[0]), np.asarray(ztrans_inv[1]))
+            np.asarray(ztrans_inv[0]), np.asarray(ztrans_inv[1]),
+            np.asarray(zfirst_inv[0]), np.asarray(zfirst_inv[1]),
+            np.asarray(zlast_inv[0]), np.asarray(zlast_inv[1]))
+
+
+def lookup_constraint_evals(ext_r, ext_i, s_ext, beta: Tuple[int, int],
+                            log_blowup: int):
+    """The 4 cyclic LogUp constraints on the LDE domain.
+
+    Per chunk column k (w = chunks, m = multiplicities, t = table, S the
+    phase-2 partial-sum column):
+
+        (S' - S) (beta - w) (beta - t)  -  (beta - t)  +  m (beta - w) = 0
+
+    Degree 3; divides by Z_H (holds cyclically on every row — the
+    telescoping around the cycle IS the multiset identity).
+    """
+    blowup = 1 << log_blowup
+    big = ext_r.shape[1]
+    beta_vec = _scalar_vec(beta, big)
+    t = (ext_r[COL_TABLE], ext_i[COL_TABLE])
+    bt = cm31_sub(beta_vec, t)
+
+    out = []
+    sr, si = s_ext
+    for k in range(4):
+        w = (ext_r[COL_CHUNK0 + k], ext_i[COL_CHUNK0 + k])
+        m = (ext_r[COL_MULT0 + k], ext_i[COL_MULT0 + k])
+        s = (sr[k], si[k])
+        s_next = (jnp.roll(sr[k], -blowup), jnp.roll(si[k], -blowup))
+        bw = cm31_sub(beta_vec, w)
+        lhs = cm31_mul(cm31_mul(cm31_sub(s_next, s), bw), bt)
+        rhs = cm31_sub(bt, cm31_mul(m, bw))
+        out.append(cm31_sub(lhs, rhs))
+    return out
 
 
 def quotient_evals(ext_r, ext_i, log_n: int, log_blowup: int,
-                   shift: Tuple[int, int], alpha: Tuple[int, int]):
-    """Q(x) = sum_j alpha^j C_j(x) / D_j(x) on the coset LDE domain."""
+                   shift: Tuple[int, int], alpha: Tuple[int, int],
+                   lookup=None):
+    """Q(x) = sum_j alpha^j C_j(x) / D_j(x) on the coset LDE domain.
+
+    ``lookup``: optional (s_ext, beta) enabling the LogUp constraints.
+    """
     singles, transitions = constraint_evals(ext_r, ext_i, log_n, log_blowup)
-    zh_inv_r, zh_inv_i, zt_inv_r, zt_inv_i = _vanishing_tables(
+    (zh_inv_r, zh_inv_i, zt_inv_r, zt_inv_i,
+     zf_inv_r, zf_inv_i, zl_inv_r, zl_inv_i) = _vanishing_tables(
         log_n, log_blowup, tuple(shift))
     zh_inv = (jnp.asarray(zh_inv_r), jnp.asarray(zh_inv_i))
     zt_inv = (jnp.asarray(zt_inv_r), jnp.asarray(zt_inv_i))
@@ -186,6 +235,28 @@ def quotient_evals(ext_r, ext_i, log_n: int, log_blowup: int,
         term = cm31_mul(cm31_mul(c, zt_inv), _scalar_vec(power, big))
         acc = cm31_add(acc, term)
         power = cm31_mul_scalar(power, alpha)
+    if lookup is not None:
+        s_ext, beta = lookup
+        for c in lookup_constraint_evals(ext_r, ext_i, s_ext, beta,
+                                         log_blowup):
+            term = cm31_mul(cm31_mul(c, zh_inv), _scalar_vec(power, big))
+            acc = cm31_add(acc, term)
+            power = cm31_mul_scalar(power, alpha)
+        # Table-pinning constraints: t is the monotone 0..1023 staircase.
+        zf_inv = (jnp.asarray(zf_inv_r), jnp.asarray(zf_inv_i))
+        zl_inv = (jnp.asarray(zl_inv_r), jnp.asarray(zl_inv_i))
+        blowup = 1 << log_blowup
+        one = _scalar_vec((1, 0), big)
+        t = (ext_r[COL_TABLE], ext_i[COL_TABLE])
+        t_next = (jnp.roll(ext_r[COL_TABLE], -blowup),
+                  jnp.roll(ext_i[COL_TABLE], -blowup))
+        dt = cm31_sub(t_next, t)
+        stair = cm31_mul(dt, cm31_sub(dt, one))
+        t_last_c = cm31_sub(t, _scalar_vec((1023, 0), big))
+        for c, dinv in ((t, zf_inv), (stair, zt_inv), (t_last_c, zl_inv)):
+            term = cm31_mul(cm31_mul(c, dinv), _scalar_vec(power, big))
+            acc = cm31_add(acc, term)
+            power = cm31_mul_scalar(power, alpha)
     return acc
 
 
@@ -224,10 +295,40 @@ def constraint_value_at(row: List[int], next_row: List[int], n_cols: int):
     return singles, transitions
 
 
+def lookup_constraint_values_at(row, next_row, s_row, s_next, n_cols: int,
+                                beta: Tuple[int, int]):
+    """Scalar LogUp constraint values from opened rows.
+
+    ``s_row``/``s_next`` are the opened partial-sum rows: CM31 layout
+    [re x 4, im x 4]."""
+
+    def cval(cols, c):
+        return (cols[c], cols[n_cols + c])
+
+    def sval(cols, k):
+        return (cols[k], cols[4 + k])
+
+    t = cval(row, COL_TABLE)
+    bt = _sub2(beta, t)
+    out = []
+    for k in range(4):
+        w = cval(row, COL_CHUNK0 + k)
+        m = cval(row, COL_MULT0 + k)
+        s = sval(s_row, k)
+        s_n = sval(s_next, k)
+        bw = _sub2(beta, w)
+        lhs = cm31_mul_scalar(cm31_mul_scalar(_sub2(s_n, s), bw), bt)
+        rhs = _sub2(bt, cm31_mul_scalar(m, bw))
+        out.append(_sub2(lhs, rhs))
+    return out
+
+
 def quotient_value_at(row, next_row, n_cols: int, index: int, log_n: int,
                       log_blowup: int, shift: Tuple[int, int],
-                      alpha: Tuple[int, int]):
-    """Scalar Q(x_index) recomputed from opened rows (verifier side)."""
+                      alpha: Tuple[int, int], lookup=None):
+    """Scalar Q(x_index) recomputed from opened rows (verifier side).
+
+    ``lookup``: optional (s_row, s_next, beta)."""
     n = 1 << log_n
     singles, transitions = constraint_value_at(row, next_row, n_cols)
     x = cm31_mul_scalar(shift,
@@ -247,6 +348,25 @@ def quotient_value_at(row, next_row, n_cols: int, index: int, log_n: int,
     for c in transitions:
         acc = _add2(acc, cm31_mul_scalar(cm31_mul_scalar(c, zt_inv), power))
         power = cm31_mul_scalar(power, alpha)
+    if lookup is not None:
+        s_row, s_next, beta = lookup
+        for c in lookup_constraint_values_at(row, next_row, s_row, s_next,
+                                             n_cols, beta):
+            acc = _add2(acc, cm31_mul_scalar(
+                cm31_mul_scalar(c, zh_inv), power))
+            power = cm31_mul_scalar(power, alpha)
+        # Table-pinning constraints.
+        zf_inv = cm31_inv_scalar(_sub2(x, (1, 0)))
+        zl_inv = cm31_inv_scalar(_sub2(x, last))
+        t = (row[COL_TABLE], row[n_cols + COL_TABLE])
+        t_n = (next_row[COL_TABLE], next_row[n_cols + COL_TABLE])
+        dt = _sub2(t_n, t)
+        stair = cm31_mul_scalar(dt, _sub2(dt, (1, 0)))
+        t_last_c = _sub2(t, (1023, 0))
+        for c, dinv in ((t, zf_inv), (stair, zt_inv), (t_last_c, zl_inv)):
+            acc = _add2(acc, cm31_mul_scalar(
+                cm31_mul_scalar(c, dinv), power))
+            power = cm31_mul_scalar(power, alpha)
     return acc
 
 

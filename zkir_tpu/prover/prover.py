@@ -54,12 +54,65 @@ def _coset_shift() -> Tuple[int, int]:
     return _find_generator()
 
 
-def _pad_rows(matrix: np.ndarray):
+def _pad_rows(matrix: np.ndarray, min_log: int = 2):
     n_rows = matrix.shape[0]
-    log_n = max((n_rows - 1).bit_length(), 2)
+    log_n = max((n_rows - 1).bit_length(), min_log)
     padded = np.zeros(((1 << log_n), matrix.shape[1]), dtype=np.uint32)
     padded[:n_rows] = matrix
     return padded, log_n
+
+
+def _build_lookup_columns(padded: np.ndarray):
+    """Append the table column t_i = min(i, 1023) and the 4 multiplicity
+    histograms of the chunk columns (beta-independent -> phase 1)."""
+    from .constraints import COL_CHUNK0
+
+    n = padded.shape[0]
+    assert n >= 1024, "range lookup needs >= 1024 rows (full table)"
+    t_col = np.minimum(np.arange(n), 1023).astype(np.uint32)
+    m_cols = [
+        np.bincount(padded[:, COL_CHUNK0 + k], minlength=n)[:n]
+        .astype(np.uint32)
+        for k in range(4)
+    ]
+    return np.concatenate(
+        [padded, t_col[:, None]] + [m[:, None] for m in m_cols], axis=1)
+
+
+def _build_partial_sums(padded: np.ndarray, beta):
+    """The 4 LogUp partial-sum columns on the trace domain (CM31 pairs).
+
+    s_k[0] = 0; s_k[i+1 mod n] = s_k[i] + 1/(beta - w_k[i]) - m_k[i]/(beta - t_i).
+    """
+    from ..ops.ntt import cm31_inv_scalar, cm31_mul_scalar
+
+    from .constraints import COL_CHUNK0, COL_MULT0, COL_TABLE
+
+    n = padded.shape[0]
+    s_r = np.zeros((4, n), dtype=np.uint32)
+    s_i = np.zeros((4, n), dtype=np.uint32)
+    # Precompute 1/(beta - v) for table values once.
+    inv_cache = {}
+
+    def inv_bv(v):
+        if v not in inv_cache:
+            inv_cache[v] = cm31_inv_scalar(((beta[0] - int(v)) % P, beta[1]))
+        return inv_cache[v]
+
+    for k in range(4):
+        cur = (0, 0)
+        for i in range(n):
+            s_r[k, i] = cur[0]
+            s_i[k, i] = cur[1]
+            w = int(padded[i, COL_CHUNK0 + k])
+            m = int(padded[i, COL_MULT0 + k])
+            t = int(padded[i, COL_TABLE])
+            iw = inv_bv(w)
+            cur = ((cur[0] + iw[0]) % P, (cur[1] + iw[1]) % P)
+            if m:
+                it = cm31_mul_scalar((m % P, 0), inv_bv(t))
+                cur = ((cur[0] - it[0]) % P, (cur[1] - it[1]) % P)
+    return s_r, s_i
 
 
 def _combine(ext_r, ext_i, extra_cols, alpha):
@@ -94,12 +147,21 @@ def _open_rows(committed_np: np.ndarray, levels, indices):
 
 def prove_trace(matrix: np.ndarray,
                 fri_config: FriConfig = FriConfig(),
-                mesh=None) -> Dict[str, Any]:
+                mesh=None, range_lookup: bool = False) -> Dict[str, Any]:
     """Prove the trace matrix.  With ``mesh``, the heavy stages run sharded
     (pjit style): columns are partitioned for the LDE, rows for hashing —
     the sharding annotations let XLA insert the collectives; the proof is
-    bit-identical to the single-device one."""
-    padded, log_n = _pad_rows(np.asarray(matrix, dtype=np.uint32))
+    bit-identical to the single-device one.
+
+    With ``range_lookup``, the 4 range-check chunk columns are additionally
+    proven to lie in [0, 1024) via in-circuit LogUp: table + multiplicity
+    columns join phase 1, partial-sum columns are committed in a second
+    phase after the beta challenge, and the degree-3 LogUp + table-pinning
+    constraints enter the quotient."""
+    padded, log_n = _pad_rows(np.asarray(matrix, dtype=np.uint32),
+                              min_log=10 if range_lookup else 2)
+    if range_lookup:
+        padded = _build_lookup_columns(padded)
     n_cols = padded.shape[1]
     log_big = log_n + fri_config.log_blowup
     big = 1 << log_big
@@ -145,6 +207,22 @@ def prove_trace(matrix: np.ndarray,
     challenger.observe(log_n)
     challenger.observe(n_cols)
     challenger.observe_many(int(x) for x in root1)
+
+    # Phase 1.5 (lookup only): beta challenge -> partial-sum columns.
+    lookup = None
+    levels_s = None
+    s_rows = None
+    if range_lookup:
+        beta = challenger.sample_cm31()
+        s_r, s_i = _build_partial_sums(padded, beta)
+        s_ext_r, s_ext_i = lde(jnp.asarray(s_r), jnp.asarray(s_i), log_n,
+                               fri_config.log_blowup, shift=shift)
+        s_rows = jnp.concatenate([s_ext_r.T, s_ext_i.T], axis=1)  # [N, 8]
+        levels_s = merkle.build_tree(merkle.hash_rows(s_rows))
+        root_s = merkle.root(levels_s)
+        challenger.observe_many(int(x) for x in root_s)
+        lookup = ((s_ext_r, s_ext_i), beta)
+
     alpha_c = challenger.sample_cm31()
 
     # Phase 2: quotient, split into degree-< n chunks
@@ -152,7 +230,7 @@ def prove_trace(matrix: np.ndarray,
     # every committed column at the same FRI degree bound while allowing
     # constraints up to degree 3).
     q = quotient_evals(ext_r, ext_i, log_n, fri_config.log_blowup, shift,
-                       alpha_c)
+                       alpha_c, lookup=lookup)
     qc_r, qc_i = coset_intt(q[0], q[1], log_big, shift=shift)
     n_rows = 1 << log_n
     q_chunks = []
@@ -169,7 +247,11 @@ def prove_trace(matrix: np.ndarray,
     challenger.observe_many(int(x) for x in root2)
     alpha_b = challenger.sample_cm31()
 
-    batch_r, batch_i = _combine(ext_r, ext_i, q_chunks, alpha_b)
+    extra_cols = []
+    if range_lookup:
+        extra_cols += [(lookup[0][0][k], lookup[0][1][k]) for k in range(4)]
+    extra_cols += q_chunks
+    batch_r, batch_i = _combine(ext_r, ext_i, extra_cols, alpha_b)
     fri_proof = fri_prove(batch_r, batch_i, log_big, challenger, fri_config,
                           shift=shift)
 
@@ -177,6 +259,7 @@ def prove_trace(matrix: np.ndarray,
     # next-row rotations for the transition constraints).
     trace_np = np.asarray(trace_rows)
     q_np = np.asarray(q_rows)
+    s_np = np.asarray(s_rows) if s_rows is not None else None
     half = big // 2
     blowup = 1 << fri_config.log_blowup
     openings = []
@@ -186,24 +269,32 @@ def prove_trace(matrix: np.ndarray,
             k, (k + blowup) % big,
             k + half, (k + half + blowup) % big,
         })
-        openings.append({
+        entry = {
             "trace": _open_rows(trace_np, levels1, indices),
             "quotient": _open_rows(q_np, levels2, indices),
-        })
+        }
+        if s_np is not None:
+            entry["sums"] = _open_rows(s_np, levels_s, indices)
+        openings.append(entry)
 
-    return {
+    out = {
         "log_n": log_n,
         "n_cols": n_cols,
+        "range_lookup": range_lookup,
         "trace_root": [int(x) for x in root1],
         "quotient_root": [int(x) for x in root2],
         "fri": fri_proof,
         "openings": openings,
     }
+    if range_lookup:
+        out["sums_root"] = [int(x) for x in merkle.root(levels_s)]
+    return out
 
 
 def verify_trace(proof: Dict[str, Any]) -> bool:
     log_n = proof["log_n"]
     n_cols = proof["n_cols"]
+    range_lookup = proof.get("range_lookup", False)
     fri_proof = proof["fri"]
     config: FriConfig = fri_proof["config"]
     log_big = log_n + config.log_blowup
@@ -216,6 +307,10 @@ def verify_trace(proof: Dict[str, Any]) -> bool:
     challenger.observe(log_n)
     challenger.observe(n_cols)
     challenger.observe_many(int(x) for x in proof["trace_root"])
+    beta = None
+    if range_lookup:
+        beta = challenger.sample_cm31()
+        challenger.observe_many(int(x) for x in proof["sums_root"])
     alpha_c = challenger.sample_cm31()
     challenger.observe_many(int(x) for x in proof["quotient_root"])
     alpha_b = challenger.sample_cm31()
@@ -227,6 +322,8 @@ def verify_trace(proof: Dict[str, Any]) -> bool:
 
     trace_root = np.asarray(proof["trace_root"], dtype=np.uint32)
     q_root = np.asarray(proof["quotient_root"], dtype=np.uint32)
+    s_root = (np.asarray(proof["sums_root"], dtype=np.uint32)
+              if range_lookup else None)
 
     def check_opening(group, root, j, expect_width):
         entry = group.get(str(j))
@@ -246,6 +343,7 @@ def verify_trace(proof: Dict[str, Any]) -> bool:
         opening = proof["openings"][q_idx]
         rows: Dict[int, List[int]] = {}
         q_vals: Dict[int, Tuple[int, int]] = {}
+        s_vals: Dict[int, List[int]] = {}
         needed = {k, (k + blowup) % big, k + half, (k + half + blowup) % big}
         for j in needed:
             row = check_opening(opening["trace"], trace_root, j, 2 * n_cols)
@@ -254,6 +352,11 @@ def verify_trace(proof: Dict[str, Any]) -> bool:
                 return False
             rows[j] = row
             q_vals[j] = ((qrow[0], qrow[1]), (qrow[2], qrow[3]))
+            if range_lookup:
+                srow = check_opening(opening["sums"], s_root, j, 8)
+                if srow is None:
+                    return False
+                s_vals[j] = srow
 
         for j, fri_value in ((k, tuple(steps[0]["lo"])),
                              (k + half, tuple(steps[0]["hi"]))):
@@ -266,6 +369,12 @@ def verify_trace(proof: Dict[str, Any]) -> bool:
                 term = cm31_mul_scalar(col, power)
                 acc = ((acc[0] + term[0]) % P, (acc[1] + term[1]) % P)
                 power = cm31_mul_scalar(power, alpha_b)
+            if range_lookup:
+                for kk in range(4):
+                    s_col = (s_vals[j][kk], s_vals[j][4 + kk])
+                    sterm = cm31_mul_scalar(s_col, power)
+                    acc = ((acc[0] + sterm[0]) % P, (acc[1] + sterm[1]) % P)
+                    power = cm31_mul_scalar(power, alpha_b)
             for qchunk in q_vals[j]:
                 qterm = cm31_mul_scalar(qchunk, power)
                 acc = ((acc[0] + qterm[0]) % P, (acc[1] + qterm[1]) % P)
@@ -276,9 +385,12 @@ def verify_trace(proof: Dict[str, Any]) -> bool:
             # 2. Constraint check: Q(x_j) = Q0 + x^n Q1 must equal the
             # recomputed combination of constraints at the opened rows.
             jn = (j + blowup) % big
+            lookup_args = None
+            if range_lookup:
+                lookup_args = (s_vals[j], s_vals[jn], beta)
             expected_q = quotient_value_at(
                 rows[j], rows[jn], n_cols, j, log_n, config.log_blowup,
-                shift, alpha_c)
+                shift, alpha_c, lookup=lookup_args)
             x = cm31_mul_scalar(
                 shift, cm31_pow_scalar(root_of_unity(log_big), j))
             xn = cm31_pow_scalar(x, 1 << log_n)

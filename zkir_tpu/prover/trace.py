@@ -23,7 +23,7 @@ import numpy as np
 
 _M20 = (1 << 20) - 1
 
-N_COLUMNS = 8 + 32 + 5 + 2
+N_COLUMNS = 8 + 32 + 5 + 2 + 4
 
 
 def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0) -> np.ndarray:
@@ -78,4 +78,12 @@ def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0) -> np.ndarray:
     out[:, base + 5] = sequential.astype(np.uint32)
     carry = sequential & (out[:, 0] + 4 >= (1 << 20))
     out[:, base + 6] = carry.astype(np.uint32)
+
+    # Range-check chunk columns (4 x 10-bit decomposition of deferred
+    # ADD/MUL results; zero on rows without a deferral — 0 is in the
+    # lookup table, accounted in the multiplicities).
+    rc_valid = trace["rc_valid"][valid, lane]
+    rc_chunks = trace["rc_chunks"][valid, lane].astype(np.uint32)  # [n, 4]
+    for c in range(4):
+        out[:, base + 7 + c] = np.where(rc_valid, rc_chunks[:, c], 0)
     return out
