@@ -156,18 +156,26 @@ def _run_isolated(which: str, timeout_s: int = 420):
     import subprocess
     import sys
 
+    proc = subprocess.Popen(
+        [sys.executable, str(pathlib.Path(__file__).resolve()),
+         "--only", which],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
     try:
-        proc = subprocess.run(
-            [sys.executable, str(pathlib.Path(__file__).resolve()),
-             "--only", which],
-            capture_output=True, text=True, timeout=timeout_s,
-        )
-        for line in proc.stdout.splitlines():
-            if line.startswith("RESULT "):
-                return float(line.split()[1]), None
-        return None, (proc.stderr or proc.stdout)[-200:]
+        stdout, stderr = proc.communicate(timeout=timeout_s)
     except subprocess.TimeoutExpired:
+        proc.kill()
+        try:
+            # A child wedged in tunnel I/O can be unkillable for a while;
+            # don't let its wait() stall the whole benchmark.
+            proc.communicate(timeout=10)
+        except subprocess.TimeoutExpired:
+            pass
         return None, f"timeout after {timeout_s}s"
+    for line in (stdout or "").splitlines():
+        if line.startswith("RESULT "):
+            return float(line.split()[1]), None
+    return None, ((stderr or stdout) or "")[-200:]
 
 
 def main():

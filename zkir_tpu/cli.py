@@ -113,6 +113,10 @@ def cmd_verify(args) -> int:
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="zkir_tpu")
+    parser.add_argument("--platform", choices=["auto", "cpu"],
+                        default="auto",
+                        help="force the JAX platform (cpu avoids attaching "
+                             "to a TPU for host-side workflows)")
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("asm", help="assemble .zkasm to a .zkir binary")
@@ -145,6 +149,10 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_verify)
 
     args = parser.parse_args(argv)
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     return args.fn(args)
 
 

@@ -103,11 +103,9 @@ def m31_inv(a):
     (vs ~60 for naive square-and-multiply over the exponent bits).
     """
     # p - 2 = 2^31 - 3 = 0b1111111111111111111111111111101
-    x = a
-    x2 = m31_mul(x, x)            # a^2
-    x3 = m31_mul(x2, x)           # a^3
-    x_2_2 = m31_mul(x3, x3)       # 2-bit ladder: a^(2^2*?) ... build a^(2^k - 1)
     # Build t_k = a^(2^k - 1) incrementally.
+    x = a
+    x3 = m31_mul(m31_mul(x, x), x)            # a^3
     t2 = x3                                   # a^(2^2 - 1)
     t4 = m31_mul(m31_pow2(t2, 2), t2)         # a^(2^4 - 1)
     t8 = m31_mul(m31_pow2(t4, 4), t4)         # a^(2^8 - 1)
@@ -116,7 +114,6 @@ def m31_inv(a):
     t28 = m31_mul(m31_pow2(t24, 4), t4)       # a^(2^28 - 1)
     t29 = m31_mul(m31_pow2(t28, 1), x)        # a^(2^29 - 1)
     # a^(p-2) = a^(2^31 - 3) = (a^(2^29 - 1))^4 * a
-    del x_2_2
     return m31_mul(m31_pow2(t29, 2), x)
 
 

@@ -306,17 +306,14 @@ def execute(inst: Instruction, state: VMState, memory: Memory,
         raise AssertionError(f"unhandled opcode {op}")
 
 
-# Observation-point pre-normalization tables (execute.rs:934-982):
+# Observation-point pre-normalization classes (execute.rs:934-982):
 # "norm_two" ops normalize rs1 (with witness) and rs2 (without);
-# "norm_one" ops normalize rs1 only.
-_NORM_TWO = {
-    Op.BEQ, Op.BNE, Op.BLT, Op.BGE, Op.BLTU, Op.BGEU,
-    Op.SW, Op.SH, Op.SB,
-    Op.AND, Op.OR, Op.XOR, Op.SLL, Op.SRL, Op.SRA,
-    Op.MUL, Op.MULH, Op.DIV, Op.DIVU, Op.REM, Op.REMU,
-    Op.SEQ, Op.SNE, Op.SLT, Op.SLTU, Op.SGE, Op.SGEU,
-}
+# "norm_one" ops normalize rs1 only.  Derived from the shared observation
+# tables (runtime/observation.py) so there is one source of truth.
+from .observation import OBSERVATION_POINTS as _OBS
+
 _NORM_ONE = {Op.ANDI, Op.ORI, Op.XORI, Op.SLLI, Op.SRLI, Op.SRAI}
+_NORM_TWO = _OBS - _NORM_ONE
 
 
 def execute_with_deferred(
