@@ -52,3 +52,27 @@ def test_tampered_sums_root_rejected(rc_matrix):
     proof = prove_trace(rc_matrix, CFG, range_lookup=True)
     proof["sums_root"][0] = (proof["sums_root"][0] + 1) % M31_PRIME
     assert not verify_trace(proof)
+
+
+def test_forged_is_seq_rejected(rc_matrix):
+    # Flip is_seq on a branch row (op >= 0x40): the derived witness
+    # 16*op - 1024*(1 - is_seq) leaves the table -> lookup rejects.
+    from zkir_tpu.prover.constraints import COL_IS_SEQ, COL_OPCODE
+    bad = rc_matrix.copy()
+    # Find a non-sequential committed row... this trace is pure ALU, so
+    # fabricate: set a row's opcode to BEQ but keep is_seq = 1.
+    bad[3, COL_OPCODE] = 0x40
+    bad[3, COL_IS_SEQ] = 1
+    proof = prove_trace(bad, CFG, range_lookup=True)
+    assert not verify_trace(proof)
+
+
+def test_forged_seq_flag_off_rejected(rc_matrix):
+    # Claiming is_seq = 0 on a sequential op also leaves the table
+    # (16*op - 1024 is negative mod p for op < 0x40).
+    from zkir_tpu.prover.constraints import COL_IS_SEQ
+    bad = rc_matrix.copy()
+    assert bad[3, COL_IS_SEQ] == 1
+    bad[3, COL_IS_SEQ] = 0
+    proof = prove_trace(bad, CFG, range_lookup=True)
+    assert not verify_trace(proof)

@@ -66,7 +66,15 @@ COL_MULT0 = 52           # 4 multiplicity columns 52..55
 NUM_SINGLE = 4
 NUM_TRANS = 2
 NUM_CONSTRAINTS = NUM_SINGLE + NUM_TRANS
-NUM_LOOKUP = 4           # one cyclic LogUp constraint per chunk column
+NUM_LOOKUP = 5           # 4 chunk channels + the is_seq derivation channel
+COL_OPCODE = 2
+
+# The is_seq selector is DERIVED from the opcode by the 5th lookup channel:
+# with banked opcode numbering, sequential ops are exactly op < 0x40, so
+#     w = 16*op - 1024*(1 - is_seq)
+# lands in the 10-bit table iff (is_seq = 1 and op < 0x40) or
+# (is_seq = 0 and 0x40 <= op < 0x80).  Padding rows carry op = 0x51
+# (EBREAK — "a halted machine keeps halting"), keeping them in-table.
 
 
 def _cm31_inv_vec(a: Tuple[jnp.ndarray, jnp.ndarray]):
@@ -196,17 +204,29 @@ def lookup_constraint_evals(ext_r, ext_i, s_ext, beta: Tuple[int, int],
     t = (ext_r[COL_TABLE], ext_i[COL_TABLE])
     bt = cm31_sub(beta_vec, t)
 
-    out = []
-    sr, si = s_ext
-    for k in range(4):
-        w = (ext_r[COL_CHUNK0 + k], ext_i[COL_CHUNK0 + k])
+    def channel(w, k):
         m = (ext_r[COL_MULT0 + k], ext_i[COL_MULT0 + k])
         s = (sr[k], si[k])
         s_next = (jnp.roll(sr[k], -blowup), jnp.roll(si[k], -blowup))
         bw = cm31_sub(beta_vec, w)
         lhs = cm31_mul(cm31_mul(cm31_sub(s_next, s), bw), bt)
         rhs = cm31_sub(bt, cm31_mul(m, bw))
-        out.append(cm31_sub(lhs, rhs))
+        return cm31_sub(lhs, rhs)
+
+    out = []
+    sr, si = s_ext
+    for k in range(4):
+        w = (ext_r[COL_CHUNK0 + k], ext_i[COL_CHUNK0 + k])
+        out.append(channel(w, k))
+    # Channel 4: derived is_seq witness w = 16*op - 1024*(1 - is_seq).
+    op_col = (ext_r[COL_OPCODE], ext_i[COL_OPCODE])
+    s_seq = (ext_r[COL_IS_SEQ], ext_i[COL_IS_SEQ])
+    sixteen = _scalar_vec((16, 0), big)
+    k1024 = _scalar_vec((1024, 0), big)
+    w_seq = cm31_add(
+        cm31_sub(cm31_mul(sixteen, op_col), k1024),
+        cm31_mul(k1024, s_seq))
+    out.append(channel(w_seq, 4))
     return out
 
 
@@ -306,20 +326,29 @@ def lookup_constraint_values_at(row, next_row, s_row, s_next, n_cols: int,
         return (cols[c], cols[n_cols + c])
 
     def sval(cols, k):
-        return (cols[k], cols[4 + k])
+        return (cols[k], cols[NUM_LOOKUP + k])
 
     t = cval(row, COL_TABLE)
     bt = _sub2(beta, t)
-    out = []
-    for k in range(4):
-        w = cval(row, COL_CHUNK0 + k)
+
+    def channel(w, k):
         m = cval(row, COL_MULT0 + k)
         s = sval(s_row, k)
         s_n = sval(s_next, k)
         bw = _sub2(beta, w)
         lhs = cm31_mul_scalar(cm31_mul_scalar(_sub2(s_n, s), bw), bt)
         rhs = _sub2(bt, cm31_mul_scalar(m, bw))
-        out.append(_sub2(lhs, rhs))
+        return _sub2(lhs, rhs)
+
+    out = []
+    for k in range(4):
+        out.append(channel(cval(row, COL_CHUNK0 + k), k))
+    op_col = cval(row, COL_OPCODE)
+    s_seq = cval(row, COL_IS_SEQ)
+    w_seq = _add2(
+        _sub2(cm31_mul_scalar((16, 0), op_col), (1024, 0)),
+        cm31_mul_scalar((1024, 0), s_seq))
+    out.append(channel(w_seq, 4))
     return out
 
 

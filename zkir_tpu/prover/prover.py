@@ -54,17 +54,34 @@ def _coset_shift() -> Tuple[int, int]:
     return _find_generator()
 
 
-def _pad_rows(matrix: np.ndarray, min_log: int = 2):
+def _pad_rows(matrix: np.ndarray, min_log: int = 2,
+              ebreak_padding: bool = False):
     n_rows = matrix.shape[0]
     log_n = max((n_rows - 1).bit_length(), min_log)
     padded = np.zeros(((1 << log_n), matrix.shape[1]), dtype=np.uint32)
     padded[:n_rows] = matrix
+    if ebreak_padding and (1 << log_n) > n_rows:
+        # Padding rows are EBREAK rows ("a halted machine keeps halting"):
+        # keeps the is_seq-derivation lookup witness in-table.
+        from .constraints import COL_OPCODE
+
+        padded[n_rows:, COL_OPCODE] = 0x51
     return padded, log_n
 
 
+def _derived_seq_witness(padded: np.ndarray) -> np.ndarray:
+    """w = 16*op - 1024*(1 - is_seq) mod p (the is_seq derivation values)."""
+    from .constraints import COL_IS_SEQ, COL_OPCODE
+
+    op = padded[:, COL_OPCODE].astype(np.int64)
+    s = padded[:, COL_IS_SEQ].astype(np.int64)
+    return ((16 * op - 1024 * (1 - s)) % P).astype(np.uint32)
+
+
 def _build_lookup_columns(padded: np.ndarray):
-    """Append the table column t_i = min(i, 1023) and the 4 multiplicity
-    histograms of the chunk columns (beta-independent -> phase 1)."""
+    """Append the table column t_i = min(i, 1023) and the 5 multiplicity
+    histograms: 4 chunk columns plus the derived is_seq witness
+    (beta-independent -> phase 1)."""
     from .constraints import COL_CHUNK0
 
     n = padded.shape[0]
@@ -75,6 +92,9 @@ def _build_lookup_columns(padded: np.ndarray):
         .astype(np.uint32)
         for k in range(4)
     ]
+    w_seq = _derived_seq_witness(padded)
+    m_cols.append(
+        np.bincount(w_seq, minlength=n)[:n].astype(np.uint32))
     return np.concatenate(
         [padded, t_col[:, None]] + [m[:, None] for m in m_cols], axis=1)
 
@@ -89,8 +109,10 @@ def _build_partial_sums(padded: np.ndarray, beta):
     from .constraints import COL_CHUNK0, COL_MULT0, COL_TABLE
 
     n = padded.shape[0]
-    s_r = np.zeros((4, n), dtype=np.uint32)
-    s_i = np.zeros((4, n), dtype=np.uint32)
+    n_ch = 5
+    s_r = np.zeros((n_ch, n), dtype=np.uint32)
+    s_i = np.zeros((n_ch, n), dtype=np.uint32)
+    w_seq = _derived_seq_witness(padded)
     # Precompute 1/(beta - v) for table values once.
     inv_cache = {}
 
@@ -99,12 +121,12 @@ def _build_partial_sums(padded: np.ndarray, beta):
             inv_cache[v] = cm31_inv_scalar(((beta[0] - int(v)) % P, beta[1]))
         return inv_cache[v]
 
-    for k in range(4):
+    for k in range(n_ch):
         cur = (0, 0)
         for i in range(n):
             s_r[k, i] = cur[0]
             s_i[k, i] = cur[1]
-            w = int(padded[i, COL_CHUNK0 + k])
+            w = int(w_seq[i]) if k == 4 else int(padded[i, COL_CHUNK0 + k])
             m = int(padded[i, COL_MULT0 + k])
             t = int(padded[i, COL_TABLE])
             iw = inv_bv(w)
@@ -159,7 +181,8 @@ def prove_trace(matrix: np.ndarray,
     phase after the beta challenge, and the degree-3 LogUp + table-pinning
     constraints enter the quotient."""
     padded, log_n = _pad_rows(np.asarray(matrix, dtype=np.uint32),
-                              min_log=10 if range_lookup else 2)
+                              min_log=10 if range_lookup else 2,
+                              ebreak_padding=range_lookup)
     if range_lookup:
         padded = _build_lookup_columns(padded)
     n_cols = padded.shape[1]
@@ -249,7 +272,7 @@ def prove_trace(matrix: np.ndarray,
 
     extra_cols = []
     if range_lookup:
-        extra_cols += [(lookup[0][0][k], lookup[0][1][k]) for k in range(4)]
+        extra_cols += [(lookup[0][0][k], lookup[0][1][k]) for k in range(5)]
     extra_cols += q_chunks
     batch_r, batch_i = _combine(ext_r, ext_i, extra_cols, alpha_b)
     fri_proof = fri_prove(batch_r, batch_i, log_big, challenger, fri_config,
@@ -353,7 +376,7 @@ def verify_trace(proof: Dict[str, Any]) -> bool:
             rows[j] = row
             q_vals[j] = ((qrow[0], qrow[1]), (qrow[2], qrow[3]))
             if range_lookup:
-                srow = check_opening(opening["sums"], s_root, j, 8)
+                srow = check_opening(opening["sums"], s_root, j, 10)
                 if srow is None:
                     return False
                 s_vals[j] = srow
@@ -370,8 +393,8 @@ def verify_trace(proof: Dict[str, Any]) -> bool:
                 acc = ((acc[0] + term[0]) % P, (acc[1] + term[1]) % P)
                 power = cm31_mul_scalar(power, alpha_b)
             if range_lookup:
-                for kk in range(4):
-                    s_col = (s_vals[j][kk], s_vals[j][4 + kk])
+                for kk in range(5):
+                    s_col = (s_vals[j][kk], s_vals[j][5 + kk])
                     sterm = cm31_mul_scalar(s_col, power)
                     acc = ((acc[0] + sterm[0]) % P, (acc[1] + sterm[1]) % P)
                     power = cm31_mul_scalar(power, alpha_b)
