@@ -172,3 +172,15 @@ class TestNTT:
             np.asarray(big_r)[:: 1 << log_blowup], np.asarray(re))
         np.testing.assert_array_equal(
             np.asarray(big_i)[:: 1 << log_blowup], np.asarray(im))
+
+
+class TestNttLarge:
+    @pytest.mark.parametrize("log_n", [6, 9, 12])
+    def test_matches_ntt(self, log_n):
+        n = 1 << log_n
+        re = jnp.asarray(RNG.integers(0, M31_PRIME, n, dtype=np.uint32))
+        im = jnp.asarray(RNG.integers(0, M31_PRIME, n, dtype=np.uint32))
+        want = nttmod.ntt(re, im, log_n)
+        got = nttmod.ntt_large(re, im, log_n)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))

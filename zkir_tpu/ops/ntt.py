@@ -144,8 +144,62 @@ def cm31_sub(a, b):
 # ============================================================================
 
 
+# Above this size, route through the four-step factorization: with the
+# flat butterfly layout the elementwise minor dimension is the (small)
+# half-block size at early stages, starving the 128-lane axis; the
+# four-step keeps a large free axis minor at every stage (~15x on 2^18).
+_FOUR_STEP_MIN = 10
+
+
+def _ntt_penult(re, im, log_n: int, inverse: bool):
+    """Iterative NTT along axis -2 of [..., n, B]: every butterfly is
+    elementwise over the minor B axis (kept large by the caller)."""
+    n = 1 << log_n
+    twr_np, twi_np = _twiddle_table(log_n, inverse)
+    rev = _bitrev(log_n)
+    re = re[..., rev, :]
+    im = im[..., rev, :]
+    batch = re.shape[:-2]
+    b = re.shape[-1]
+
+    m = 1
+    for _ in range(log_n):
+        m2 = m * 2
+        stride = n // m2
+        twr = jnp.asarray(twr_np[::stride][:m])[:, None]
+        twi = jnp.asarray(twi_np[::stride][:m])[:, None]
+        re_b = re.reshape(*batch, n // m2, 2, m, b)
+        im_b = im.reshape(*batch, n // m2, 2, m, b)
+        ur, ui = re_b[..., 0, :, :], im_b[..., 0, :, :]
+        vr, vi = cm31_mul((re_b[..., 1, :, :], im_b[..., 1, :, :]),
+                          (twr, twi))
+        out_r = jnp.stack([m31_add(ur, vr), m31_sub(ur, vr)], axis=-3)
+        out_i = jnp.stack([m31_add(ui, vi), m31_sub(ui, vi)], axis=-3)
+        re = out_r.reshape(*batch, n, b)
+        im = out_i.reshape(*batch, n, b)
+        m = m2
+    return re, im
+
+
 def _ntt_core(re, im, log_n: int, inverse: bool):
-    """In-place-style iterative NTT over the last axis (size 2^log_n)."""
+    """NTT over the last axis (size 2^log_n), arbitrary leading batch."""
+    if log_n >= _FOUR_STEP_MIN:
+        # Four-step: n = n1 * n2, j = j1*n2 + j2, X[k1 + n1*k2].
+        log_n1 = log_n // 2
+        log_n2 = log_n - log_n1
+        n1, n2 = 1 << log_n1, 1 << log_n2
+        batch = re.shape[:-1]
+        re2 = re.reshape(*batch, n1, n2)
+        im2 = im.reshape(*batch, n1, n2)
+        r, i = _ntt_penult(re2, im2, log_n1, inverse)  # over j1, minor n2
+        twr, twi = _mid_twiddles(log_n1, log_n2, inverse)
+        r, i = cm31_mul((r, i), (jnp.asarray(twr), jnp.asarray(twi)))
+        r = jnp.swapaxes(r, -1, -2)  # [..., n2, n1]
+        i = jnp.swapaxes(i, -1, -2)
+        r, i = _ntt_penult(r, i, log_n2, inverse)  # over j2, minor n1
+        # Layout [..., k2, k1]; flat index k2*n1 + k1 == natural order.
+        return r.reshape(*batch, 1 << log_n), i.reshape(*batch, 1 << log_n)
+
     n = 1 << log_n
     twr_np, twi_np = _twiddle_table(log_n, inverse)
     rev = _bitrev(log_n)
@@ -171,9 +225,28 @@ def _ntt_core(re, im, log_n: int, inverse: bool):
     return re, im
 
 
+@functools.lru_cache(maxsize=None)
+def _mid_twiddles(log_n1: int, log_n2: int, inverse: bool):
+    """Four-step mid twiddles T[k1, j2] = w^(±k1*j2)."""
+    log_n = log_n1 + log_n2
+    n = 1 << log_n
+    twr, twi = _twiddle_table(log_n, inverse)
+    k1 = np.arange(1 << log_n1, dtype=np.int64)[:, None]
+    j2 = np.arange(1 << log_n2, dtype=np.int64)[None, :]
+    idx = (k1 * j2) % n
+    return twr[idx], twi[idx]
+
+
 @functools.partial(jax.jit, static_argnames=("log_n",))
 def ntt(re, im, log_n: int):
     """Forward NTT (coefficients -> evaluations on the 2^log_n subgroup)."""
+    return _ntt_core(re, im, log_n, inverse=False)
+
+
+@functools.partial(jax.jit, static_argnames=("log_n",))
+def ntt_large(re, im, log_n: int):
+    """Four-step forward NTT (``ntt`` already routes large sizes through
+    the four-step factorization; kept as an explicit entry point)."""
     return _ntt_core(re, im, log_n, inverse=False)
 
 
