@@ -8,6 +8,7 @@ import jax.numpy as jnp
 from zkir_tpu.interp import InterpConfig, TpuInterpreter
 from zkir_tpu.ops import merkle
 from zkir_tpu.ops.ntt import lde, ntt
+from zkir_tpu.prover.trace import N_COLUMNS
 from zkir_tpu.prover import Challenger, fri_prove, fri_verify, prove_trace, \
     trace_to_matrix, verify_trace
 from zkir_tpu.prover.fri import FriConfig
@@ -134,7 +135,7 @@ class TestTraceProof:
 
     def test_trace_matrix_shape(self):
         matrix = self._trace_matrix()
-        assert matrix.shape == (6, 51)
+        assert matrix.shape == (6, N_COLUMNS)
         assert (matrix < M31_PRIME).all()
         # pc limbs reconstruct the program counter
         assert matrix[0, 0] == 0x1000

@@ -1,0 +1,147 @@
+"""Opcode-decode binding + register-file write-consistency AIR tests.
+
+The trace matrix commits the canonical register *value* view (see
+prover/trace.py), so deferred-model normalization is invisible and the
+AIR can require that between consecutive rows only the written register
+changes (ECALL rows exempt).  These tests check the design assumption
+against the real interpreter and the constraints against forgeries.
+"""
+
+import numpy as np
+import pytest
+
+from zkir_tpu.interp import InterpConfig, TpuInterpreter
+from zkir_tpu.prover import prove_trace, trace_to_matrix, verify_trace
+from zkir_tpu.prover.constraints import (
+    COL_OPCODE,
+    COL_RD,
+    COL_RD1H0,
+    COL_REG_HI,
+    COL_REG_LO,
+    COL_SEL0,
+    WRITING_OPS,
+)
+from zkir_tpu.prover.fri import FriConfig
+from zkir_tpu.prover.trace import N_OPS, OP_VALUES
+from zkir_tpu.spec import Instruction, Op, Program
+
+CFG = FriConfig(log_blowup=2, log_final=1, num_queries=4)
+
+
+def I(op, **kw):  # noqa: E743
+    return Instruction(op, **kw)
+
+
+def _matrix_for(instrs, inputs=()):
+    interp = TpuInterpreter(Program.from_instructions(instrs),
+                            InterpConfig(lanes=1, chunk=64,
+                                         collect_trace=True))
+    result = interp.run([list(inputs)])
+    return trace_to_matrix(result["trace"])
+
+
+@pytest.fixture(scope="module")
+def mixed_matrix():
+    # Deferred adds (normalization at the MUL observation point), a store,
+    # a branch, and a syscall: every register-consistency case in one go.
+    instrs = [
+        I(Op.ADDI, rd=1, rs1=0, imm=1000),
+        I(Op.ADDI, rd=2, rs1=0, imm=7),
+        I(Op.ADD, rd=1, rs1=1, rs2=1),     # deferred accumulate
+        I(Op.ADD, rd=1, rs1=1, rs2=2),
+        I(Op.MUL, rd=3, rs1=1, rs2=2),     # observation point: normalizes r1
+        I(Op.SW, rs1=0, rs2=3, imm=0x2000),
+        I(Op.BEQ, rs1=0, rs2=0, imm=8),    # taken branch (skip next)
+        I(Op.ADDI, rd=4, rs1=0, imm=99),   # skipped
+        I(Op.ADDI, rd=11, rs1=0, imm=5),
+        I(Op.ECALL),                       # SYS_EXIT (R10 = 0)
+    ]
+    return _matrix_for(instrs)
+
+
+def _allowed_change_set(row):
+    """Registers allowed to change after this row per the AIR."""
+    op = int(row[COL_OPCODE])
+    if op == 0x50:
+        return set(range(16))
+    if op in WRITING_OPS:
+        return {int(row[COL_RD])}
+    return set()
+
+
+class TestValueViewInvariant:
+    def test_only_written_register_changes(self, mixed_matrix):
+        m = mixed_matrix
+        for k in range(len(m) - 1):
+            lo = np.nonzero(m[k + 1, COL_REG_LO:COL_REG_LO + 16]
+                            != m[k, COL_REG_LO:COL_REG_LO + 16])[0]
+            hi = np.nonzero(m[k + 1, COL_REG_HI:COL_REG_HI + 16]
+                            != m[k, COL_REG_HI:COL_REG_HI + 16])[0]
+            changed = set(lo.tolist()) | set(hi.tolist())
+            assert changed <= _allowed_change_set(m[k]), \
+                f"row {k} (op {m[k, COL_OPCODE]:#x}) changed {changed}"
+
+    def test_first_row_registers_zero(self, mixed_matrix):
+        assert not mixed_matrix[0, COL_REG_LO:COL_REG_LO + 32].any()
+
+    def test_selector_blocks_valid(self, mixed_matrix):
+        m = mixed_matrix
+        sel = m[:, COL_SEL0:COL_SEL0 + N_OPS]
+        assert (sel.sum(axis=1) == 1).all()
+        codes = np.asarray(OP_VALUES, dtype=np.uint32)
+        np.testing.assert_array_equal(sel @ codes, m[:, COL_OPCODE])
+        rd1h = m[:, COL_RD1H0:COL_RD1H0 + 16]
+        assert (rd1h.sum(axis=1) == 1).all()
+        np.testing.assert_array_equal(
+            rd1h @ np.arange(16, dtype=np.uint32), m[:, COL_RD])
+
+
+class TestRegfileProof:
+    def test_roundtrip(self, mixed_matrix):
+        proof = prove_trace(mixed_matrix, CFG)
+        assert verify_trace(proof)
+
+    def test_unwritten_register_change_rejected(self, mixed_matrix):
+        bad = mixed_matrix.copy()
+        # Row 0 is ADDI rd=1: r5 must not change into row 1.
+        bad[1:, COL_REG_LO + 5] = 77
+        proof = prove_trace(bad, CFG)
+        assert not verify_trace(proof)
+
+    def test_nonzero_initial_register_rejected(self, mixed_matrix):
+        bad = mixed_matrix.copy()
+        bad[0, COL_REG_LO + 7] = 1
+        proof = prove_trace(bad, CFG)
+        assert not verify_trace(proof)
+
+    def test_invalid_opcode_rejected(self, mixed_matrix):
+        bad = mixed_matrix.copy()
+        bad[2, COL_OPCODE] = 0x09  # not a valid opcode
+        proof = prove_trace(bad, CFG)
+        assert not verify_trace(proof)
+
+    def test_forged_rd_field_rejected(self, mixed_matrix):
+        # Changing rd without its one-hot breaks the binding; changing
+        # both lets the prover "write" a different register — but then
+        # the actually-changed register is unwritten -> rejected.
+        bad = mixed_matrix.copy()
+        bad[0, COL_RD] = 2
+        proof = prove_trace(bad, CFG)
+        assert not verify_trace(proof)
+
+        bad2 = mixed_matrix.copy()
+        bad2[0, COL_RD] = 2
+        bad2[0, COL_RD1H0 + 1] = 0
+        bad2[0, COL_RD1H0 + 2] = 1
+        proof2 = prove_trace(bad2, CFG)
+        assert not verify_trace(proof2)
+
+    def test_forged_selector_block_rejected(self, mixed_matrix):
+        # Claiming a store executed as a write (swap sel to ADD) breaks
+        # the weighted-sum decode binding.
+        bad = mixed_matrix.copy()
+        row = np.nonzero(bad[:, COL_OPCODE] == int(Op.SW))[0][0]
+        bad[row, COL_SEL0 + OP_VALUES.index(int(Op.SW))] = 0
+        bad[row, COL_SEL0 + OP_VALUES.index(int(Op.ADD))] = 1
+        proof = prove_trace(bad, CFG)
+        assert not verify_trace(proof)

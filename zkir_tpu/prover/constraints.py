@@ -1,28 +1,40 @@
 """AIR constraints over the trace matrix and quotient evaluation.
 
-First constraint set (round 1):
+Constraint set:
 
-  single-row (vanishing on all of H):
-    S1: r0 limb0 == 0              (column 8)
-    S2: r0 limb1 == 0              (column 24)
-    S3: is_seq  boolean            (column 45: s^2 - s)
-    S4: pc_carry boolean           (column 46)
-  transition (vanishing on H minus the last row):
+  single-row (vanishing on all of H, divisor Z_H = x^n - 1):
+    S1/S2: r0 value limbs == 0
+    S3/S4: is_seq, pc_carry boolean
+    opcode decode binding: 50 selector booleans, sum(sel) = 1,
+      sum(code_j * sel_j) = opcode  (=> opcode is a valid code and the
+      per-op selectors are sound degree-1 polynomials)
+    rd one-hot binding: 16 booleans, sum(e) = 1, sum(i * e_i) = rd
+  transition (divisor Z_trans = Z_H / (x - w_n^{n-1})):
     T1: is_seq * (pc'_lo - pc_lo - 4 + carry * 2^20)
     T2: is_seq * (pc'_hi - pc_hi - carry)
+    register-file write consistency, per register r in 1..15 and limb:
+      (1 - w * e_r - sel_ECALL) * (reg_r' - reg_r)
+      where w = sum of selectors of rd-writing opcodes.  The committed
+      register columns are the canonical value view (prover/trace.py), so
+      deferred-model normalization never changes them and the only
+      legitimate change is the executed write (ECALL rows exempt:
+      syscalls write R10/crypto results).
+  first-row boundary (divisor Z_first = x - 1):
+    registers 1..15 start at zero (both limbs).
 
-where primed columns are next-row values (rotation by 2^log_blowup on the
-coset LDE: trace(g_n * x)).  The quotient
+Primed columns are next-row values (rotation by 2^log_blowup on the coset
+LDE: trace(g_n * x)).  The quotient
 
-    Q(x) = C_single(x) / Z_H(x)  +  C_trans(x) / Z_trans(x)
+    Q(x) = sum_j alpha^j C_j(x) / D_j(x)
 
-with Z_H = x^n - 1 and Z_trans = Z_H / (x - w_n^{n-1}) is a polynomial of
-degree < n iff every constraint holds; it is committed and batched into
-FRI alongside the trace columns.
+is a polynomial of degree < 2n iff every constraint holds (degree <= 3
+constraints with blowup 4); it is committed in two degree-< n chunks and
+batched into FRI alongside the trace columns.
 
-(The selector columns is_seq/pc_carry are currently committed free columns;
-deriving them from the opcode column by constraint is the designated next
-AIR stage.)
+(The is_seq selector is additionally bound to the opcode by the 5th
+LogUp channel when range_lookup is on.  Remaining gaps: linking ALU
+result values and memory-consistency arguments — see
+IMPLEMENTATION_STATUS.md.)
 
 Evaluation runs on the *coset* LDE so Z_H is invertible at every committed
 point.
@@ -51,21 +63,37 @@ from ..spec.field import M31_PRIME
 
 P = M31_PRIME
 
+from .trace import N_COLUMNS, N_OPS, OP_VALUES
+
 # Column indices (see prover/trace.py layout).
 COL_PC_LO = 0
 COL_PC_HI = 1
+COL_RD = 3
+COL_REG_LO = 8           # 16 reg value-lo columns 8..23
+COL_REG_HI = 24          # 16 reg value-hi columns 24..39
 COL_R0_LIMB0 = 8
 COL_R0_LIMB1 = 24
 COL_IS_SEQ = 45
 COL_PC_CARRY = 46
 COL_CHUNK0 = 47          # 4 range-check chunk columns 47..50
+COL_SEL0 = 51            # 50 opcode one-hot selector columns 51..100
+COL_RD1H0 = 51 + N_OPS   # 16 rd one-hot columns 101..116
 # Lookup columns appended by the prover when range_lookup is enabled:
-COL_TABLE = 51           # table values t_i
-COL_MULT0 = 52           # 4 multiplicity columns 52..55
+COL_TABLE = N_COLUMNS        # table values t_i
+COL_MULT0 = N_COLUMNS + 1    # 5 multiplicity columns
 
-NUM_SINGLE = 4
-NUM_TRANS = 2
-NUM_CONSTRAINTS = NUM_SINGLE + NUM_TRANS
+# Opcodes that write their rd register: everything except stores
+# (0x38-0x3B), branches (0x40-0x45), ECALL (0x50) and EBREAK (0x51)
+# (dispatch families in execute.rs / interp/columnar.py).
+WRITING_OPS = frozenset(
+    v for v in OP_VALUES
+    if not (0x38 <= v <= 0x3B or 0x40 <= v <= 0x45 or v in (0x50, 0x51)))
+OP_ECALL = 0x50
+
+NUM_SINGLE = 4 + N_OPS + 2 + 16 + 2
+NUM_TRANS = 2 + 30
+NUM_FIRST = 30           # boundary: registers start zeroed
+NUM_CONSTRAINTS = NUM_SINGLE + NUM_TRANS + NUM_FIRST
 NUM_LOOKUP = 5           # 4 chunk channels + the is_seq derivation channel
 COL_OPCODE = 2
 
@@ -105,9 +133,10 @@ def constraint_evals(ext_r, ext_i, log_n: int, log_blowup: int):
     def nxt(c):
         return (jnp.roll(ext_r[c], -blowup), jnp.roll(ext_i[c], -blowup))
 
-    one = _scalar_vec((1, 0), ext_r.shape[1])
-    four = _scalar_vec((4, 0), ext_r.shape[1])
-    two20 = _scalar_vec((1 << 20, 0), ext_r.shape[1])
+    big = ext_r.shape[1]
+    one = _scalar_vec((1, 0), big)
+    four = _scalar_vec((4, 0), big)
+    two20 = _scalar_vec((1 << 20, 0), big)
 
     s_seq = col(COL_IS_SEQ)
     carry = col(COL_PC_CARRY)
@@ -118,6 +147,32 @@ def constraint_evals(ext_r, ext_i, log_n: int, log_blowup: int):
         cm31_mul(s_seq, cm31_sub(s_seq, one)),
         cm31_mul(carry, cm31_sub(carry, one)),
     ]
+
+    # Opcode one-hot decode binding: booleans, sum to 1, weighted sum
+    # equals the opcode column (=> opcode is one of the 50 valid codes).
+    sel = [col(COL_SEL0 + j) for j in range(N_OPS)]
+    for s in sel:
+        singles.append(cm31_mul(s, cm31_sub(s, one)))
+    sel_sum = sel[0]
+    op_sum = cm31_mul(sel[0], _scalar_vec((OP_VALUES[0], 0), big))
+    for j in range(1, N_OPS):
+        sel_sum = cm31_add(sel_sum, sel[j])
+        op_sum = cm31_add(op_sum, cm31_mul(
+            sel[j], _scalar_vec((OP_VALUES[j], 0), big)))
+    singles.append(cm31_sub(sel_sum, one))
+    singles.append(cm31_sub(op_sum, col(COL_OPCODE)))
+
+    # rd one-hot binding.
+    e = [col(COL_RD1H0 + i) for i in range(16)]
+    for ei in e:
+        singles.append(cm31_mul(ei, cm31_sub(ei, one)))
+    e_sum = e[0]
+    rd_sum = _scalar_vec((0, 0), big)
+    for i in range(1, 16):
+        e_sum = cm31_add(e_sum, e[i])
+        rd_sum = cm31_add(rd_sum, cm31_mul(e[i], _scalar_vec((i, 0), big)))
+    singles.append(cm31_sub(e_sum, one))
+    singles.append(cm31_sub(rd_sum, col(COL_RD)))
 
     pc_lo, pc_hi = col(COL_PC_LO), col(COL_PC_HI)
     pc_lo_n, pc_hi_n = nxt(COL_PC_LO), nxt(COL_PC_HI)
@@ -130,7 +185,26 @@ def constraint_evals(ext_r, ext_i, log_n: int, log_blowup: int):
         cm31_mul(s_seq, t1_inner),
         cm31_mul(s_seq, t2_inner),
     ]
-    return singles, transitions
+
+    # Register-file write consistency: register r may change into the next
+    # row only if this row writes it (w * e_r, both one-hot-derived) or is
+    # an ECALL (syscalls may write R10 and crypto outputs).  Degree 3.
+    w = None
+    for j, v in enumerate(OP_VALUES):
+        if v in WRITING_OPS:
+            w = sel[j] if w is None else cm31_add(w, sel[j])
+    sel_ecall = sel[OP_VALUES.index(OP_ECALL)]
+    for r in range(1, 16):
+        allow = cm31_add(cm31_mul(w, e[r]), sel_ecall)
+        factor = cm31_sub(one, allow)
+        for base in (COL_REG_LO, COL_REG_HI):
+            delta = cm31_sub(nxt(base + r), col(base + r))
+            transitions.append(cm31_mul(factor, delta))
+
+    # Boundary: the machine starts with a zeroed register file.
+    firsts = [col(base + r)
+              for r in range(1, 16) for base in (COL_REG_LO, COL_REG_HI)]
+    return singles, transitions, firsts
 
 
 @functools.lru_cache(maxsize=None)
@@ -237,12 +311,14 @@ def quotient_evals(ext_r, ext_i, log_n: int, log_blowup: int,
 
     ``lookup``: optional (s_ext, beta) enabling the LogUp constraints.
     """
-    singles, transitions = constraint_evals(ext_r, ext_i, log_n, log_blowup)
+    singles, transitions, firsts = constraint_evals(
+        ext_r, ext_i, log_n, log_blowup)
     (zh_inv_r, zh_inv_i, zt_inv_r, zt_inv_i,
      zf_inv_r, zf_inv_i, zl_inv_r, zl_inv_i) = _vanishing_tables(
         log_n, log_blowup, tuple(shift))
     zh_inv = (jnp.asarray(zh_inv_r), jnp.asarray(zh_inv_i))
     zt_inv = (jnp.asarray(zt_inv_r), jnp.asarray(zt_inv_i))
+    zf_inv = (jnp.asarray(zf_inv_r), jnp.asarray(zf_inv_i))
 
     big = ext_r.shape[1]
     acc = (jnp.zeros(big, dtype=jnp.uint32), jnp.zeros(big, dtype=jnp.uint32))
@@ -255,6 +331,10 @@ def quotient_evals(ext_r, ext_i, log_n: int, log_blowup: int,
         term = cm31_mul(cm31_mul(c, zt_inv), _scalar_vec(power, big))
         acc = cm31_add(acc, term)
         power = cm31_mul_scalar(power, alpha)
+    for c in firsts:
+        term = cm31_mul(cm31_mul(c, zf_inv), _scalar_vec(power, big))
+        acc = cm31_add(acc, term)
+        power = cm31_mul_scalar(power, alpha)
     if lookup is not None:
         s_ext, beta = lookup
         for c in lookup_constraint_evals(ext_r, ext_i, s_ext, beta,
@@ -263,7 +343,6 @@ def quotient_evals(ext_r, ext_i, log_n: int, log_blowup: int,
             acc = cm31_add(acc, term)
             power = cm31_mul_scalar(power, alpha)
         # Table-pinning constraints: t is the monotone 0..1023 staircase.
-        zf_inv = (jnp.asarray(zf_inv_r), jnp.asarray(zf_inv_i))
         zl_inv = (jnp.asarray(zl_inv_r), jnp.asarray(zl_inv_i))
         blowup = 1 << log_blowup
         one = _scalar_vec((1, 0), big)
@@ -301,6 +380,27 @@ def constraint_value_at(row: List[int], next_row: List[int], n_cols: int):
         cm31_mul_scalar(s_seq, _sub2(s_seq, one)),
         cm31_mul_scalar(carry, _sub2(carry, one)),
     ]
+
+    sel = [cval(row, COL_SEL0 + j) for j in range(N_OPS)]
+    for s in sel:
+        singles.append(cm31_mul_scalar(s, _sub2(s, one)))
+    sel_sum, op_sum = (0, 0), (0, 0)
+    for j in range(N_OPS):
+        sel_sum = _add2(sel_sum, sel[j])
+        op_sum = _add2(op_sum, cm31_mul_scalar(sel[j], (OP_VALUES[j], 0)))
+    singles.append(_sub2(sel_sum, one))
+    singles.append(_sub2(op_sum, cval(row, COL_OPCODE)))
+
+    e = [cval(row, COL_RD1H0 + i) for i in range(16)]
+    for ei in e:
+        singles.append(cm31_mul_scalar(ei, _sub2(ei, one)))
+    e_sum, rd_sum = (0, 0), (0, 0)
+    for i in range(16):
+        e_sum = _add2(e_sum, e[i])
+        rd_sum = _add2(rd_sum, cm31_mul_scalar(e[i], (i, 0)))
+    singles.append(_sub2(e_sum, one))
+    singles.append(_sub2(rd_sum, cval(row, COL_RD)))
+
     pc_lo = cval(row, COL_PC_LO)
     pc_hi = cval(row, COL_PC_HI)
     pc_lo_n = cval(next_row, COL_PC_LO)
@@ -312,7 +412,21 @@ def constraint_value_at(row: List[int], next_row: List[int], n_cols: int):
         cm31_mul_scalar(s_seq, t1),
         cm31_mul_scalar(s_seq, t2),
     ]
-    return singles, transitions
+
+    w = (0, 0)
+    for j, v in enumerate(OP_VALUES):
+        if v in WRITING_OPS:
+            w = _add2(w, sel[j])
+    sel_ecall = sel[OP_VALUES.index(OP_ECALL)]
+    for r in range(1, 16):
+        factor = _sub2(one, _add2(cm31_mul_scalar(w, e[r]), sel_ecall))
+        for base in (COL_REG_LO, COL_REG_HI):
+            delta = _sub2(cval(next_row, base + r), cval(row, base + r))
+            transitions.append(cm31_mul_scalar(factor, delta))
+
+    firsts = [cval(row, base + r)
+              for r in range(1, 16) for base in (COL_REG_LO, COL_REG_HI)]
+    return singles, transitions, firsts
 
 
 def lookup_constraint_values_at(row, next_row, s_row, s_next, n_cols: int,
@@ -359,7 +473,7 @@ def quotient_value_at(row, next_row, n_cols: int, index: int, log_n: int,
 
     ``lookup``: optional (s_row, s_next, beta)."""
     n = 1 << log_n
-    singles, transitions = constraint_value_at(row, next_row, n_cols)
+    singles, transitions, firsts = constraint_value_at(row, next_row, n_cols)
     x = cm31_mul_scalar(shift,
                         cm31_pow_scalar(root_of_unity(log_n + log_blowup),
                                         index))
@@ -369,6 +483,7 @@ def quotient_value_at(row, next_row, n_cols: int, index: int, log_n: int,
 
     zh_inv = cm31_inv_scalar(zh)
     zt_inv = cm31_inv_scalar(ztrans)
+    zf_inv = cm31_inv_scalar(_sub2(x, (1, 0)))
     acc = (0, 0)
     power = (1, 0)
     for c in singles:
@@ -376,6 +491,9 @@ def quotient_value_at(row, next_row, n_cols: int, index: int, log_n: int,
         power = cm31_mul_scalar(power, alpha)
     for c in transitions:
         acc = _add2(acc, cm31_mul_scalar(cm31_mul_scalar(c, zt_inv), power))
+        power = cm31_mul_scalar(power, alpha)
+    for c in firsts:
+        acc = _add2(acc, cm31_mul_scalar(cm31_mul_scalar(c, zf_inv), power))
         power = cm31_mul_scalar(power, alpha)
     if lookup is not None:
         s_row, s_next, beta = lookup
@@ -385,7 +503,6 @@ def quotient_value_at(row, next_row, n_cols: int, index: int, log_n: int,
                 cm31_mul_scalar(c, zh_inv), power))
             power = cm31_mul_scalar(power, alpha)
         # Table-pinning constraints.
-        zf_inv = cm31_inv_scalar(_sub2(x, (1, 0)))
         zl_inv = cm31_inv_scalar(_sub2(x, last))
         t = (row[COL_TABLE], row[n_cols + COL_TABLE])
         t_n = (next_row[COL_TABLE], next_row[n_cols + COL_TABLE])

@@ -54,18 +54,24 @@ def _coset_shift() -> Tuple[int, int]:
     return _find_generator()
 
 
-def _pad_rows(matrix: np.ndarray, min_log: int = 2,
-              ebreak_padding: bool = False):
+def _pad_rows(matrix: np.ndarray, min_log: int = 2):
+    """Pad to 2^log_n rows with EBREAK rows ("a halted machine keeps
+    halting"): opcode 0x51, valid one-hot selector blocks, and the final
+    row's register file replicated — so the decode, is_seq-lookup and
+    register-write-consistency constraints all hold on padding."""
+    from .constraints import (
+        COL_OPCODE, COL_RD1H0, COL_REG_LO, COL_SEL0, OP_VALUES)
+
     n_rows = matrix.shape[0]
     log_n = max((n_rows - 1).bit_length(), min_log)
     padded = np.zeros(((1 << log_n), matrix.shape[1]), dtype=np.uint32)
     padded[:n_rows] = matrix
-    if ebreak_padding and (1 << log_n) > n_rows:
-        # Padding rows are EBREAK rows ("a halted machine keeps halting"):
-        # keeps the is_seq-derivation lookup witness in-table.
-        from .constraints import COL_OPCODE
-
+    if (1 << log_n) > n_rows and n_rows > 0:
         padded[n_rows:, COL_OPCODE] = 0x51
+        padded[n_rows:, COL_SEL0 + OP_VALUES.index(0x51)] = 1
+        padded[n_rows:, COL_RD1H0] = 1          # rd field 0 -> e_0
+        padded[n_rows:, COL_REG_LO:COL_REG_LO + 32] = \
+            matrix[-1, COL_REG_LO:COL_REG_LO + 32]
     return padded, log_n
 
 
@@ -181,8 +187,7 @@ def prove_trace(matrix: np.ndarray,
     phase after the beta challenge, and the degree-3 LogUp + table-pinning
     constraints enter the quotient."""
     padded, log_n = _pad_rows(np.asarray(matrix, dtype=np.uint32),
-                              min_log=10 if range_lookup else 2,
-                              ebreak_padding=range_lookup)
+                              min_log=10 if range_lookup else 2)
     if range_lookup:
         padded = _build_lookup_columns(padded)
     n_cols = padded.shape[1]

@@ -7,9 +7,20 @@ into a 2-D matrix of M31 field elements, one row per cycle:
      16 x (reg limb0, reg limb1),
      mem_addr_lo, mem_addr_hi, mem_val_lo, mem_val_hi, mem_flags]
 
-plus the AIR helper columns [is_seq, pc_carry] (see prover/constraints.py).
+plus the AIR helper columns [is_seq, pc_carry] (see prover/constraints.py),
+the 4 range-check chunk columns, the 50-column opcode one-hot selector
+block, and the 16-column rd one-hot block.
 
-40-bit machine values split into 2 x 20-bit limbs (each < p); the 17-bit
+Register columns commit the *canonical value view*: the 40-bit value
+``(limb0 + limb1*2^20) mod 2^40`` regardless of the machine's internal
+packing (accumulated registers pack at 30-bit boundaries — see
+``runtime/state.py:write_reg_from_accumulated``).  Deferred-model
+normalization preserves this value (``normalize.rs:85-105`` drops the top
+carry, i.e. reduces mod 2^40), so observation-point pre-normalization is
+invisible in the committed columns and the register-file AIR can require
+that only the written register changes between rows.
+
+40-bit values split into 2 x 20-bit limbs (each < p); the 17-bit
 immediate and memory metadata fit directly.  This is the matrix committed
 by the prover (reference analogue: the TraceRow struct,
 ``zkir-spec/src/trace.rs:24-50``, reshaped struct-of-arrays).
@@ -22,8 +33,32 @@ from typing import Dict
 import numpy as np
 
 _M20 = (1 << 20) - 1
+_M30 = (1 << 30) - 1
+_M40 = (1 << 40) - 1
 
-N_COLUMNS = 8 + 32 + 5 + 2 + 4
+# Opcode values in selector-block order (all 50 valid opcodes, sorted).
+OP_VALUES = (
+    0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07, 0x08,
+    0x10, 0x11, 0x12, 0x13, 0x14, 0x15,
+    0x18, 0x19, 0x1A, 0x1B, 0x1C, 0x1D,
+    0x20, 0x21, 0x22, 0x23, 0x24, 0x25, 0x26, 0x27, 0x28,
+    0x30, 0x31, 0x32, 0x33, 0x34, 0x35,
+    0x38, 0x39, 0x3A, 0x3B,
+    0x40, 0x41, 0x42, 0x43, 0x44, 0x45,
+    0x48, 0x49,
+    0x50, 0x51,
+)
+N_OPS = len(OP_VALUES)
+
+N_BASE_COLUMNS = 8 + 32 + 5 + 2 + 4          # 51: layout above
+N_COLUMNS = N_BASE_COLUMNS + N_OPS + 16      # + opcode one-hot + rd one-hot
+
+
+def selector_blocks(op_col: np.ndarray, rd_col: np.ndarray):
+    """One-hot blocks from the opcode and rd columns: ([n, 50], [n, 16])."""
+    sel = (op_col[:, None] == np.asarray(OP_VALUES, dtype=np.uint32)[None, :])
+    rd1h = (rd_col[:, None] == np.arange(16, dtype=np.uint32)[None, :])
+    return sel.astype(np.uint32), rd1h.astype(np.uint32)
 
 
 def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0) -> np.ndarray:
@@ -45,9 +80,19 @@ def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0) -> np.ndarray:
     out[:, 6] = (imm & _M20).astype(np.uint32)
     out[:, 7] = (imm >> 20).astype(np.uint32)
 
+    # Canonical value view (see module docstring): accumulated registers
+    # pack limbs at 30-bit boundaries, normalized at 20-bit; both map to
+    # the same 40-bit value (limb0 + limb1*2^20) mod 2^40.
     regs = trace["regs"][valid, lane].astype(np.uint64)  # [n, 16]
-    out[:, 8:8 + 16] = (regs & _M20).astype(np.uint32)
-    out[:, 8 + 16:8 + 32] = ((regs >> 20) & _M20).astype(np.uint32)
+    if "accum_mask" in trace:
+        amask = trace["accum_mask"][valid, lane].astype(np.uint32)
+        acc = ((amask[:, None] >> np.arange(16, dtype=np.uint32)) & 1) == 1
+        val_acc = ((regs & _M30) + ((regs >> 30) << 20)) & _M40
+        values = np.where(acc, val_acc, regs & _M40)
+    else:
+        values = regs & _M40
+    out[:, 8:8 + 16] = (values & _M20).astype(np.uint32)
+    out[:, 8 + 16:8 + 32] = ((values >> 20) & _M20).astype(np.uint32)
 
     base = 8 + 32
     maddr = trace["mem_addr"][valid, lane].astype(np.uint64)
@@ -86,4 +131,10 @@ def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0) -> np.ndarray:
     rc_chunks = trace["rc_chunks"][valid, lane].astype(np.uint32)  # [n, 4]
     for c in range(4):
         out[:, base + 7 + c] = np.where(rc_valid, rc_chunks[:, c], 0)
+
+    # Opcode one-hot selector block + rd one-hot block (decode binding +
+    # register-file write consistency; prover/constraints.py).
+    sel, rd1h = selector_blocks(out[:, 2], out[:, 3])
+    out[:, N_BASE_COLUMNS:N_BASE_COLUMNS + N_OPS] = sel
+    out[:, N_BASE_COLUMNS + N_OPS:N_COLUMNS] = rd1h
     return out
