@@ -63,7 +63,7 @@ def _allowed_change_set(row):
     """Registers allowed to change after this row per the AIR."""
     op = int(row[COL_OPCODE])
     if op == 0x50:
-        return set(range(16))
+        return {10}  # syscall result register only
     if op in WRITING_OPS:
         return {int(row[COL_RD])}
     return set()
@@ -135,6 +135,33 @@ class TestRegfileProof:
         bad2[0, COL_RD1H0 + 2] = 1
         proof2 = prove_trace(bad2, CFG)
         assert not verify_trace(proof2)
+
+    def test_read_syscall_r10_change_allowed(self):
+        # SYS_READ pops the input tape into R10: an ECALL row whose R10
+        # changes must still prove.
+        m = _matrix_for([
+            I(Op.ADDI, rd=10, rs1=0, imm=1),   # R10 = SYS_READ
+            I(Op.ECALL),                       # R10 <- 42
+            I(Op.ADDI, rd=10, rs1=0, imm=0),   # R10 = SYS_EXIT
+            I(Op.ECALL),
+        ], inputs=[42])
+        proof = prove_trace(m, CFG)
+        assert verify_trace(proof)
+
+    def test_ecall_non_r10_change_rejected(self):
+        # The ECALL exemption covers R10 only: forging another register's
+        # value across a syscall row must fail.
+        m = _matrix_for([
+            I(Op.ADDI, rd=10, rs1=0, imm=1),
+            I(Op.ECALL),                       # READ; has a successor row
+            I(Op.ADDI, rd=10, rs1=0, imm=0),
+            I(Op.ECALL),
+        ], inputs=[42])
+        row = np.nonzero(m[:, COL_OPCODE] == 0x50)[0][0]
+        bad = m.copy()
+        bad[row + 1:, COL_REG_LO + 7] = 33
+        proof = prove_trace(bad, CFG)
+        assert not verify_trace(proof)
 
     def test_forged_selector_block_rejected(self, mixed_matrix):
         # Claiming a store executed as a write (swap sel to ADD) breaks

@@ -14,11 +14,11 @@ Constraint set:
     T2: is_seq * (pc'_hi - pc_hi - carry)
     register-file write consistency, per register r in 1..15 and limb:
       (1 - w * e_r - sel_ECALL) * (reg_r' - reg_r)
-      where w = sum of selectors of rd-writing opcodes.  The committed
-      register columns are the canonical value view (prover/trace.py), so
-      deferred-model normalization never changes them and the only
-      legitimate change is the executed write (ECALL rows exempt:
-      syscalls write R10/crypto results).
+      where w = sum of selectors of rd-writing opcodes and the sel_ECALL
+      exemption applies to R10 only (the syscall result register).  The
+      committed register columns are the canonical value view
+      (prover/trace.py), so deferred-model normalization never changes
+      them and the only legitimate change is the executed write.
   first-row boundary (divisor Z_first = x - 1):
     registers 1..15 start at zero (both limbs).
 
@@ -188,14 +188,18 @@ def constraint_evals(ext_r, ext_i, log_n: int, log_blowup: int):
 
     # Register-file write consistency: register r may change into the next
     # row only if this row writes it (w * e_r, both one-hot-derived) or is
-    # an ECALL (syscalls may write R10 and crypto outputs).  Degree 3.
+    # an ECALL writing R10 (the syscall result register, syscall.rs:94-97;
+    # READ results, status codes — crypto syscalls write memory and an R14
+    # *bound*, never an R14 value).  Degree 3.
     w = None
     for j, v in enumerate(OP_VALUES):
         if v in WRITING_OPS:
             w = sel[j] if w is None else cm31_add(w, sel[j])
     sel_ecall = sel[OP_VALUES.index(OP_ECALL)]
     for r in range(1, 16):
-        allow = cm31_add(cm31_mul(w, e[r]), sel_ecall)
+        allow = cm31_mul(w, e[r])
+        if r == 10:
+            allow = cm31_add(allow, sel_ecall)
         factor = cm31_sub(one, allow)
         for base in (COL_REG_LO, COL_REG_HI):
             delta = cm31_sub(nxt(base + r), col(base + r))
@@ -419,7 +423,10 @@ def constraint_value_at(row: List[int], next_row: List[int], n_cols: int):
             w = _add2(w, sel[j])
     sel_ecall = sel[OP_VALUES.index(OP_ECALL)]
     for r in range(1, 16):
-        factor = _sub2(one, _add2(cm31_mul_scalar(w, e[r]), sel_ecall))
+        allow = cm31_mul_scalar(w, e[r])
+        if r == 10:
+            allow = _add2(allow, sel_ecall)
+        factor = _sub2(one, allow)
         for base in (COL_REG_LO, COL_REG_HI):
             delta = _sub2(cval(next_row, base + r), cval(row, base + r))
             transitions.append(cm31_mul_scalar(factor, delta))
