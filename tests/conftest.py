@@ -20,3 +20,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the prover compiles one kernel per
+# (shape, stage) — Merkle levels alone are ~12 shapes x ~9 s on CPU.
+# Caching them on disk makes repeat test runs dominated by actual compute.
+jax.config.update("jax_compilation_cache_dir", "/tmp/zkir_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -13,11 +13,15 @@ import pytest
 from zkir_tpu.interp import InterpConfig, TpuInterpreter
 from zkir_tpu.prover import prove_trace, trace_to_matrix, verify_trace
 from zkir_tpu.prover.constraints import (
+    COL_IMM_LO,
     COL_OPCODE,
     COL_RD,
     COL_RD1H0,
     COL_REG_HI,
     COL_REG_LO,
+    COL_RES_HI,
+    COL_RES_LO,
+    COL_RS2,
     COL_SEL0,
     WRITING_OPS,
 )
@@ -172,3 +176,83 @@ class TestRegfileProof:
         bad[row, COL_SEL0 + OP_VALUES.index(int(Op.ADD))] = 1
         proof = prove_trace(bad, CFG)
         assert not verify_trace(proof)
+
+
+@pytest.fixture(scope="module")
+def alu_matrix():
+    # Negative immediates, a wrapping SUB, deferred adds, and a JAL link
+    # register: every pinned-result family in one trace.
+    return _matrix_for([
+        I(Op.ADDI, rd=1, rs1=0, imm=-5),
+        I(Op.ADDI, rd=2, rs1=0, imm=7),
+        I(Op.ADD, rd=3, rs1=1, rs2=2),
+        I(Op.SUB, rd=4, rs1=2, rs2=1),     # 7 - (2^40 - 5) wraps
+        I(Op.JAL, rd=5, imm=4),            # link = pc + 4
+        I(Op.MUL, rd=6, rs1=3, rs2=2),     # unpinned writer
+        I(Op.EBREAK),
+    ])
+
+
+class TestAluResultBinding:
+    """The written value of ADD/SUB/ADDI/JAL(R) is pinned to its operands
+    (prover/constraints.py result pins + result-binding transitions)."""
+
+    def _forge_written(self, matrix, op):
+        bad = matrix.copy()
+        row = int(np.nonzero(bad[:, COL_OPCODE] == int(op))[0][0])
+        rd = int(bad[row, COL_RD])
+        bad[row + 1:, COL_REG_LO + rd] = \
+            (bad[row + 1, COL_REG_LO + rd] + 1) % (1 << 20)
+        return bad
+
+    def test_honest_roundtrip(self, alu_matrix):
+        proof = prove_trace(alu_matrix, CFG)
+        assert verify_trace(proof)
+
+    @pytest.mark.parametrize("op", [Op.ADD, Op.SUB, Op.ADDI, Op.JAL])
+    def test_forged_result_rejected(self, alu_matrix, op):
+        proof = prove_trace(self._forge_written(alu_matrix, op), CFG)
+        assert not verify_trace(proof)
+
+    def test_forged_result_with_res_columns_rejected(self, alu_matrix):
+        # Forging the written register AND the committed res limbs breaks
+        # the op-specific pin instead of the binding transition.
+        bad = self._forge_written(alu_matrix, Op.ADD)
+        row = int(np.nonzero(bad[:, COL_OPCODE] == int(Op.ADD))[0][0])
+        rd = int(bad[row, COL_RD])
+        bad[row, COL_RES_LO] = bad[row + 1, COL_REG_LO + rd]
+        bad[row, COL_RES_HI] = bad[row + 1, COL_REG_HI + rd]
+        proof = prove_trace(bad, CFG)
+        assert not verify_trace(proof)
+
+    def test_forged_unpinned_writer_rejected(self, alu_matrix):
+        # MUL has no semantic pin yet, but its written value is still
+        # bound to the committed res columns.
+        proof = prove_trace(self._forge_written(alu_matrix, Op.MUL), CFG)
+        assert not verify_trace(proof)
+
+    def test_rs2_imm_overlap_pinned(self, alu_matrix):
+        # rs2 is a bitfield of the immediate: forging rs2 alone breaks
+        # the q0 = rs2 + 16*q0hi decomposition.
+        bad = alu_matrix.copy()
+        row = int(np.nonzero(bad[:, COL_OPCODE] == int(Op.ADD))[0][0])
+        bad[row, COL_RS2] = (bad[row, COL_RS2] + 1) % 16
+        proof = prove_trace(bad, CFG)
+        assert not verify_trace(proof)
+
+    def test_forged_imm_rejected(self, alu_matrix):
+        # The ADDI pin reads the committed immediate: changing it without
+        # re-deriving the result must fail (decomposition or pin).
+        bad = alu_matrix.copy()
+        row = int(np.nonzero(bad[:, COL_OPCODE] == int(Op.ADDI))[0][0])
+        bad[row, COL_IMM_LO] = (bad[row, COL_IMM_LO] + 1) % (1 << 17)
+        proof = prove_trace(bad, CFG)
+        assert not verify_trace(proof)
+
+    def test_writing_final_row_rejected_at_prove(self):
+        m = _matrix_for([
+            I(Op.ADDI, rd=1, rs1=0, imm=3),
+            I(Op.EBREAK),
+        ])
+        with pytest.raises(ValueError, match="non-writing"):
+            prove_trace(m[:1], CFG)

@@ -8,7 +8,28 @@ Constraint set:
     opcode decode binding: 50 selector booleans, sum(sel) = 1,
       sum(code_j * sel_j) = opcode  (=> opcode is a valid code and the
       per-op selectors are sound degree-1 polynomials)
-    rd one-hot binding: 16 booleans, sum(e) = 1, sum(i * e_i) = rd
+    rd / rs1 / rs2 one-hot bindings: 16 booleans each, sum = 1,
+      weighted sum = the bitfield column
+    carry/borrow/sign booleans: c0, c1, imm_s
+    immediate decomposition: imm = q0 + 2^10 q1 + 2^16 s and
+      q0 = rs2 + 16 q0hi (pins the overlapping rs2 bitfield); chunk
+      ranges forced by the LogUp channels
+    result limb decomposition: res_lo = rl0 + 2^10 rl1 (ditto hi) with
+      rl*/rh* in the 10-bit table => written register limbs < 2^20
+    op-specific result pins (degree 3, operands read via rs1/rs2
+      one-hot inner products over this row's register file):
+        ADD : a_lo + b_lo = res_lo + 2^20 c0 ;
+              a_hi + b_hi + c0 = res_hi + 2^20 c1
+        SUB : a_lo - b_lo = res_lo - 2^20 c0 ;
+              a_hi - b_hi - c0 = res_hi - 2^20 c1
+        ADDI: ADD with b = sext17(imm) limbs
+              (imm + s(2^20 - 2^17), s(2^20 - 1))
+        JAL/JALR: res = pc + 4 mod 2^40
+      Integer-range soundness: all terms < 2^21 << p, so the field
+      identity forces the integer identity; res limbs are < 2^20 by the
+      chunk lookups, operands are < 2^20 inductively (zero boundary +
+      every write goes through res; ECALL/R10 is the documented hole
+      until I/O values are public-input-bound).
   transition (divisor Z_trans = Z_H / (x - w_n^{n-1})):
     T1: is_seq * (pc'_lo - pc_lo - 4 + carry * 2^20)
     T2: is_seq * (pc'_hi - pc_hi - carry)
@@ -19,6 +40,10 @@ Constraint set:
       committed register columns are the canonical value view
       (prover/trace.py), so deferred-model normalization never changes
       them and the only legitimate change is the executed write.
+    result binding, per register r in 1..15 and limb:
+      w * e_r * (reg_r' - res)  -- the written value IS the committed
+      result (which the pins above tie to the operands for
+      ADD/SUB/ADDI/JAL/JALR; remaining ops await op-specific pins).
   first-row boundary (divisor Z_first = x - 1):
     registers 1..15 start at zero (both limbs).
 
@@ -63,12 +88,15 @@ from ..spec.field import M31_PRIME
 
 P = M31_PRIME
 
-from .trace import N_COLUMNS, N_OPS, OP_VALUES
+from .trace import N_COLUMNS, N_DECODE_COLUMNS, N_OPS, OP_VALUES, WRITING_OPS
 
 # Column indices (see prover/trace.py layout).
 COL_PC_LO = 0
 COL_PC_HI = 1
 COL_RD = 3
+COL_RS1 = 4
+COL_RS2 = 5
+COL_IMM_LO = 6
 COL_REG_LO = 8           # 16 reg value-lo columns 8..23
 COL_REG_HI = 24          # 16 reg value-hi columns 24..39
 COL_R0_LIMB0 = 8
@@ -78,24 +106,60 @@ COL_PC_CARRY = 46
 COL_CHUNK0 = 47          # 4 range-check chunk columns 47..50
 COL_SEL0 = 51            # 50 opcode one-hot selector columns 51..100
 COL_RD1H0 = 51 + N_OPS   # 16 rd one-hot columns 101..116
+# ALU result-binding block (prover/trace.py docstring).
+COL_RS1H0 = N_DECODE_COLUMNS          # 16 rs1 one-hot columns
+COL_RS2H0 = N_DECODE_COLUMNS + 16     # 16 rs2 one-hot columns
+COL_RES_LO = N_DECODE_COLUMNS + 32
+COL_RES_HI = N_DECODE_COLUMNS + 33
+COL_CARRY0 = N_DECODE_COLUMNS + 34
+COL_CARRY1 = N_DECODE_COLUMNS + 35
+COL_IMM_S = N_DECODE_COLUMNS + 36
+COL_IMM_Q0 = N_DECODE_COLUMNS + 37
+COL_IMM_Q1 = N_DECODE_COLUMNS + 38
+COL_IMM_Q0HI = N_DECODE_COLUMNS + 39
+COL_RES_CH0 = N_DECODE_COLUMNS + 40   # rl0, rl1, rh0, rh1
 # Lookup columns appended by the prover when range_lookup is enabled:
-COL_TABLE = N_COLUMNS        # table values t_i
-COL_MULT0 = N_COLUMNS + 1    # 5 multiplicity columns
+COL_TABLE = N_COLUMNS                 # table values t_i
+COL_MULT0 = N_COLUMNS + 1             # NUM_LOOKUP multiplicity columns
 
-# Opcodes that write their rd register: everything except stores
-# (0x38-0x3B), branches (0x40-0x45), ECALL (0x50) and EBREAK (0x51)
-# (dispatch families in execute.rs / interp/columnar.py).
-WRITING_OPS = frozenset(
-    v for v in OP_VALUES
-    if not (0x38 <= v <= 0x3B or 0x40 <= v <= 0x45 or v in (0x50, 0x51)))
 OP_ECALL = 0x50
+COL_OPCODE = 2
 
-NUM_SINGLE = 4 + N_OPS + 2 + 16 + 2
-NUM_TRANS = 2 + 30
+# ----------------------------------------------------------------------
+# LogUp channels.  Every channel witness is AFFINE in the committed
+# columns: w = const + sum coef_j * col_j (mod p), and must land in the
+# 10-bit staircase table [0, 1024).
+#
+#   chunk0-3   range-check chunk decomposition of deferred values
+#   seq        is_seq derivation: 16*op - 1024*(1 - is_seq) in-table
+#              iff is_seq == (op < 0x40) (banked opcode numbering)
+#   imm_q0     immediate bits [0, 10)
+#   imm_q1     16 * (immediate bits [10, 16)) -- forces q1 < 2^6
+#   imm_q0hi   16 * (q0 bits [4, 10)) -- forces q0hi < 2^6, pinning the
+#              rs2 bitfield via q0 = rs2 + 16*q0hi
+#   rl0/rl1/rh0/rh1  10-bit chunks of res_lo/res_hi -- force the written
+#              register limbs below 2^20
+# ----------------------------------------------------------------------
+CHANNELS = (
+    ("chunk0", 0, ((COL_CHUNK0 + 0, 1),)),
+    ("chunk1", 0, ((COL_CHUNK0 + 1, 1),)),
+    ("chunk2", 0, ((COL_CHUNK0 + 2, 1),)),
+    ("chunk3", 0, ((COL_CHUNK0 + 3, 1),)),
+    ("seq", P - 1024, ((COL_OPCODE, 16), (COL_IS_SEQ, 1024))),
+    ("imm_q0", 0, ((COL_IMM_Q0, 1),)),
+    ("imm_q1", 0, ((COL_IMM_Q1, 16),)),
+    ("imm_q0hi", 0, ((COL_IMM_Q0HI, 16),)),
+    ("rl0", 0, ((COL_RES_CH0 + 0, 1),)),
+    ("rl1", 0, ((COL_RES_CH0 + 1, 1),)),
+    ("rh0", 0, ((COL_RES_CH0 + 2, 1),)),
+    ("rh1", 0, ((COL_RES_CH0 + 3, 1),)),
+)
+NUM_LOOKUP = len(CHANNELS)
+
+NUM_SINGLE = 4 + N_OPS + 2 + 16 + 2 + 36 + 3 + 4 + 8
+NUM_TRANS = 2 + 30 + 30
 NUM_FIRST = 30           # boundary: registers start zeroed
 NUM_CONSTRAINTS = NUM_SINGLE + NUM_TRANS + NUM_FIRST
-NUM_LOOKUP = 5           # 4 chunk channels + the is_seq derivation channel
-COL_OPCODE = 2
 
 # The is_seq selector is DERIVED from the opcode by the 5th lookup channel:
 # with banked opcode numbering, sequential ops are exactly op < 0x40, so
@@ -162,17 +226,97 @@ def constraint_evals(ext_r, ext_i, log_n: int, log_blowup: int):
     singles.append(cm31_sub(sel_sum, one))
     singles.append(cm31_sub(op_sum, col(COL_OPCODE)))
 
-    # rd one-hot binding.
-    e = [col(COL_RD1H0 + i) for i in range(16)]
-    for ei in e:
-        singles.append(cm31_mul(ei, cm31_sub(ei, one)))
-    e_sum = e[0]
-    rd_sum = _scalar_vec((0, 0), big)
-    for i in range(1, 16):
-        e_sum = cm31_add(e_sum, e[i])
-        rd_sum = cm31_add(rd_sum, cm31_mul(e[i], _scalar_vec((i, 0), big)))
-    singles.append(cm31_sub(e_sum, one))
-    singles.append(cm31_sub(rd_sum, col(COL_RD)))
+    # rd / rs1 / rs2 one-hot bindings.
+    def onehot_block(base, field_col):
+        blk = [col(base + i) for i in range(16)]
+        for bi in blk:
+            singles.append(cm31_mul(bi, cm31_sub(bi, one)))
+        b_sum = blk[0]
+        f_sum = _scalar_vec((0, 0), big)
+        for i in range(1, 16):
+            b_sum = cm31_add(b_sum, blk[i])
+            f_sum = cm31_add(f_sum, cm31_mul(blk[i], _scalar_vec((i, 0), big)))
+        singles.append(cm31_sub(b_sum, one))
+        singles.append(cm31_sub(f_sum, col(field_col)))
+        return blk
+
+    e = onehot_block(COL_RD1H0, COL_RD)
+    e1 = onehot_block(COL_RS1H0, COL_RS1)
+    e2 = onehot_block(COL_RS2H0, COL_RS2)
+
+    # Booleans: carries and the immediate sign bit.
+    c0 = col(COL_CARRY0)
+    c1 = col(COL_CARRY1)
+    s_imm = col(COL_IMM_S)
+    for bcol in (c0, c1, s_imm):
+        singles.append(cm31_mul(bcol, cm31_sub(bcol, one)))
+
+    # Immediate decomposition: imm = q0 + 2^10 q1 + 2^16 s, q0 = rs2 + 16 q0hi
+    # (chunk ranges enforced by the lookup channels).
+    q0 = col(COL_IMM_Q0)
+    singles.append(cm31_sub(
+        col(COL_IMM_LO),
+        cm31_add(cm31_add(q0, cm31_mul(col(COL_IMM_Q1),
+                                       _scalar_vec((1 << 10, 0), big))),
+                 cm31_mul(s_imm, _scalar_vec((1 << 16, 0), big)))))
+    singles.append(cm31_sub(
+        q0, cm31_add(col(COL_RS2), cm31_mul(col(COL_IMM_Q0HI),
+                                            _scalar_vec((16, 0), big)))))
+
+    # Result limb decomposition: res = ch0 + 2^10 ch1 per limb.
+    res_lo = col(COL_RES_LO)
+    res_hi = col(COL_RES_HI)
+    for res, c_base in ((res_lo, COL_RES_CH0), (res_hi, COL_RES_CH0 + 2)):
+        singles.append(cm31_sub(
+            res, cm31_add(col(c_base), cm31_mul(
+                col(c_base + 1), _scalar_vec((1 << 10, 0), big)))))
+
+    # Operand values via one-hot inner product over the register file
+    # (degree 2; this row's committed registers are the pre-state).
+    def operand(blk, base):
+        acc = cm31_mul(blk[0], col(base))
+        for i in range(1, 16):
+            acc = cm31_add(acc, cm31_mul(blk[i], col(base + i)))
+        return acc
+
+    a_lo, a_hi = operand(e1, COL_REG_LO), operand(e1, COL_REG_HI)
+    b_lo, b_hi = operand(e2, COL_REG_LO), operand(e2, COL_REG_HI)
+
+    # Op-specific result pins (degree 3): res = a OP b mod 2^40 with
+    # carry/borrow bits; see module docstring for the integer-range
+    # soundness argument.
+    sel_by = {v: sel[j] for j, v in enumerate(OP_VALUES)}
+    two17 = (1 << 20) - (1 << 17)
+
+    def pin(selector, lo_expr, hi_expr):
+        singles.append(cm31_mul(selector, lo_expr))
+        singles.append(cm31_mul(selector, hi_expr))
+
+    c0_sh = cm31_mul(c0, two20)
+    c1_sh = cm31_mul(c1, two20)
+    # ADD: a + b = res + 2^20 c0 (lo); a_hi + b_hi + c0 = res_hi + 2^20 c1.
+    pin(sel_by[0x00],
+        cm31_sub(cm31_add(a_lo, b_lo), cm31_add(res_lo, c0_sh)),
+        cm31_sub(cm31_add(cm31_add(a_hi, b_hi), c0),
+                 cm31_add(res_hi, c1_sh)))
+    # SUB: a - b = res - 2^20 c0 (borrow).
+    pin(sel_by[0x01],
+        cm31_sub(cm31_add(a_lo, c0_sh), cm31_add(b_lo, res_lo)),
+        cm31_sub(cm31_add(a_hi, c1_sh),
+                 cm31_add(cm31_add(b_hi, c0), res_hi)))
+    # ADDI: b = sext17(imm) with limbs (imm + s*(2^20 - 2^17), s*(2^20-1)).
+    i_lo = cm31_add(col(COL_IMM_LO),
+                    cm31_mul(s_imm, _scalar_vec((two17, 0), big)))
+    i_hi = cm31_mul(s_imm, _scalar_vec(((1 << 20) - 1, 0), big))
+    pin(sel_by[0x08],
+        cm31_sub(cm31_add(a_lo, i_lo), cm31_add(res_lo, c0_sh)),
+        cm31_sub(cm31_add(cm31_add(a_hi, i_hi), c0),
+                 cm31_add(res_hi, c1_sh)))
+    # JAL/JALR: rd = pc + 4 mod 2^40.
+    sel_jump = cm31_add(sel_by[0x48], sel_by[0x49])
+    pin(sel_jump,
+        cm31_sub(cm31_add(col(COL_PC_LO), four), cm31_add(res_lo, c0_sh)),
+        cm31_sub(cm31_add(col(COL_PC_HI), c0), cm31_add(res_hi, c1_sh)))
 
     pc_lo, pc_hi = col(COL_PC_LO), col(COL_PC_HI)
     pc_lo_n, pc_hi_n = nxt(COL_PC_LO), nxt(COL_PC_HI)
@@ -204,6 +348,17 @@ def constraint_evals(ext_r, ext_i, log_n: int, log_blowup: int):
         for base in (COL_REG_LO, COL_REG_HI):
             delta = cm31_sub(nxt(base + r), col(base + r))
             transitions.append(cm31_mul(factor, delta))
+
+    # Result binding: on a writing row the destination register's next-row
+    # value must equal the committed result limbs (degree 3).  Together
+    # with the op-specific pins above this links e.g. ADD's written value
+    # to rs1 + rs2.
+    for r in range(1, 16):
+        we = cm31_mul(w, e[r])
+        transitions.append(cm31_mul(we, cm31_sub(nxt(COL_REG_LO + r),
+                                                 res_lo)))
+        transitions.append(cm31_mul(we, cm31_sub(nxt(COL_REG_HI + r),
+                                                 res_hi)))
 
     # Boundary: the machine starts with a zeroed register file.
     firsts = [col(base + r)
@@ -266,10 +421,11 @@ def _vanishing_tables(log_n: int, log_blowup: int, shift: Tuple[int, int]):
 
 def lookup_constraint_evals(ext_r, ext_i, s_ext, beta: Tuple[int, int],
                             log_blowup: int):
-    """The 4 cyclic LogUp constraints on the LDE domain.
+    """The cyclic LogUp constraints on the LDE domain, one per CHANNELS
+    entry.
 
-    Per chunk column k (w = chunks, m = multiplicities, t = table, S the
-    phase-2 partial-sum column):
+    Per channel k (w = the channel's affine witness, m = multiplicities,
+    t = table, S the phase-2 partial-sum column):
 
         (S' - S) (beta - w) (beta - t)  -  (beta - t)  +  m (beta - w) = 0
 
@@ -281,30 +437,25 @@ def lookup_constraint_evals(ext_r, ext_i, s_ext, beta: Tuple[int, int],
     beta_vec = _scalar_vec(beta, big)
     t = (ext_r[COL_TABLE], ext_i[COL_TABLE])
     bt = cm31_sub(beta_vec, t)
+    sr, si = s_ext
 
-    def channel(w, k):
+    def affine_vec(const, terms):
+        acc = _scalar_vec((const % P, 0), big)
+        for c, coef in terms:
+            acc = cm31_add(acc, cm31_mul(
+                (ext_r[c], ext_i[c]), _scalar_vec((coef % P, 0), big)))
+        return acc
+
+    out = []
+    for k, (_, const, terms) in enumerate(CHANNELS):
+        w = affine_vec(const, terms)
         m = (ext_r[COL_MULT0 + k], ext_i[COL_MULT0 + k])
         s = (sr[k], si[k])
         s_next = (jnp.roll(sr[k], -blowup), jnp.roll(si[k], -blowup))
         bw = cm31_sub(beta_vec, w)
         lhs = cm31_mul(cm31_mul(cm31_sub(s_next, s), bw), bt)
         rhs = cm31_sub(bt, cm31_mul(m, bw))
-        return cm31_sub(lhs, rhs)
-
-    out = []
-    sr, si = s_ext
-    for k in range(4):
-        w = (ext_r[COL_CHUNK0 + k], ext_i[COL_CHUNK0 + k])
-        out.append(channel(w, k))
-    # Channel 4: derived is_seq witness w = 16*op - 1024*(1 - is_seq).
-    op_col = (ext_r[COL_OPCODE], ext_i[COL_OPCODE])
-    s_seq = (ext_r[COL_IS_SEQ], ext_i[COL_IS_SEQ])
-    sixteen = _scalar_vec((16, 0), big)
-    k1024 = _scalar_vec((1024, 0), big)
-    w_seq = cm31_add(
-        cm31_sub(cm31_mul(sixteen, op_col), k1024),
-        cm31_mul(k1024, s_seq))
-    out.append(channel(w_seq, 4))
+        out.append(cm31_sub(lhs, rhs))
     return out
 
 
@@ -395,15 +546,79 @@ def constraint_value_at(row: List[int], next_row: List[int], n_cols: int):
     singles.append(_sub2(sel_sum, one))
     singles.append(_sub2(op_sum, cval(row, COL_OPCODE)))
 
-    e = [cval(row, COL_RD1H0 + i) for i in range(16)]
-    for ei in e:
-        singles.append(cm31_mul_scalar(ei, _sub2(ei, one)))
-    e_sum, rd_sum = (0, 0), (0, 0)
-    for i in range(16):
-        e_sum = _add2(e_sum, e[i])
-        rd_sum = _add2(rd_sum, cm31_mul_scalar(e[i], (i, 0)))
-    singles.append(_sub2(e_sum, one))
-    singles.append(_sub2(rd_sum, cval(row, COL_RD)))
+    def onehot_block(base, field_col):
+        blk = [cval(row, base + i) for i in range(16)]
+        for bi in blk:
+            singles.append(cm31_mul_scalar(bi, _sub2(bi, one)))
+        b_sum, f_sum = (0, 0), (0, 0)
+        for i in range(16):
+            b_sum = _add2(b_sum, blk[i])
+            f_sum = _add2(f_sum, cm31_mul_scalar(blk[i], (i, 0)))
+        singles.append(_sub2(b_sum, one))
+        singles.append(_sub2(f_sum, cval(row, field_col)))
+        return blk
+
+    e = onehot_block(COL_RD1H0, COL_RD)
+    e1 = onehot_block(COL_RS1H0, COL_RS1)
+    e2 = onehot_block(COL_RS2H0, COL_RS2)
+
+    c0 = cval(row, COL_CARRY0)
+    c1 = cval(row, COL_CARRY1)
+    s_imm = cval(row, COL_IMM_S)
+    for bcol in (c0, c1, s_imm):
+        singles.append(cm31_mul_scalar(bcol, _sub2(bcol, one)))
+
+    q0 = cval(row, COL_IMM_Q0)
+    singles.append(_sub2(
+        cval(row, COL_IMM_LO),
+        _add2(_add2(q0, cm31_mul_scalar(cval(row, COL_IMM_Q1),
+                                        (1 << 10, 0))),
+              cm31_mul_scalar(s_imm, (1 << 16, 0)))))
+    singles.append(_sub2(
+        q0, _add2(cval(row, COL_RS2),
+                  cm31_mul_scalar(cval(row, COL_IMM_Q0HI), (16, 0)))))
+
+    res_lo = cval(row, COL_RES_LO)
+    res_hi = cval(row, COL_RES_HI)
+    for res, c_base in ((res_lo, COL_RES_CH0), (res_hi, COL_RES_CH0 + 2)):
+        singles.append(_sub2(
+            res, _add2(cval(row, c_base),
+                       cm31_mul_scalar(cval(row, c_base + 1),
+                                       (1 << 10, 0)))))
+
+    def operand(blk, base):
+        acc = (0, 0)
+        for i in range(16):
+            acc = _add2(acc, cm31_mul_scalar(blk[i], cval(row, base + i)))
+        return acc
+
+    a_lo, a_hi = operand(e1, COL_REG_LO), operand(e1, COL_REG_HI)
+    b_lo, b_hi = operand(e2, COL_REG_LO), operand(e2, COL_REG_HI)
+
+    sel_by = {v: sel[j] for j, v in enumerate(OP_VALUES)}
+    two17 = (1 << 20) - (1 << 17)
+    c0_sh = cm31_mul_scalar(c0, (1 << 20, 0))
+    c1_sh = cm31_mul_scalar(c1, (1 << 20, 0))
+
+    def pin(selector, lo_expr, hi_expr):
+        singles.append(cm31_mul_scalar(selector, lo_expr))
+        singles.append(cm31_mul_scalar(selector, hi_expr))
+
+    pin(sel_by[0x00],
+        _sub2(_add2(a_lo, b_lo), _add2(res_lo, c0_sh)),
+        _sub2(_add2(_add2(a_hi, b_hi), c0), _add2(res_hi, c1_sh)))
+    pin(sel_by[0x01],
+        _sub2(_add2(a_lo, c0_sh), _add2(b_lo, res_lo)),
+        _sub2(_add2(a_hi, c1_sh), _add2(_add2(b_hi, c0), res_hi)))
+    i_lo = _add2(cval(row, COL_IMM_LO), cm31_mul_scalar(s_imm, (two17, 0)))
+    i_hi = cm31_mul_scalar(s_imm, ((1 << 20) - 1, 0))
+    pin(sel_by[0x08],
+        _sub2(_add2(a_lo, i_lo), _add2(res_lo, c0_sh)),
+        _sub2(_add2(_add2(a_hi, i_hi), c0), _add2(res_hi, c1_sh)))
+    sel_jump = _add2(sel_by[0x48], sel_by[0x49])
+    pin(sel_jump,
+        _sub2(_add2(cval(row, COL_PC_LO), (4, 0)), _add2(res_lo, c0_sh)),
+        _sub2(_add2(cval(row, COL_PC_HI), c0), _add2(res_hi, c1_sh)))
 
     pc_lo = cval(row, COL_PC_LO)
     pc_hi = cval(row, COL_PC_HI)
@@ -431,6 +646,13 @@ def constraint_value_at(row: List[int], next_row: List[int], n_cols: int):
             delta = _sub2(cval(next_row, base + r), cval(row, base + r))
             transitions.append(cm31_mul_scalar(factor, delta))
 
+    for r in range(1, 16):
+        we = cm31_mul_scalar(w, e[r])
+        transitions.append(cm31_mul_scalar(
+            we, _sub2(cval(next_row, COL_REG_LO + r), res_lo)))
+        transitions.append(cm31_mul_scalar(
+            we, _sub2(cval(next_row, COL_REG_HI + r), res_hi)))
+
     firsts = [cval(row, base + r)
               for r in range(1, 16) for base in (COL_REG_LO, COL_REG_HI)]
     return singles, transitions, firsts
@@ -452,24 +674,18 @@ def lookup_constraint_values_at(row, next_row, s_row, s_next, n_cols: int,
     t = cval(row, COL_TABLE)
     bt = _sub2(beta, t)
 
-    def channel(w, k):
+    out = []
+    for k, (_, const, terms) in enumerate(CHANNELS):
+        w = (const % P, 0)
+        for c, coef in terms:
+            w = _add2(w, cm31_mul_scalar(cval(row, c), (coef % P, 0)))
         m = cval(row, COL_MULT0 + k)
         s = sval(s_row, k)
         s_n = sval(s_next, k)
         bw = _sub2(beta, w)
         lhs = cm31_mul_scalar(cm31_mul_scalar(_sub2(s_n, s), bw), bt)
         rhs = _sub2(bt, cm31_mul_scalar(m, bw))
-        return _sub2(lhs, rhs)
-
-    out = []
-    for k in range(4):
-        out.append(channel(cval(row, COL_CHUNK0 + k), k))
-    op_col = cval(row, COL_OPCODE)
-    s_seq = cval(row, COL_IS_SEQ)
-    w_seq = _add2(
-        _sub2(cm31_mul_scalar((16, 0), op_col), (1024, 0)),
-        cm31_mul_scalar((1024, 0), s_seq))
-    out.append(channel(w_seq, 4))
+        out.append(_sub2(lhs, rhs))
     return out
 
 

@@ -43,7 +43,7 @@ from ..ops.ntt import (
 )
 from ..spec.field import M31_PRIME
 from .challenger import Challenger
-from .constraints import quotient_evals, quotient_value_at
+from .constraints import NUM_LOOKUP, quotient_evals, quotient_value_at
 from .fri import FriConfig, fri_prove, fri_verify
 
 P = M31_PRIME
@@ -57,12 +57,24 @@ def _coset_shift() -> Tuple[int, int]:
 def _pad_rows(matrix: np.ndarray, min_log: int = 2):
     """Pad to 2^log_n rows with EBREAK rows ("a halted machine keeps
     halting"): opcode 0x51, valid one-hot selector blocks, and the final
-    row's register file replicated — so the decode, is_seq-lookup and
-    register-write-consistency constraints all hold on padding."""
+    row's register file replicated — so the decode, is_seq-lookup,
+    register-write-consistency and result-binding constraints all hold
+    on padding.
+
+    Requires the final real row to be a halt (EBREAK/ECALL/branch —
+    any non-writing op): the post-state of a final *writing* row is not
+    observable, so replicating its pre-state registers would violate the
+    result-binding constraint on an honest trace."""
     from .constraints import (
-        COL_OPCODE, COL_RD1H0, COL_REG_LO, COL_SEL0, OP_VALUES)
+        COL_OPCODE, COL_RD1H0, COL_REG_LO, COL_RS1H0, COL_RS2H0, COL_SEL0,
+        OP_VALUES)
+    from .trace import WRITING_OPS
 
     n_rows = matrix.shape[0]
+    if n_rows > 0 and int(matrix[-1, COL_OPCODE]) in WRITING_OPS:
+        raise ValueError(
+            "trace must end in a non-writing (halt) row; got opcode "
+            f"{int(matrix[-1, COL_OPCODE]):#x}")
     log_n = max((n_rows - 1).bit_length(), min_log)
     padded = np.zeros(((1 << log_n), matrix.shape[1]), dtype=np.uint32)
     padded[:n_rows] = matrix
@@ -70,76 +82,86 @@ def _pad_rows(matrix: np.ndarray, min_log: int = 2):
         padded[n_rows:, COL_OPCODE] = 0x51
         padded[n_rows:, COL_SEL0 + OP_VALUES.index(0x51)] = 1
         padded[n_rows:, COL_RD1H0] = 1          # rd field 0 -> e_0
+        padded[n_rows:, COL_RS1H0] = 1
+        padded[n_rows:, COL_RS2H0] = 1
         padded[n_rows:, COL_REG_LO:COL_REG_LO + 32] = \
             matrix[-1, COL_REG_LO:COL_REG_LO + 32]
     return padded, log_n
 
 
-def _derived_seq_witness(padded: np.ndarray) -> np.ndarray:
-    """w = 16*op - 1024*(1 - is_seq) mod p (the is_seq derivation values)."""
-    from .constraints import COL_IS_SEQ, COL_OPCODE
+def _channel_witnesses(padded: np.ndarray) -> np.ndarray:
+    """Evaluate every CHANNELS affine witness over the trace rows:
+    uint32 [n_channels, n] (values in [0, p))."""
+    from .constraints import CHANNELS
 
-    op = padded[:, COL_OPCODE].astype(np.int64)
-    s = padded[:, COL_IS_SEQ].astype(np.int64)
-    return ((16 * op - 1024 * (1 - s)) % P).astype(np.uint32)
+    n = padded.shape[0]
+    out = np.zeros((len(CHANNELS), n), dtype=np.uint32)
+    for k, (_, const, terms) in enumerate(CHANNELS):
+        acc = np.full(n, const % P, dtype=np.uint64)
+        for c, coef in terms:
+            acc = (acc + padded[:, c].astype(np.uint64) * (coef % P)) % P
+        out[k] = acc.astype(np.uint32)
+    return out
 
 
 def _build_lookup_columns(padded: np.ndarray):
-    """Append the table column t_i = min(i, 1023) and the 5 multiplicity
-    histograms: 4 chunk columns plus the derived is_seq witness
-    (beta-independent -> phase 1)."""
-    from .constraints import COL_CHUNK0
-
+    """Append the table column t_i = min(i, 1023) and one multiplicity
+    histogram per lookup channel (beta-independent -> phase 1)."""
     n = padded.shape[0]
     assert n >= 1024, "range lookup needs >= 1024 rows (full table)"
     t_col = np.minimum(np.arange(n), 1023).astype(np.uint32)
+    witnesses = _channel_witnesses(padded)
     m_cols = [
-        np.bincount(padded[:, COL_CHUNK0 + k], minlength=n)[:n]
-        .astype(np.uint32)
-        for k in range(4)
+        np.bincount(w, minlength=n)[:n].astype(np.uint32)
+        for w in witnesses
     ]
-    w_seq = _derived_seq_witness(padded)
-    m_cols.append(
-        np.bincount(w_seq, minlength=n)[:n].astype(np.uint32))
     return np.concatenate(
         [padded, t_col[:, None]] + [m[:, None] for m in m_cols], axis=1)
 
 
 def _build_partial_sums(padded: np.ndarray, beta):
-    """The 4 LogUp partial-sum columns on the trace domain (CM31 pairs).
+    """The LogUp partial-sum columns on the trace domain (CM31 pairs),
+    one per channel, fully vectorized:
 
     s_k[0] = 0; s_k[i+1 mod n] = s_k[i] + 1/(beta - w_k[i]) - m_k[i]/(beta - t_i).
     """
-    from ..ops.ntt import cm31_inv_scalar, cm31_mul_scalar
+    from ..ops.field_ops import m31_batch_inv, m31_mul
 
-    from .constraints import COL_CHUNK0, COL_MULT0, COL_TABLE
+    import jax.numpy as jnp
+
+    from .constraints import CHANNELS, COL_MULT0, COL_TABLE
 
     n = padded.shape[0]
-    n_ch = 5
+    n_ch = len(CHANNELS)
+    witnesses = _channel_witnesses(padded)          # [n_ch, n]
+    t = padded[:, COL_TABLE].astype(np.uint64)
+    m = np.stack([padded[:, COL_MULT0 + k] for k in range(n_ch)]) \
+        .astype(np.uint64)                          # [n_ch, n]
+
+    # 1/(beta - w) and 1/(beta - t) in CM31 via one batched M31 inversion:
+    # 1/(a + bi) = (a - bi) / (a^2 + b^2).
+    br, bi = beta[0] % P, beta[1] % P
+    dr = np.concatenate([(br - witnesses.astype(np.int64)) % P,
+                         ((br - t.astype(np.int64)) % P)[None, :]], axis=0)
+    di = np.full_like(dr, bi)
+    norm = (dr * dr + di * di) % P
+    ninv = np.asarray(m31_batch_inv(jnp.asarray(norm.astype(np.uint32)))
+                      ).astype(np.uint64)
+    inv_r = (dr.astype(np.uint64) * ninv) % P
+    inv_i = ((P - di.astype(np.uint64)) % P * ninv) % P
+
+    iw_r, iw_i = inv_r[:n_ch], inv_i[:n_ch]
+    it_r, it_i = inv_r[n_ch], inv_i[n_ch]
+    # Per-row term: 1/(beta - w) - m/(beta - t); then S = exclusive cumsum.
+    term_r = (iw_r + (P - (m * it_r[None, :]) % P)) % P
+    term_i = (iw_i + (P - (m * it_i[None, :]) % P)) % P
+    # int64 cumsum is exact for n < 2^32 rows (terms < 2^31).
+    cum_r = np.cumsum(term_r.astype(np.int64), axis=1) % P
+    cum_i = np.cumsum(term_i.astype(np.int64), axis=1) % P
     s_r = np.zeros((n_ch, n), dtype=np.uint32)
     s_i = np.zeros((n_ch, n), dtype=np.uint32)
-    w_seq = _derived_seq_witness(padded)
-    # Precompute 1/(beta - v) for table values once.
-    inv_cache = {}
-
-    def inv_bv(v):
-        if v not in inv_cache:
-            inv_cache[v] = cm31_inv_scalar(((beta[0] - int(v)) % P, beta[1]))
-        return inv_cache[v]
-
-    for k in range(n_ch):
-        cur = (0, 0)
-        for i in range(n):
-            s_r[k, i] = cur[0]
-            s_i[k, i] = cur[1]
-            w = int(w_seq[i]) if k == 4 else int(padded[i, COL_CHUNK0 + k])
-            m = int(padded[i, COL_MULT0 + k])
-            t = int(padded[i, COL_TABLE])
-            iw = inv_bv(w)
-            cur = ((cur[0] + iw[0]) % P, (cur[1] + iw[1]) % P)
-            if m:
-                it = cm31_mul_scalar((m % P, 0), inv_bv(t))
-                cur = ((cur[0] - it[0]) % P, (cur[1] - it[1]) % P)
+    s_r[:, 1:] = cum_r[:, :-1].astype(np.uint32)
+    s_i[:, 1:] = cum_i[:, :-1].astype(np.uint32)
     return s_r, s_i
 
 
@@ -277,7 +299,8 @@ def prove_trace(matrix: np.ndarray,
 
     extra_cols = []
     if range_lookup:
-        extra_cols += [(lookup[0][0][k], lookup[0][1][k]) for k in range(5)]
+        extra_cols += [(lookup[0][0][k], lookup[0][1][k])
+                       for k in range(NUM_LOOKUP)]
     extra_cols += q_chunks
     batch_r, batch_i = _combine(ext_r, ext_i, extra_cols, alpha_b)
     fri_proof = fri_prove(batch_r, batch_i, log_big, challenger, fri_config,
@@ -381,7 +404,8 @@ def verify_trace(proof: Dict[str, Any]) -> bool:
             rows[j] = row
             q_vals[j] = ((qrow[0], qrow[1]), (qrow[2], qrow[3]))
             if range_lookup:
-                srow = check_opening(opening["sums"], s_root, j, 10)
+                srow = check_opening(opening["sums"], s_root, j,
+                                     2 * NUM_LOOKUP)
                 if srow is None:
                     return False
                 s_vals[j] = srow
@@ -398,8 +422,8 @@ def verify_trace(proof: Dict[str, Any]) -> bool:
                 acc = ((acc[0] + term[0]) % P, (acc[1] + term[1]) % P)
                 power = cm31_mul_scalar(power, alpha_b)
             if range_lookup:
-                for kk in range(5):
-                    s_col = (s_vals[j][kk], s_vals[j][5 + kk])
+                for kk in range(NUM_LOOKUP):
+                    s_col = (s_vals[j][kk], s_vals[j][NUM_LOOKUP + kk])
                     sterm = cm31_mul_scalar(s_col, power)
                     acc = ((acc[0] + sterm[0]) % P, (acc[1] + sterm[1]) % P)
                     power = cm31_mul_scalar(power, alpha_b)

@@ -11,6 +11,25 @@ plus the AIR helper columns [is_seq, pc_carry] (see prover/constraints.py),
 the 4 range-check chunk columns, the 50-column opcode one-hot selector
 block, and the 16-column rd one-hot block.
 
+ALU result-binding witness columns (prover/constraints.py):
+
+    rs1 one-hot [16], rs2 one-hot [16],
+    res_lo, res_hi      -- the value written by this row's instruction
+                           (canonical 40-bit view, 2 x 20-bit limbs),
+    c0, c1              -- per-limb carry/borrow bits of the pinned ops,
+    imm_s, imm_q0, imm_q1, imm_q0hi
+                        -- immediate decomposition: the raw 17-bit field
+                           imm = q0 + 2^10 q1 + 2^16 s with q0 < 2^10,
+                           q1 < 2^6, s the sign bit; q0 = rs2 + 16 q0hi
+                           pins the overlapping rs2 bitfield,
+    rl0, rl1, rh0, rh1  -- 10-bit chunks of res_lo/res_hi (range lookup).
+
+``res`` is semantically pinned for ADD/SUB/ADDI/JAL/JALR; for other
+writing opcodes it commits the observed written value (the canonical
+next-row rd) and awaits op-specific constraints.  Traces must end in a
+halt row (EBREAK/ECALL): the post-state of a final *writing* row is
+unobservable, so such traces are rejected at prove time.
+
 Register columns commit the *canonical value view*: the 40-bit value
 ``(limb0 + limb1*2^20) mod 2^40`` regardless of the machine's internal
 packing (accumulated registers pack at 30-bit boundaries — see
@@ -51,7 +70,21 @@ OP_VALUES = (
 N_OPS = len(OP_VALUES)
 
 N_BASE_COLUMNS = 8 + 32 + 5 + 2 + 4          # 51: layout above
-N_COLUMNS = N_BASE_COLUMNS + N_OPS + 16      # + opcode one-hot + rd one-hot
+N_DECODE_COLUMNS = N_BASE_COLUMNS + N_OPS + 16   # + opcode 1-hot + rd 1-hot
+# ALU result-binding block: rs1/rs2 one-hots, result limbs, carries,
+# immediate decomposition, result range chunks.
+N_COLUMNS = N_DECODE_COLUMNS + 16 + 16 + 2 + 2 + 4 + 4
+
+# Opcodes whose result value is pinned by an AIR constraint.
+_OP_ADD, _OP_SUB, _OP_ADDI = 0x00, 0x01, 0x08
+_OP_JAL, _OP_JALR = 0x48, 0x49
+
+# Opcodes that write their rd register: everything except stores
+# (0x38-0x3B), branches (0x40-0x45), ECALL (0x50) and EBREAK (0x51)
+# (dispatch families in execute.rs / interp/columnar.py).
+WRITING_OPS = frozenset(
+    v for v in OP_VALUES
+    if not (0x38 <= v <= 0x3B or 0x40 <= v <= 0x45 or v in (0x50, 0x51)))
 
 
 def selector_blocks(op_col: np.ndarray, rd_col: np.ndarray):
@@ -136,5 +169,72 @@ def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0) -> np.ndarray:
     # register-file write consistency; prover/constraints.py).
     sel, rd1h = selector_blocks(out[:, 2], out[:, 3])
     out[:, N_BASE_COLUMNS:N_BASE_COLUMNS + N_OPS] = sel
-    out[:, N_BASE_COLUMNS + N_OPS:N_COLUMNS] = rd1h
+    out[:, N_BASE_COLUMNS + N_OPS:N_DECODE_COLUMNS] = rd1h
+
+    # --- ALU result-binding witness block (module docstring) ---
+    b0 = N_DECODE_COLUMNS
+    rs1 = out[:, 4]
+    rs2 = out[:, 5]
+    out[:, b0:b0 + 16] = (
+        rs1[:, None] == np.arange(16, dtype=np.uint32)[None, :])
+    out[:, b0 + 16:b0 + 32] = (
+        rs2[:, None] == np.arange(16, dtype=np.uint32)[None, :])
+
+    # Immediate decomposition of the raw 17-bit field.
+    imm17 = out[:, 6]
+    s_bit = imm17 >> 16
+    out[:, b0 + 36] = s_bit                       # imm_s
+    out[:, b0 + 37] = imm17 & 0x3FF               # imm_q0
+    out[:, b0 + 38] = (imm17 >> 10) & 0x3F        # imm_q1
+    out[:, b0 + 39] = (imm17 >> 4) & 0x3F         # imm_q0hi
+
+    # Result value + carries.  Operand values are the canonical register
+    # view of *this* row (pre-state); the result lands in the next row.
+    a = np.take_along_axis(values, rs1[:, None].astype(np.int64), axis=1)[:, 0]
+    b = np.take_along_axis(values, rs2[:, None].astype(np.int64), axis=1)[:, 0]
+    sext_imm = (imm17.astype(np.uint64)
+                + s_bit.astype(np.uint64) * ((1 << 40) - (1 << 17)))
+    pc40 = pc & _M40
+
+    next_rd = np.zeros(n, dtype=np.uint64)
+    if n > 1:
+        rd_idx = out[:-1, 3].astype(np.int64)
+        next_rd[:-1] = np.take_along_axis(
+            values[1:], rd_idx[:, None], axis=1)[:, 0]
+
+    is_jal = (op == _OP_JAL) | (op == _OP_JALR)
+    res = np.select(
+        [op == _OP_ADD, op == _OP_SUB, op == _OP_ADDI, is_jal],
+        [(a + b) & _M40, (a - b) & _M40, (a + sext_imm) & _M40,
+         (pc40 + 4) & _M40],
+        default=0,
+    )
+    writing = np.isin(op, list(WRITING_OPS))
+    pinned = ((op == _OP_ADD) | (op == _OP_SUB) | (op == _OP_ADDI) | is_jal)
+    res = np.where(pinned, res, np.where(writing, next_rd, 0))
+
+    # Carry/borrow witnesses for the pinned ops (b operand per family).
+    a_lo, a_hi = a & _M20, (a >> 20) & _M20
+    badd = np.select([op == _OP_ADD, op == _OP_ADDI, is_jal],
+                     [b, sext_imm, np.full(n, 4, dtype=np.uint64)], default=0)
+    aadd = np.where(is_jal, pc40, a)
+    c0_add = ((aadd & _M20) + (badd & _M20)) >> 20
+    c1_add = (((aadd >> 20) & _M20) + ((badd >> 20) & _M20) + c0_add) >> 20
+    c0_sub = (a_lo < (b & _M20)).astype(np.uint64)
+    c1_sub = (a_hi.astype(np.int64) - ((b >> 20) & _M20).astype(np.int64)
+              - c0_sub.astype(np.int64) < 0).astype(np.uint64)
+    is_sub = op == _OP_SUB
+    c0 = np.where(pinned, np.where(is_sub, c0_sub, c0_add), 0)
+    c1 = np.where(pinned, np.where(is_sub, c1_sub, c1_add), 0)
+
+    res_lo = (res & _M20).astype(np.uint32)
+    res_hi = ((res >> 20) & _M20).astype(np.uint32)
+    out[:, b0 + 32] = res_lo
+    out[:, b0 + 33] = res_hi
+    out[:, b0 + 34] = c0.astype(np.uint32)
+    out[:, b0 + 35] = c1.astype(np.uint32)
+    out[:, b0 + 40] = res_lo & 0x3FF              # rl0
+    out[:, b0 + 41] = res_lo >> 10                # rl1
+    out[:, b0 + 42] = res_hi & 0x3FF              # rh0
+    out[:, b0 + 43] = res_hi >> 10                # rh1
     return out
