@@ -87,7 +87,10 @@ def cmd_prove(args) -> int:
         lanes=1, chunk=256, collect_trace=True))
     result = interp.run([inputs], max_cycles=args.max_cycles)
     matrix = trace_to_matrix(result["trace"])
-    proof = prove_trace(matrix)
+    if args.bind:
+        proof = prove_trace(matrix, range_lookup=True, program=program)
+    else:
+        proof = prove_trace(matrix)
     proof["fri"]["config"] = {
         "log_blowup": proof["fri"]["config"].log_blowup,
         "log_final": proof["fri"]["config"].log_final,
@@ -106,7 +109,11 @@ def cmd_verify(args) -> int:
 
     proof = json.loads(pathlib.Path(args.proof).read_text())
     proof["fri"]["config"] = FriConfig(**proof["fri"]["config"])
-    ok = verify_trace(proof)
+    program = _load_program(args.binary) if args.binary else None
+    if proof.get("program") and program is None:
+        print("note: program-bound proof verified without the public "
+              "program (pass --binary to pin it)")
+    ok = verify_trace(proof, program=program)
     print("VALID" if ok else "INVALID")
     return 0 if ok else 1
 
@@ -141,11 +148,17 @@ def main(argv=None) -> int:
     p.add_argument("binary")
     p.add_argument("--input", action="append", default=[])
     p.add_argument("--max-cycles", type=int, default=100_000)
+    p.add_argument("--bind", action="store_true",
+                   help="full soundness: in-circuit range lookups + "
+                        "program binding (pads the trace to >= 1024 rows)")
     p.add_argument("-o", "--output")
     p.set_defaults(fn=cmd_prove)
 
     p = sub.add_parser("verify", help="verify a proof")
     p.add_argument("proof")
+    p.add_argument("--binary",
+                   help="the public program; required to pin a "
+                        "program-bound proof to it")
     p.set_defaults(fn=cmd_verify)
 
     args = parser.parse_args(argv)

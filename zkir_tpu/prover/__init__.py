@@ -13,5 +13,5 @@ TPU-first:
 
 from .challenger import Challenger
 from .fri import fri_prove, fri_verify
-from .prover import prove_trace, verify_trace
+from .prover import preprocess_program, prove_trace, verify_trace
 from .trace import trace_to_matrix

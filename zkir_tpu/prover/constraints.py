@@ -121,6 +121,10 @@ COL_RES_CH0 = N_DECODE_COLUMNS + 40   # rl0, rl1, rh0, rh1
 # Lookup columns appended by the prover when range_lookup is enabled:
 COL_TABLE = N_COLUMNS                 # table values t_i
 COL_MULT0 = N_COLUMNS + 1             # NUM_LOOKUP multiplicity columns
+# With program binding, one more phase-1 column: the program-table
+# multiplicity (how often each program row executes; padding rows count
+# against the halt entry).  Its partial sum is the LAST sums column.
+COL_PROG_M = None                     # = COL_MULT0 + NUM_LOOKUP (below)
 
 OP_ECALL = 0x50
 COL_OPCODE = 2
@@ -155,6 +159,16 @@ CHANNELS = (
     ("rh1", 0, ((COL_RES_CH0 + 3, 1),)),
 )
 NUM_LOOKUP = len(CHANNELS)
+COL_PROG_M = COL_MULT0 + NUM_LOOKUP
+
+# Program-binding tuple compression: with a transcript challenge gamma,
+#     w_row = pc_lo + g*pc_hi + g^2*(op + 2^7 rd + 2^11 rs1) + g^3*imm
+# must be a member (LogUp, shared beta) of the preprocessed table
+#     t_i = prog_pc_lo + g*prog_pc_hi + g^2*(word & 0x7FFF) + g^3*(word >> 15)
+# whose Merkle root the verifier recomputes from the public program.
+# Every executed row is therefore a real (pc, instruction) pair of the
+# program; padding rows consume the dedicated (0, 0, EBREAK, 0) entry.
+PROG_F_TERMS = ((COL_OPCODE, 1), (COL_RD, 1 << 7), (COL_RS1, 1 << 11))
 
 NUM_SINGLE = 4 + N_OPS + 2 + 16 + 2 + 36 + 3 + 4 + 8
 NUM_TRANS = 2 + 30 + 30
@@ -461,10 +475,13 @@ def lookup_constraint_evals(ext_r, ext_i, s_ext, beta: Tuple[int, int],
 
 def quotient_evals(ext_r, ext_i, log_n: int, log_blowup: int,
                    shift: Tuple[int, int], alpha: Tuple[int, int],
-                   lookup=None):
+                   lookup=None, program=None):
     """Q(x) = sum_j alpha^j C_j(x) / D_j(x) on the coset LDE domain.
 
     ``lookup``: optional (s_ext, beta) enabling the LogUp constraints.
+    ``program``: optional (prog_ext, s_prog_ext, gamma, entry) enabling
+    the program-binding channel (requires ``lookup`` for beta) plus the
+    entry-point boundary constraints.
     """
     singles, transitions, firsts = constraint_evals(
         ext_r, ext_i, log_n, log_blowup)
@@ -509,6 +526,52 @@ def quotient_evals(ext_r, ext_i, log_n: int, log_blowup: int,
         t_last_c = cm31_sub(t, _scalar_vec((1023, 0), big))
         for c, dinv in ((t, zf_inv), (stair, zt_inv), (t_last_c, zl_inv)):
             term = cm31_mul(cm31_mul(c, dinv), _scalar_vec(power, big))
+            acc = cm31_add(acc, term)
+            power = cm31_mul_scalar(power, alpha)
+    if program is not None:
+        (pr, pi), (spr, spi), gamma, entry = program
+        _, beta = lookup
+        blowup = 1 << log_blowup
+        one = _scalar_vec((1, 0), big)
+        beta_vec = _scalar_vec(beta, big)
+
+        def gmul(vec, g):
+            return cm31_mul(vec, _scalar_vec(g, big))
+
+        g2 = cm31_mul_scalar(gamma, gamma)
+        g3 = cm31_mul_scalar(g2, gamma)
+        f = (ext_r[COL_OPCODE], ext_i[COL_OPCODE])
+        for c, coef in PROG_F_TERMS[1:]:
+            f = cm31_add(f, cm31_mul((ext_r[c], ext_i[c]),
+                                     _scalar_vec((coef, 0), big)))
+        w = cm31_add(
+            cm31_add((ext_r[COL_PC_LO], ext_i[COL_PC_LO]),
+                     gmul((ext_r[COL_PC_HI], ext_i[COL_PC_HI]), gamma)),
+            cm31_add(gmul(f, g2),
+                     gmul((ext_r[COL_IMM_LO], ext_i[COL_IMM_LO]), g3)))
+        t_prog = cm31_add(
+            cm31_add((pr[0], pi[0]), gmul((pr[1], pi[1]), gamma)),
+            cm31_add(gmul((pr[2], pi[2]), g2), gmul((pr[3], pi[3]), g3)))
+        m = (ext_r[COL_PROG_M], ext_i[COL_PROG_M])
+        s = (spr, spi)
+        s_next = (jnp.roll(spr, -blowup), jnp.roll(spi, -blowup))
+        bw = cm31_sub(beta_vec, w)
+        bt = cm31_sub(beta_vec, t_prog)
+        lhs = cm31_mul(cm31_mul(cm31_sub(s_next, s), bw), bt)
+        rhs = cm31_sub(bt, cm31_mul(m, bw))
+        term = cm31_mul(cm31_mul(cm31_sub(lhs, rhs), zh_inv),
+                        _scalar_vec(power, big))
+        acc = cm31_add(acc, term)
+        power = cm31_mul_scalar(power, alpha)
+
+        # Entry-point boundary: the first row executes at the program's
+        # public entry point.
+        e_lo = entry & ((1 << 20) - 1)
+        e_hi = (entry >> 20) & ((1 << 20) - 1)
+        for c_idx, e_val in ((COL_PC_LO, e_lo), (COL_PC_HI, e_hi)):
+            c = cm31_sub((ext_r[c_idx], ext_i[c_idx]),
+                         _scalar_vec((e_val, 0), big))
+            term = cm31_mul(cm31_mul(c, zf_inv), _scalar_vec(power, big))
             acc = cm31_add(acc, term)
             power = cm31_mul_scalar(power, alpha)
     return acc
@@ -659,17 +722,19 @@ def constraint_value_at(row: List[int], next_row: List[int], n_cols: int):
 
 
 def lookup_constraint_values_at(row, next_row, s_row, s_next, n_cols: int,
-                                beta: Tuple[int, int]):
+                                beta: Tuple[int, int],
+                                n_sums: int = NUM_LOOKUP):
     """Scalar LogUp constraint values from opened rows.
 
     ``s_row``/``s_next`` are the opened partial-sum rows: CM31 layout
-    [re x 4, im x 4]."""
+    [re x n_sums, im x n_sums] (n_sums > NUM_LOOKUP when the program
+    channel is present)."""
 
     def cval(cols, c):
         return (cols[c], cols[n_cols + c])
 
     def sval(cols, k):
-        return (cols[k], cols[NUM_LOOKUP + k])
+        return (cols[k], cols[n_sums + k])
 
     t = cval(row, COL_TABLE)
     bt = _sub2(beta, t)
@@ -691,10 +756,12 @@ def lookup_constraint_values_at(row, next_row, s_row, s_next, n_cols: int,
 
 def quotient_value_at(row, next_row, n_cols: int, index: int, log_n: int,
                       log_blowup: int, shift: Tuple[int, int],
-                      alpha: Tuple[int, int], lookup=None):
+                      alpha: Tuple[int, int], lookup=None, program=None):
     """Scalar Q(x_index) recomputed from opened rows (verifier side).
 
-    ``lookup``: optional (s_row, s_next, beta)."""
+    ``lookup``: optional (s_row, s_next, beta).
+    ``program``: optional (prog_row, gamma, entry); the program partial
+    sum is the last sums column (index NUM_LOOKUP in s_row/s_next)."""
     n = 1 << log_n
     singles, transitions, firsts = constraint_value_at(row, next_row, n_cols)
     x = cm31_mul_scalar(shift,
@@ -720,8 +787,9 @@ def quotient_value_at(row, next_row, n_cols: int, index: int, log_n: int,
         power = cm31_mul_scalar(power, alpha)
     if lookup is not None:
         s_row, s_next, beta = lookup
+        n_sums = NUM_LOOKUP + (1 if program is not None else 0)
         for c in lookup_constraint_values_at(row, next_row, s_row, s_next,
-                                             n_cols, beta):
+                                             n_cols, beta, n_sums=n_sums):
             acc = _add2(acc, cm31_mul_scalar(
                 cm31_mul_scalar(c, zh_inv), power))
             power = cm31_mul_scalar(power, alpha)
@@ -735,6 +803,47 @@ def quotient_value_at(row, next_row, n_cols: int, index: int, log_n: int,
         for c, dinv in ((t, zf_inv), (stair, zt_inv), (t_last_c, zl_inv)):
             acc = _add2(acc, cm31_mul_scalar(
                 cm31_mul_scalar(c, dinv), power))
+            power = cm31_mul_scalar(power, alpha)
+    if program is not None:
+        prog_row, gamma, entry = program
+        s_row, s_next, beta = lookup
+        n_sums = NUM_LOOKUP + 1
+
+        def cval(cols, c):
+            return (cols[c], cols[n_cols + c])
+
+        def pval(c):
+            return (prog_row[c], prog_row[4 + c])
+
+        g2 = cm31_mul_scalar(gamma, gamma)
+        g3 = cm31_mul_scalar(g2, gamma)
+        f = (0, 0)
+        for c, coef in PROG_F_TERMS:
+            f = _add2(f, cm31_mul_scalar(cval(row, c), (coef, 0)))
+        w = _add2(_add2(cval(row, COL_PC_LO),
+                        cm31_mul_scalar(cval(row, COL_PC_HI), gamma)),
+                  _add2(cm31_mul_scalar(f, g2),
+                        cm31_mul_scalar(cval(row, COL_IMM_LO), g3)))
+        t_prog = _add2(_add2(pval(0), cm31_mul_scalar(pval(1), gamma)),
+                       _add2(cm31_mul_scalar(pval(2), g2),
+                             cm31_mul_scalar(pval(3), g3)))
+        m = cval(row, COL_PROG_M)
+        s = (s_row[NUM_LOOKUP], s_row[n_sums + NUM_LOOKUP])
+        s_n = (s_next[NUM_LOOKUP], s_next[n_sums + NUM_LOOKUP])
+        bw = _sub2(beta, w)
+        bt = _sub2(beta, t_prog)
+        lhs = cm31_mul_scalar(cm31_mul_scalar(_sub2(s_n, s), bw), bt)
+        rhs = _sub2(bt, cm31_mul_scalar(m, bw))
+        acc = _add2(acc, cm31_mul_scalar(
+            cm31_mul_scalar(_sub2(lhs, rhs), zh_inv), power))
+        power = cm31_mul_scalar(power, alpha)
+
+        e_lo = entry & ((1 << 20) - 1)
+        e_hi = (entry >> 20) & ((1 << 20) - 1)
+        for c_idx, e_val in ((COL_PC_LO, e_lo), (COL_PC_HI, e_hi)):
+            c = _sub2(cval(row, c_idx), (e_val, 0))
+            acc = _add2(acc, cm31_mul_scalar(
+                cm31_mul_scalar(c, zf_inv), power))
             power = cm31_mul_scalar(power, alpha)
     return acc
 

@@ -165,6 +165,119 @@ def _build_partial_sums(padded: np.ndarray, beta):
     return s_r, s_i
 
 
+CODE_BASE = 0x1000
+_M20 = (1 << 20) - 1
+
+
+def _program_table(code_words, log_n: int) -> np.ndarray:
+    """The preprocessed program table, uint32 [4, n]: per instruction i at
+    pc = CODE_BASE + 4i the tuple (pc_lo, pc_hi, word & 0x7FFF,
+    word >> 15); rows beyond the program hold the halt entry
+    (0, 0, EBREAK, 0) that padding rows consume."""
+    n = 1 << log_n
+    n_code = len(code_words)
+    if n_code + 1 > n:
+        raise ValueError("program binding needs n_rows >= n_code + 1")
+    cols = np.zeros((4, n), dtype=np.uint32)
+    words = np.asarray(code_words, dtype=np.uint64)
+    pcs = CODE_BASE + 4 * np.arange(n_code, dtype=np.uint64)
+    cols[0, :n_code] = pcs & _M20
+    cols[1, :n_code] = (pcs >> 20) & _M20
+    cols[2, :n_code] = words & 0x7FFF
+    cols[3, :n_code] = words >> 15
+    cols[2, n_code:] = 0x51
+    return cols
+
+
+def preprocess_program(code_words, log_n: int,
+                       fri_config: FriConfig = FriConfig()):
+    """Deterministic preprocessed commitment of a program: LDE the table
+    columns onto the proof coset and Merkle-commit them.  The root is the
+    PUBLIC INPUT binding proofs to this program — verifiers recompute it
+    once per (program, log_n) and compare."""
+    shift = _coset_shift()
+    cols = _program_table(code_words, log_n)
+    ext_r, ext_i = lde(jnp.asarray(cols), jnp.zeros_like(jnp.asarray(cols)),
+                       log_n, fri_config.log_blowup, shift=shift)
+    rows = jnp.concatenate([ext_r.T, ext_i.T], axis=1)  # [N, 8]
+    levels = merkle.build_tree(merkle.hash_rows(rows))
+    return {
+        "cols": cols,
+        "ext": (ext_r, ext_i),
+        "rows": np.asarray(rows),
+        "levels": levels,
+        "root": [int(x) for x in merkle.root(levels)],
+    }
+
+
+def _program_multiplicity(padded: np.ndarray, n_real: int,
+                          n_code: int) -> np.ndarray:
+    """Executions per program row (+ padding count on the halt entry)."""
+    from .constraints import COL_PC_HI, COL_PC_LO
+
+    n = padded.shape[0]
+    pc = (padded[:, COL_PC_LO].astype(np.int64)
+          + (padded[:, COL_PC_HI].astype(np.int64) << 20))
+    idx = (pc - CODE_BASE) >> 2
+    idx[n_real:] = n_code                     # padding -> halt entry
+    if ((idx < 0) | (idx >= n)).any():
+        raise ValueError("trace pc outside the program table")
+    return np.bincount(idx, minlength=n)[:n].astype(np.uint32)
+
+
+def _program_partial_sum(padded: np.ndarray, prog_cols: np.ndarray,
+                         beta, gamma):
+    """The program-channel LogUp partial-sum column (CM31 pair [n])."""
+    from ..ops.field_ops import m31_batch_inv
+
+    from .constraints import COL_IMM_LO, COL_PC_HI, COL_PC_LO, COL_PROG_M, \
+        PROG_F_TERMS
+    from ..ops.ntt import cm31_mul_scalar as _gmul
+
+    n = padded.shape[0]
+    g2 = _gmul(gamma, gamma)
+    g3 = _gmul(g2, gamma)
+
+    def tuple_vals(pc_lo, pc_hi, f, imm):
+        wr = (pc_lo.astype(np.uint64)
+              + pc_hi.astype(np.uint64) * gamma[0]
+              + f.astype(np.uint64) * g2[0]
+              + imm.astype(np.uint64) * g3[0]) % P
+        wi = (pc_hi.astype(np.uint64) * gamma[1]
+              + f.astype(np.uint64) * g2[1]
+              + imm.astype(np.uint64) * g3[1]) % P
+        return wr, wi
+
+    f_trace = np.zeros(n, dtype=np.uint64)
+    for c, coef in PROG_F_TERMS:
+        f_trace = (f_trace + padded[:, c].astype(np.uint64) * coef) % P
+    w_r, w_i = tuple_vals(padded[:, COL_PC_LO], padded[:, COL_PC_HI],
+                          f_trace, padded[:, COL_IMM_LO])
+    t_r, t_i = tuple_vals(prog_cols[0], prog_cols[1],
+                          prog_cols[2].astype(np.uint64),
+                          prog_cols[3])
+    m = padded[:, COL_PROG_M].astype(np.uint64)
+
+    dr = np.concatenate([(beta[0] - w_r.astype(np.int64)) % P,
+                         (beta[0] - t_r.astype(np.int64)) % P])
+    di = np.concatenate([(beta[1] - w_i.astype(np.int64)) % P,
+                         (beta[1] - t_i.astype(np.int64)) % P])
+    norm = (dr * dr + di * di) % P
+    ninv = np.asarray(m31_batch_inv(
+        jnp.asarray(norm.astype(np.uint32)))).astype(np.uint64)
+    inv_r = (dr.astype(np.uint64) * ninv) % P
+    inv_i = ((P - di.astype(np.uint64)) % P * ninv) % P
+    term_r = (inv_r[:n] + (P - (m * inv_r[n:]) % P)) % P
+    term_i = (inv_i[:n] + (P - (m * inv_i[n:]) % P)) % P
+    cum_r = np.cumsum(term_r.astype(np.int64)) % P
+    cum_i = np.cumsum(term_i.astype(np.int64)) % P
+    s_r = np.zeros(n, dtype=np.uint32)
+    s_i = np.zeros(n, dtype=np.uint32)
+    s_r[1:] = cum_r[:-1].astype(np.uint32)
+    s_i[1:] = cum_i[:-1].astype(np.uint32)
+    return s_r, s_i
+
+
 def _combine(ext_r, ext_i, extra_cols, alpha):
     """sum_i alpha^i col_i + sum_j alpha^(n_cols+j) extra_j over CM31."""
     n_cols = ext_r.shape[0]
@@ -197,21 +310,40 @@ def _open_rows(committed_np: np.ndarray, levels, indices):
 
 def prove_trace(matrix: np.ndarray,
                 fri_config: FriConfig = FriConfig(),
-                mesh=None, range_lookup: bool = False) -> Dict[str, Any]:
+                mesh=None, range_lookup: bool = False,
+                program=None) -> Dict[str, Any]:
     """Prove the trace matrix.  With ``mesh``, the heavy stages run sharded
     (pjit style): columns are partitioned for the LDE, rows for hashing —
     the sharding annotations let XLA insert the collectives; the proof is
     bit-identical to the single-device one.
 
-    With ``range_lookup``, the 4 range-check chunk columns are additionally
-    proven to lie in [0, 1024) via in-circuit LogUp: table + multiplicity
-    columns join phase 1, partial-sum columns are committed in a second
-    phase after the beta challenge, and the degree-3 LogUp + table-pinning
-    constraints enter the quotient."""
-    padded, log_n = _pad_rows(np.asarray(matrix, dtype=np.uint32),
-                              min_log=10 if range_lookup else 2)
+    With ``range_lookup``, the chunk-decomposition witness columns are
+    additionally proven to lie in [0, 1024) via in-circuit LogUp: table +
+    multiplicity columns join phase 1, partial-sum columns are committed
+    in a second phase after the beta challenge, and the degree-3 LogUp +
+    table-pinning constraints enter the quotient.
+
+    With ``program`` (a spec.Program; requires ``range_lookup``), every
+    row's (pc, instruction-field) tuple is additionally LogUp-bound to
+    the preprocessed program table whose Merkle root is a public input
+    (``preprocess_program``), and the first row is pinned to the entry
+    point."""
+    if program is not None and not range_lookup:
+        raise ValueError("program binding requires range_lookup=True")
+    matrix = np.asarray(matrix, dtype=np.uint32)
+    n_real = matrix.shape[0]
+    padded, log_n = _pad_rows(matrix, min_log=10 if range_lookup else 2)
+    prog = None
+    entry_point = 0
+    if program is not None:
+        code_words = list(program.code)
+        entry_point = int(program.header.entry_point)
+        prog = preprocess_program(code_words, log_n, fri_config)
     if range_lookup:
         padded = _build_lookup_columns(padded)
+        if prog is not None:
+            m_prog = _program_multiplicity(padded, n_real, len(code_words))
+            padded = np.concatenate([padded, m_prog[:, None]], axis=1)
     n_cols = padded.shape[1]
     log_big = log_n + fri_config.log_blowup
     big = 1 << log_big
@@ -257,21 +389,36 @@ def prove_trace(matrix: np.ndarray,
     challenger.observe(log_n)
     challenger.observe(n_cols)
     challenger.observe_many(int(x) for x in root1)
+    if prog is not None:
+        challenger.observe_many(int(x) for x in prog["root"])
+        challenger.observe(entry_point)
+        challenger.observe(len(code_words))
 
     # Phase 1.5 (lookup only): beta challenge -> partial-sum columns.
     lookup = None
+    program_args = None
     levels_s = None
     s_rows = None
     if range_lookup:
         beta = challenger.sample_cm31()
+        gamma = challenger.sample_cm31() if prog is not None else None
         s_r, s_i = _build_partial_sums(padded, beta)
+        if prog is not None:
+            sp_r, sp_i = _program_partial_sum(padded, prog["cols"], beta,
+                                              gamma)
+            s_r = np.concatenate([s_r, sp_r[None, :]], axis=0)
+            s_i = np.concatenate([s_i, sp_i[None, :]], axis=0)
         s_ext_r, s_ext_i = lde(jnp.asarray(s_r), jnp.asarray(s_i), log_n,
                                fri_config.log_blowup, shift=shift)
-        s_rows = jnp.concatenate([s_ext_r.T, s_ext_i.T], axis=1)  # [N, 8]
+        s_rows = jnp.concatenate([s_ext_r.T, s_ext_i.T], axis=1)
         levels_s = merkle.build_tree(merkle.hash_rows(s_rows))
         root_s = merkle.root(levels_s)
         challenger.observe_many(int(x) for x in root_s)
-        lookup = ((s_ext_r, s_ext_i), beta)
+        lookup = ((s_ext_r[:NUM_LOOKUP], s_ext_i[:NUM_LOOKUP]), beta)
+        if prog is not None:
+            program_args = (prog["ext"],
+                            (s_ext_r[NUM_LOOKUP], s_ext_i[NUM_LOOKUP]),
+                            gamma, entry_point)
 
     alpha_c = challenger.sample_cm31()
 
@@ -280,7 +427,7 @@ def prove_trace(matrix: np.ndarray,
     # every committed column at the same FRI degree bound while allowing
     # constraints up to degree 3).
     q = quotient_evals(ext_r, ext_i, log_n, fri_config.log_blowup, shift,
-                       alpha_c, lookup=lookup)
+                       alpha_c, lookup=lookup, program=program_args)
     qc_r, qc_i = coset_intt(q[0], q[1], log_big, shift=shift)
     n_rows = 1 << log_n
     q_chunks = []
@@ -299,8 +446,8 @@ def prove_trace(matrix: np.ndarray,
 
     extra_cols = []
     if range_lookup:
-        extra_cols += [(lookup[0][0][k], lookup[0][1][k])
-                       for k in range(NUM_LOOKUP)]
+        extra_cols += [(s_ext_r[k], s_ext_i[k])
+                       for k in range(s_ext_r.shape[0])]
     extra_cols += q_chunks
     batch_r, batch_i = _combine(ext_r, ext_i, extra_cols, alpha_b)
     fri_proof = fri_prove(batch_r, batch_i, log_big, challenger, fri_config,
@@ -326,6 +473,9 @@ def prove_trace(matrix: np.ndarray,
         }
         if s_np is not None:
             entry["sums"] = _open_rows(s_np, levels_s, indices)
+        if prog is not None:
+            entry["prog"] = _open_rows(prog["rows"], prog["levels"],
+                                       indices)
         openings.append(entry)
 
     out = {
@@ -339,13 +489,27 @@ def prove_trace(matrix: np.ndarray,
     }
     if range_lookup:
         out["sums_root"] = [int(x) for x in merkle.root(levels_s)]
+    if prog is not None:
+        out["program"] = {
+            "root": prog["root"],
+            "entry": entry_point,
+            "n_code": len(code_words),
+        }
     return out
 
 
-def verify_trace(proof: Dict[str, Any]) -> bool:
+def verify_trace(proof: Dict[str, Any], program=None) -> bool:
+    """Verify a trace proof.
+
+    With ``program`` (a spec.Program), the proof's program-binding
+    commitment is recomputed from the public program and must match —
+    i.e. the proof attests that THIS program executed from its entry
+    point.  Without it, a program-bound proof is still checked for
+    internal consistency against its committed (untrusted) table."""
     log_n = proof["log_n"]
     n_cols = proof["n_cols"]
     range_lookup = proof.get("range_lookup", False)
+    prog_pub = proof.get("program")
     fri_proof = proof["fri"]
     config: FriConfig = fri_proof["config"]
     log_big = log_n + config.log_blowup
@@ -354,13 +518,32 @@ def verify_trace(proof: Dict[str, Any]) -> bool:
     blowup = 1 << config.log_blowup
     shift = _coset_shift()
 
+    if program is not None:
+        if prog_pub is None:
+            return False
+        expected = preprocess_program(list(program.code), log_n, config)
+        if (list(prog_pub["root"]) != expected["root"]
+                or int(prog_pub["entry"]) != int(program.header.entry_point)
+                or int(prog_pub["n_code"]) != len(program.code)):
+            return False
+    if prog_pub is not None and not range_lookup:
+        return False
+
     challenger = Challenger()
     challenger.observe(log_n)
     challenger.observe(n_cols)
     challenger.observe_many(int(x) for x in proof["trace_root"])
+    if prog_pub is not None:
+        challenger.observe_many(int(x) for x in prog_pub["root"])
+        challenger.observe(int(prog_pub["entry"]))
+        challenger.observe(int(prog_pub["n_code"]))
     beta = None
+    gamma = None
+    n_sums = NUM_LOOKUP + (1 if prog_pub is not None else 0)
     if range_lookup:
         beta = challenger.sample_cm31()
+        if prog_pub is not None:
+            gamma = challenger.sample_cm31()
         challenger.observe_many(int(x) for x in proof["sums_root"])
     alpha_c = challenger.sample_cm31()
     challenger.observe_many(int(x) for x in proof["quotient_root"])
@@ -375,6 +558,8 @@ def verify_trace(proof: Dict[str, Any]) -> bool:
     q_root = np.asarray(proof["quotient_root"], dtype=np.uint32)
     s_root = (np.asarray(proof["sums_root"], dtype=np.uint32)
               if range_lookup else None)
+    p_root = (np.asarray(prog_pub["root"], dtype=np.uint32)
+              if prog_pub is not None else None)
 
     def check_opening(group, root, j, expect_width):
         entry = group.get(str(j))
@@ -395,6 +580,7 @@ def verify_trace(proof: Dict[str, Any]) -> bool:
         rows: Dict[int, List[int]] = {}
         q_vals: Dict[int, Tuple[int, int]] = {}
         s_vals: Dict[int, List[int]] = {}
+        p_vals: Dict[int, List[int]] = {}
         needed = {k, (k + blowup) % big, k + half, (k + half + blowup) % big}
         for j in needed:
             row = check_opening(opening["trace"], trace_root, j, 2 * n_cols)
@@ -405,10 +591,15 @@ def verify_trace(proof: Dict[str, Any]) -> bool:
             q_vals[j] = ((qrow[0], qrow[1]), (qrow[2], qrow[3]))
             if range_lookup:
                 srow = check_opening(opening["sums"], s_root, j,
-                                     2 * NUM_LOOKUP)
+                                     2 * n_sums)
                 if srow is None:
                     return False
                 s_vals[j] = srow
+            if prog_pub is not None:
+                prow = check_opening(opening["prog"], p_root, j, 8)
+                if prow is None:
+                    return False
+                p_vals[j] = prow
 
         for j, fri_value in ((k, tuple(steps[0]["lo"])),
                              (k + half, tuple(steps[0]["hi"]))):
@@ -422,8 +613,8 @@ def verify_trace(proof: Dict[str, Any]) -> bool:
                 acc = ((acc[0] + term[0]) % P, (acc[1] + term[1]) % P)
                 power = cm31_mul_scalar(power, alpha_b)
             if range_lookup:
-                for kk in range(NUM_LOOKUP):
-                    s_col = (s_vals[j][kk], s_vals[j][NUM_LOOKUP + kk])
+                for kk in range(n_sums):
+                    s_col = (s_vals[j][kk], s_vals[j][n_sums + kk])
                     sterm = cm31_mul_scalar(s_col, power)
                     acc = ((acc[0] + sterm[0]) % P, (acc[1] + sterm[1]) % P)
                     power = cm31_mul_scalar(power, alpha_b)
@@ -438,11 +629,14 @@ def verify_trace(proof: Dict[str, Any]) -> bool:
             # recomputed combination of constraints at the opened rows.
             jn = (j + blowup) % big
             lookup_args = None
+            program_args = None
             if range_lookup:
                 lookup_args = (s_vals[j], s_vals[jn], beta)
+            if prog_pub is not None:
+                program_args = (p_vals[j], gamma, int(prog_pub["entry"]))
             expected_q = quotient_value_at(
                 rows[j], rows[jn], n_cols, j, log_n, config.log_blowup,
-                shift, alpha_c, lookup=lookup_args)
+                shift, alpha_c, lookup=lookup_args, program=program_args)
             x = cm31_mul_scalar(
                 shift, cm31_pow_scalar(root_of_unity(log_big), j))
             xn = cm31_pow_scalar(x, 1 << log_n)
