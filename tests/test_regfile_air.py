@@ -254,5 +254,5 @@ class TestAluResultBinding:
             I(Op.ADDI, rd=1, rs1=0, imm=3),
             I(Op.EBREAK),
         ])
-        with pytest.raises(ValueError, match="non-writing"):
+        with pytest.raises(ValueError, match="halt"):
             prove_trace(m[:1], CFG)

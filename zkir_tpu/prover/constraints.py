@@ -88,7 +88,8 @@ from ..spec.field import M31_PRIME
 
 P = M31_PRIME
 
-from .trace import N_COLUMNS, N_DECODE_COLUMNS, N_OPS, OP_VALUES, WRITING_OPS
+from .trace import (N_ALU_COLUMNS, N_COLUMNS, N_DECODE_COLUMNS, N_OPS,
+                    OP_VALUES, WRITING_OPS)
 
 # Column indices (see prover/trace.py layout).
 COL_PC_LO = 0
@@ -118,6 +119,12 @@ COL_IMM_Q0 = N_DECODE_COLUMNS + 37
 COL_IMM_Q1 = N_DECODE_COLUMNS + 38
 COL_IMM_Q0HI = N_DECODE_COLUMNS + 39
 COL_RES_CH0 = N_DECODE_COLUMNS + 40   # rl0, rl1, rh0, rh1
+# Control-flow block (prover/trace.py): branch/jump pc-target semantics.
+COL_TAKEN = N_ALU_COLUMNS
+COL_CARRY2 = N_ALU_COLUMNS + 1        # target lo carry, in {0, 1, 2}
+COL_CARRY3 = N_ALU_COLUMNS + 2        # target hi carry (dropped: mod 2^40)
+COL_BLSB = N_ALU_COLUMNS + 3          # JALR LSB-clear witness
+BRANCH_OPS = tuple(range(0x40, 0x46))
 # Lookup columns appended by the prover when range_lookup is enabled:
 COL_TABLE = N_COLUMNS                 # table values t_i
 COL_MULT0 = N_COLUMNS + 1             # NUM_LOOKUP multiplicity columns
@@ -170,8 +177,8 @@ COL_PROG_M = COL_MULT0 + NUM_LOOKUP
 # program; padding rows consume the dedicated (0, 0, EBREAK, 0) entry.
 PROG_F_TERMS = ((COL_OPCODE, 1), (COL_RD, 1 << 7), (COL_RS1, 1 << 11))
 
-NUM_SINGLE = 4 + N_OPS + 2 + 16 + 2 + 36 + 3 + 4 + 8
-NUM_TRANS = 2 + 30 + 30
+NUM_SINGLE = 4 + N_OPS + 2 + 16 + 2 + 36 + 3 + 4 + 8 + 4
+NUM_TRANS = 2 + 30 + 30 + 6
 NUM_FIRST = 30           # boundary: registers start zeroed
 NUM_CONSTRAINTS = NUM_SINGLE + NUM_TRANS + NUM_FIRST
 
@@ -332,6 +339,17 @@ def constraint_evals(ext_r, ext_i, log_n: int, log_blowup: int):
         cm31_sub(cm31_add(col(COL_PC_LO), four), cm31_add(res_lo, c0_sh)),
         cm31_sub(cm31_add(col(COL_PC_HI), c0), cm31_add(res_hi, c1_sh)))
 
+    # Control-flow witness booleans; the target lo carry c2 is in
+    # {0, 1, 2} (JAL's 21-bit offset can carry 2 out of the low limb).
+    taken = col(COL_TAKEN)
+    c2 = col(COL_CARRY2)
+    c3 = col(COL_CARRY3)
+    b_lsb = col(COL_BLSB)
+    for bcol in (taken, c3, b_lsb):
+        singles.append(cm31_mul(bcol, cm31_sub(bcol, one)))
+    singles.append(cm31_mul(cm31_mul(c2, cm31_sub(c2, one)),
+                            cm31_sub(c2, _scalar_vec((2, 0), big))))
+
     pc_lo, pc_hi = col(COL_PC_LO), col(COL_PC_HI)
     pc_lo_n, pc_hi_n = nxt(COL_PC_LO), nxt(COL_PC_HI)
     t1_inner = cm31_add(
@@ -373,6 +391,37 @@ def constraint_evals(ext_r, ext_i, log_n: int, log_blowup: int):
                                                  res_lo)))
         transitions.append(cm31_mul(we, cm31_sub(nxt(COL_REG_HI + r),
                                                  res_hi)))
+
+    # Branch/jump pc-target semantics (trace.py control-flow block).
+    # The next row's pc limbs are table-range-bound via program binding.
+    sel_br = None
+    for v in BRANCH_OPS:
+        sel_br = sel_by[v] if sel_br is None else cm31_add(sel_br, sel_by[v])
+    c2_sh = cm31_mul(c2, two20)
+    c3_sh = cm31_mul(c3, two20)
+    d_lo = cm31_add(cm31_mul(taken, i_lo),
+                    cm31_mul(cm31_sub(one, taken), four))
+    transitions.append(cm31_mul(sel_br, cm31_add(
+        cm31_sub(cm31_sub(nxt(COL_PC_LO), pc_lo), d_lo), c2_sh)))
+    transitions.append(cm31_mul(sel_br, cm31_add(
+        cm31_sub(cm31_sub(cm31_sub(nxt(COL_PC_HI), pc_hi),
+                          cm31_mul(taken, i_hi)), c2), c3_sh)))
+    # JAL: pc' = pc + sext21(16*imm + rs1); sign bit of the 21-bit offset
+    # is word bit 31 = imm_s; (2^40 - 2^21) has limbs (0, 0xFFFFE).
+    jal_off = cm31_add(cm31_mul(col(COL_IMM_LO), _scalar_vec((16, 0), big)),
+                       col(COL_RS1))
+    transitions.append(cm31_mul(sel_by[0x48], cm31_add(
+        cm31_sub(cm31_sub(nxt(COL_PC_LO), pc_lo), jal_off), c2_sh)))
+    transitions.append(cm31_mul(sel_by[0x48], cm31_add(
+        cm31_sub(cm31_sub(cm31_sub(nxt(COL_PC_HI), pc_hi),
+                          cm31_mul(s_imm, _scalar_vec((0xFFFFE, 0), big))),
+                 c2), c3_sh)))
+    # JALR: pc' = (rs1_val + sext17(imm)) & ~1.
+    transitions.append(cm31_mul(sel_by[0x49], cm31_add(cm31_add(
+        cm31_sub(cm31_sub(nxt(COL_PC_LO), a_lo), i_lo), b_lsb), c2_sh)))
+    transitions.append(cm31_mul(sel_by[0x49], cm31_add(
+        cm31_sub(cm31_sub(cm31_sub(nxt(COL_PC_HI), a_hi), i_hi), c2),
+        c3_sh)))
 
     # Boundary: the machine starts with a zeroed register file.
     firsts = [col(base + r)
@@ -683,6 +732,15 @@ def constraint_value_at(row: List[int], next_row: List[int], n_cols: int):
         _sub2(_add2(cval(row, COL_PC_LO), (4, 0)), _add2(res_lo, c0_sh)),
         _sub2(_add2(cval(row, COL_PC_HI), c0), _add2(res_hi, c1_sh)))
 
+    taken = cval(row, COL_TAKEN)
+    c2 = cval(row, COL_CARRY2)
+    c3 = cval(row, COL_CARRY3)
+    b_lsb = cval(row, COL_BLSB)
+    for bcol in (taken, c3, b_lsb):
+        singles.append(cm31_mul_scalar(bcol, _sub2(bcol, one)))
+    singles.append(cm31_mul_scalar(
+        cm31_mul_scalar(c2, _sub2(c2, one)), _sub2(c2, (2, 0))))
+
     pc_lo = cval(row, COL_PC_LO)
     pc_hi = cval(row, COL_PC_HI)
     pc_lo_n = cval(next_row, COL_PC_LO)
@@ -715,6 +773,32 @@ def constraint_value_at(row: List[int], next_row: List[int], n_cols: int):
             we, _sub2(cval(next_row, COL_REG_LO + r), res_lo)))
         transitions.append(cm31_mul_scalar(
             we, _sub2(cval(next_row, COL_REG_HI + r), res_hi)))
+
+    sel_br = (0, 0)
+    for v in BRANCH_OPS:
+        sel_br = _add2(sel_br, sel_by[v])
+    c2_sh = cm31_mul_scalar(c2, (1 << 20, 0))
+    c3_sh = cm31_mul_scalar(c3, (1 << 20, 0))
+    d_lo = _add2(cm31_mul_scalar(taken, i_lo),
+                 cm31_mul_scalar(_sub2(one, taken), (4, 0)))
+    transitions.append(cm31_mul_scalar(sel_br, _add2(
+        _sub2(_sub2(cval(next_row, COL_PC_LO), pc_lo), d_lo), c2_sh)))
+    transitions.append(cm31_mul_scalar(sel_br, _add2(
+        _sub2(_sub2(_sub2(cval(next_row, COL_PC_HI), pc_hi),
+                    cm31_mul_scalar(taken, i_hi)), c2), c3_sh)))
+    jal_off = _add2(cm31_mul_scalar(cval(row, COL_IMM_LO), (16, 0)),
+                    cval(row, COL_RS1))
+    transitions.append(cm31_mul_scalar(sel_by[0x48], _add2(
+        _sub2(_sub2(cval(next_row, COL_PC_LO), pc_lo), jal_off), c2_sh)))
+    transitions.append(cm31_mul_scalar(sel_by[0x48], _add2(
+        _sub2(_sub2(_sub2(cval(next_row, COL_PC_HI), pc_hi),
+                    cm31_mul_scalar(s_imm, (0xFFFFE, 0))), c2), c3_sh)))
+    transitions.append(cm31_mul_scalar(sel_by[0x49], _add2(_add2(
+        _sub2(_sub2(cval(next_row, COL_PC_LO), a_lo), i_lo), b_lsb),
+        c2_sh)))
+    transitions.append(cm31_mul_scalar(sel_by[0x49], _add2(
+        _sub2(_sub2(_sub2(cval(next_row, COL_PC_HI), a_hi), i_hi), c2),
+        c3_sh)))
 
     firsts = [cval(row, base + r)
               for r in range(1, 16) for base in (COL_REG_LO, COL_REG_HI)]

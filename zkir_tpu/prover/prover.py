@@ -61,19 +61,18 @@ def _pad_rows(matrix: np.ndarray, min_log: int = 2):
     register-write-consistency and result-binding constraints all hold
     on padding.
 
-    Requires the final real row to be a halt (EBREAK/ECALL/branch —
-    any non-writing op): the post-state of a final *writing* row is not
-    observable, so replicating its pre-state registers would violate the
-    result-binding constraint on an honest trace."""
+    Requires the final real row to be a halt (EBREAK/ECALL): the
+    post-state of a final *writing* row is unobservable, and a final
+    branch/jump row has no successor pc, so either would violate an
+    honest trace's result-binding / pc-target constraints."""
     from .constraints import (
         COL_OPCODE, COL_RD1H0, COL_REG_LO, COL_RS1H0, COL_RS2H0, COL_SEL0,
         OP_VALUES)
-    from .trace import WRITING_OPS
 
     n_rows = matrix.shape[0]
-    if n_rows > 0 and int(matrix[-1, COL_OPCODE]) in WRITING_OPS:
+    if n_rows > 0 and int(matrix[-1, COL_OPCODE]) not in (0x50, 0x51):
         raise ValueError(
-            "trace must end in a non-writing (halt) row; got opcode "
+            "trace must end in a halt (ECALL/EBREAK) row; got opcode "
             f"{int(matrix[-1, COL_OPCODE]):#x}")
     log_n = max((n_rows - 1).bit_length(), min_log)
     padded = np.zeros(((1 << log_n), matrix.shape[1]), dtype=np.uint32)

@@ -73,7 +73,13 @@ N_BASE_COLUMNS = 8 + 32 + 5 + 2 + 4          # 51: layout above
 N_DECODE_COLUMNS = N_BASE_COLUMNS + N_OPS + 16   # + opcode 1-hot + rd 1-hot
 # ALU result-binding block: rs1/rs2 one-hots, result limbs, carries,
 # immediate decomposition, result range chunks.
-N_COLUMNS = N_DECODE_COLUMNS + 16 + 16 + 2 + 2 + 4 + 4
+N_ALU_COLUMNS = N_DECODE_COLUMNS + 16 + 16 + 2 + 2 + 4 + 4
+# Control-flow block: taken bit, pc-target carries c2 (in {0,1,2}) and
+# c3, JALR LSB-clear witness.  Branch rows take pc' = pc + (taken ?
+# sext17(imm) : 4); JAL pc' = pc + sext21(16*imm + rs1); JALR
+# pc' = (rs1_val + sext17(imm)) & ~1.  Target limb ranges come from
+# program binding (the next row's pc is a table pc).
+N_COLUMNS = N_ALU_COLUMNS + 4
 
 # Opcodes whose result value is pinned by an AIR constraint.
 _OP_ADD, _OP_SUB, _OP_ADDI = 0x00, 0x01, 0x08
@@ -237,4 +243,41 @@ def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0) -> np.ndarray:
     out[:, b0 + 41] = res_lo >> 10                # rl1
     out[:, b0 + 42] = res_hi & 0x3FF              # rh0
     out[:, b0 + 43] = res_hi >> 10                # rh1
+
+    # --- Control-flow block: taken / target carries / JALR LSB ---
+    cf = N_ALU_COLUMNS
+    next_pc = np.zeros(n, dtype=np.uint64)
+    if n > 1:
+        next_pc[:-1] = pc40[1:]
+    is_branch = (op >= 0x40) & (op <= 0x45)
+    taken = is_branch & (next_pc != ((pc40 + 4) & _M40))
+    out[:, cf] = taken.astype(np.uint32)
+
+    # Target value per family (same sext(imm) limbs as ADDI).
+    i_lo = (imm17 + s_bit * ((1 << 20) - (1 << 17))).astype(np.uint64)
+    i_hi = (s_bit * ((1 << 20) - 1)).astype(np.uint64)
+    pc_lo = pc40 & _M20
+    pc_hi = (pc40 >> 20) & _M20
+    t_lo_sum = np.select(
+        [is_branch & taken, is_branch & ~taken,
+         op == _OP_JAL, op == _OP_JALR],
+        [pc_lo + i_lo, pc_lo + 4,
+         pc_lo + 16 * imm17.astype(np.uint64) + rs1.astype(np.uint64),
+         (a & _M20) + i_lo],
+        default=0)
+    # JALR clears the target LSB before it becomes the next pc.
+    b_lsb = np.where(op == _OP_JALR, t_lo_sum & 1, 0)
+    t_lo_sum = t_lo_sum - b_lsb
+    c2 = t_lo_sum >> 20                           # in {0, 1, 2}
+    t_hi_sum = np.select(
+        [is_branch & taken, is_branch, op == _OP_JAL, op == _OP_JALR],
+        [pc_hi + i_hi + c2, pc_hi + c2,
+         pc_hi + s_bit.astype(np.uint64) * 0xFFFFE + c2,
+         ((a >> 20) & _M20) + i_hi + c2],
+        default=0)
+    c3 = (t_hi_sum >> 20) & 1
+    is_cf = is_branch | (op == _OP_JAL) | (op == _OP_JALR)
+    out[:, cf + 1] = np.where(is_cf, c2, 0).astype(np.uint32)
+    out[:, cf + 2] = np.where(is_cf, c3, 0).astype(np.uint32)
+    out[:, cf + 3] = b_lsb.astype(np.uint32)
     return out
