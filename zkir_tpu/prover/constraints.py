@@ -88,8 +88,8 @@ from ..spec.field import M31_PRIME
 
 P = M31_PRIME
 
-from .trace import (N_ALU_COLUMNS, N_COLUMNS, N_DECODE_COLUMNS, N_OPS,
-                    OP_VALUES, WRITING_OPS)
+from .trace import (N_ALU_COLUMNS, N_CF_COLUMNS, N_COLUMNS,
+                    N_DECODE_COLUMNS, N_OPS, OP_VALUES, WRITING_OPS)
 
 # Column indices (see prover/trace.py layout).
 COL_PC_LO = 0
@@ -121,10 +121,41 @@ COL_IMM_Q0HI = N_DECODE_COLUMNS + 39
 COL_RES_CH0 = N_DECODE_COLUMNS + 40   # rl0, rl1, rh0, rh1
 # Control-flow block (prover/trace.py): branch/jump pc-target semantics.
 COL_TAKEN = N_ALU_COLUMNS
-COL_CARRY2 = N_ALU_COLUMNS + 1        # target lo carry, in {0, 1, 2}
-COL_CARRY3 = N_ALU_COLUMNS + 2        # target hi carry (dropped: mod 2^40)
+COL_CARRY2 = N_ALU_COLUMNS + 1        # target/address lo carry, in {0,1,2}
+COL_CARRY3 = N_ALU_COLUMNS + 2        # target/address hi carry (dropped)
 COL_BLSB = N_ALU_COLUMNS + 3          # JALR LSB-clear witness
 BRANCH_OPS = tuple(range(0x40, 0x46))
+# Memory-op binding block (prover/trace.py): address-limb chunks + SW
+# truncation witness.  Memory columns (base layout): 40 addr_lo,
+# 41 addr_hi, 42 val_lo, 43 val_hi, 44 flags.
+COL_MEM_ADDR_LO = 40
+COL_MEM_ADDR_HI = 41
+COL_MEM_VAL_LO = 42
+COL_MEM_VAL_HI = 43
+COL_MEM_FLAGS = 44
+COL_MADDR_CH0 = N_CF_COLUMNS          # al0, al1, ah0, ah1
+COL_SW_TW = N_CF_COLUMNS + 4
+LOAD_OPS = tuple(range(0x30, 0x36))
+STORE_OPS = tuple(range(0x38, 0x3C))
+ZEXT_LOAD_OPS = (0x31, 0x33, 0x34, 0x35)   # LBU, LHU, LW, LD: res == mval
+MEM_WIDTHS = {0x30: 1, 0x31: 1, 0x32: 2, 0x33: 2, 0x34: 4, 0x35: 8,
+              0x38: 1, 0x39: 2, 0x3A: 4, 0x3B: 8}
+# Memory-consistency block (prover/trace.py): exec clk + sorted table.
+# v1 scope: the native-width LD/SD ops (sub-word ops keep their register
+# pins above; cross-row consistency for them needs byte decomposition).
+from .trace import COL_CLK, M_BASE  # noqa: E402
+M_ADDR_LO = M_BASE
+M_ADDR_HI = M_BASE + 1
+M_CLK = M_BASE + 2
+M_VAL_LO = M_BASE + 3
+M_VAL_HI = M_BASE + 4
+M_W = M_BASE + 5
+M_REAL = M_BASE + 6
+M_SAME = M_BASE + 7
+M_HIEQ = M_BASE + 8
+M_CHA = M_BASE + 9
+M_CHB = M_BASE + 10
+MEMARG_OPS = (0x35, 0x3B)                  # LD, SD
 # Lookup columns appended by the prover when range_lookup is enabled:
 COL_TABLE = N_COLUMNS                 # table values t_i
 COL_MULT0 = N_COLUMNS + 1             # NUM_LOOKUP multiplicity columns
@@ -164,6 +195,13 @@ CHANNELS = (
     ("rl1", 0, ((COL_RES_CH0 + 1, 1),)),
     ("rh0", 0, ((COL_RES_CH0 + 2, 1),)),
     ("rh1", 0, ((COL_RES_CH0 + 3, 1),)),
+    ("mal0", 0, ((COL_MADDR_CH0 + 0, 1),)),
+    ("mal1", 0, ((COL_MADDR_CH0 + 1, 1),)),
+    ("mah0", 0, ((COL_MADDR_CH0 + 2, 1),)),
+    ("mah1", 0, ((COL_MADDR_CH0 + 3, 1),)),
+    ("sw_tw", 0, ((COL_SW_TW, 4),)),           # 4*tw < 2^10 => tw < 2^8
+    ("mem_cha", 0, ((M_CHA, 1),)),
+    ("mem_chb", 0, ((M_CHB, 1),)),
 )
 NUM_LOOKUP = len(CHANNELS)
 COL_PROG_M = COL_MULT0 + NUM_LOOKUP
@@ -177,7 +215,7 @@ COL_PROG_M = COL_MULT0 + NUM_LOOKUP
 # program; padding rows consume the dedicated (0, 0, EBREAK, 0) entry.
 PROG_F_TERMS = ((COL_OPCODE, 1), (COL_RD, 1 << 7), (COL_RS1, 1 << 11))
 
-NUM_SINGLE = 4 + N_OPS + 2 + 16 + 2 + 36 + 3 + 4 + 8 + 4
+NUM_SINGLE = 4 + N_OPS + 2 + 16 + 2 + 36 + 3 + 4 + 8 + 4 + 13
 NUM_TRANS = 2 + 30 + 30 + 6
 NUM_FIRST = 30           # boundary: registers start zeroed
 NUM_CONSTRAINTS = NUM_SINGLE + NUM_TRANS + NUM_FIRST
@@ -349,6 +387,61 @@ def constraint_evals(ext_r, ext_i, log_n: int, log_blowup: int):
         singles.append(cm31_mul(bcol, cm31_sub(bcol, one)))
     singles.append(cm31_mul(cm31_mul(c2, cm31_sub(c2, one)),
                             cm31_sub(c2, _scalar_vec((2, 0), big))))
+
+    # --- Memory-op binding ---
+    # flags = is_mem + 2*is_store + 4*width, all selector-derived.
+    def selsum(ops):
+        acc = None
+        for v in ops:
+            acc = sel_by[v] if acc is None else cm31_add(acc, sel_by[v])
+        return acc
+
+    sel_loads = selsum(LOAD_OPS)
+    sel_stores = selsum(STORE_OPS)
+    flags_expr = cm31_add(sel_loads, cm31_mul(sel_stores,
+                                              _scalar_vec((3, 0), big)))
+    for v, width in MEM_WIDTHS.items():
+        flags_expr = cm31_add(flags_expr, cm31_mul(
+            sel_by[v], _scalar_vec((4 * width, 0), big)))
+    singles.append(cm31_sub(col(COL_MEM_FLAGS), flags_expr))
+
+    # Address-limb decomposition (unique encoding below 2^20).
+    maddr_lo = col(COL_MEM_ADDR_LO)
+    maddr_hi = col(COL_MEM_ADDR_HI)
+    for limb, c_base in ((maddr_lo, COL_MADDR_CH0),
+                         (maddr_hi, COL_MADDR_CH0 + 2)):
+        singles.append(cm31_sub(
+            limb, cm31_add(col(c_base), cm31_mul(
+                col(c_base + 1), _scalar_vec((1 << 10, 0), big)))))
+
+    # Address pin: maddr = base + sext17(imm) mod 2^40.  Loads (I-type)
+    # read the base through rs1; stores (S-type) through the rd bitfield.
+    g_lo, g_hi = operand(e, COL_REG_LO), operand(e, COL_REG_HI)
+    c2_sh = cm31_mul(c2, two20)
+    c3_sh = cm31_mul(c3, two20)
+    for sel_m, base_lo, base_hi in ((sel_loads, a_lo, a_hi),
+                                    (sel_stores, g_lo, g_hi)):
+        singles.append(cm31_mul(sel_m, cm31_add(
+            cm31_sub(cm31_sub(maddr_lo, base_lo), i_lo), c2_sh)))
+        singles.append(cm31_mul(sel_m, cm31_add(
+            cm31_sub(cm31_sub(cm31_sub(maddr_hi, base_hi), i_hi), c2),
+            c3_sh)))
+
+    # Value pins.  Zero-extending loads: res == mval (the loaded value is
+    # what lands in rd).  SD stores the full 40-bit a operand; SW stores
+    # a mod 2^32 (truncation witness tw).  LB/LH (sign-extend) and SB/SH
+    # value links remain documented gaps.
+    mval_lo = col(COL_MEM_VAL_LO)
+    mval_hi = col(COL_MEM_VAL_HI)
+    sel_zl = selsum(ZEXT_LOAD_OPS)
+    singles.append(cm31_mul(sel_zl, cm31_sub(res_lo, mval_lo)))
+    singles.append(cm31_mul(sel_zl, cm31_sub(res_hi, mval_hi)))
+    singles.append(cm31_mul(sel_by[0x3B], cm31_sub(a_lo, mval_lo)))
+    singles.append(cm31_mul(sel_by[0x3B], cm31_sub(a_hi, mval_hi)))
+    singles.append(cm31_mul(sel_by[0x3A], cm31_sub(a_lo, mval_lo)))
+    singles.append(cm31_mul(sel_by[0x3A], cm31_sub(
+        a_hi, cm31_add(mval_hi, cm31_mul(col(COL_SW_TW),
+                                         _scalar_vec((1 << 12, 0), big))))))
 
     pc_lo, pc_hi = col(COL_PC_LO), col(COL_PC_HI)
     pc_lo_n, pc_hi_n = nxt(COL_PC_LO), nxt(COL_PC_HI)
@@ -522,9 +615,133 @@ def lookup_constraint_evals(ext_r, ext_i, s_ext, beta: Tuple[int, int],
     return out
 
 
+def memory_constraint_evals(ext_r, ext_i, log_blowup: int):
+    """Sorted-memory-table constraints (active in range_lookup mode; the
+    prover fills the block in _build_memory_table).
+
+    Returns (singles, transitions, firsts):
+      singles: m_w/m_real/m_same/m_hieq booleans
+      firsts:  m_same = 0; exec clk = 0; a first-row read returns 0
+      transitions (next-row chunks D' = cha' + 2^10 chb' gap-check both
+      the clk-strict-increase within an address run and the
+      address-strict-increase between runs):
+        clk' = clk + 1                      (exec clk chain)
+        real' => real                       (real rows first)
+        same' => addr' = addr  (per limb)
+        hieq' => addr_hi' = addr_hi
+        !same' => addr' = addr + 1 + D' on the lexicographic limb
+        same' => clk_m' = clk_m + 1 + D'
+        same' & read' => val' = val         (reads see the last value)
+        !same' & read' => val' = 0          (fresh addresses read zero)
+    """
+    blowup = 1 << log_blowup
+    big = ext_r.shape[1]
+    one = _scalar_vec((1, 0), big)
+
+    def col(c):
+        return (ext_r[c], ext_i[c])
+
+    def nxt(c):
+        return (jnp.roll(ext_r[c], -blowup), jnp.roll(ext_i[c], -blowup))
+
+    m_w, m_real = col(M_W), col(M_REAL)
+    m_same, m_hieq = col(M_SAME), col(M_HIEQ)
+    singles = [cm31_mul(b, cm31_sub(b, one))
+               for b in (m_w, m_real, m_same, m_hieq)]
+
+    not_w = cm31_sub(one, m_w)
+    firsts = [m_same, col(COL_CLK),
+              cm31_mul(not_w, col(M_VAL_LO)),
+              cm31_mul(not_w, col(M_VAL_HI))]
+
+    same_n, hieq_n = nxt(M_SAME), nxt(M_HIEQ)
+    real_n, w_n = nxt(M_REAL), nxt(M_W)
+    not_same_n = cm31_sub(one, same_n)
+    not_w_n = cm31_sub(one, w_n)
+    d_gap = cm31_add(nxt(M_CHA), cm31_mul(nxt(M_CHB),
+                                          _scalar_vec((1 << 10, 0), big)))
+
+    def inc_gap(c):
+        return cm31_sub(cm31_sub(cm31_sub(nxt(c), col(c)), one), d_gap)
+
+    transitions = [
+        cm31_sub(cm31_sub(nxt(COL_CLK), col(COL_CLK)), one),
+        cm31_mul(cm31_sub(one, m_real), real_n),
+        cm31_mul(same_n, cm31_sub(nxt(M_ADDR_LO), col(M_ADDR_LO))),
+        cm31_mul(same_n, cm31_sub(nxt(M_ADDR_HI), col(M_ADDR_HI))),
+        cm31_mul(hieq_n, cm31_sub(nxt(M_ADDR_HI), col(M_ADDR_HI))),
+        cm31_mul(not_same_n, cm31_add(
+            cm31_mul(hieq_n, inc_gap(M_ADDR_LO)),
+            cm31_mul(cm31_sub(one, hieq_n), inc_gap(M_ADDR_HI)))),
+        cm31_mul(same_n, inc_gap(M_CLK)),
+        cm31_mul(cm31_mul(same_n, not_w_n),
+                 cm31_sub(nxt(M_VAL_LO), col(M_VAL_LO))),
+        cm31_mul(cm31_mul(same_n, not_w_n),
+                 cm31_sub(nxt(M_VAL_HI), col(M_VAL_HI))),
+        cm31_mul(cm31_mul(not_same_n, not_w_n), nxt(M_VAL_LO)),
+        cm31_mul(cm31_mul(not_same_n, not_w_n), nxt(M_VAL_HI)),
+    ]
+    return singles, transitions, firsts
+
+
+def memory_constraint_values_at(row, next_row, n_cols: int):
+    """Scalar mirror of memory_constraint_evals for opened rows."""
+
+    def cval(cols, c):
+        return (cols[c], cols[n_cols + c])
+
+    one = (1, 0)
+    m_w, m_real = cval(row, M_W), cval(row, M_REAL)
+    m_same, m_hieq = cval(row, M_SAME), cval(row, M_HIEQ)
+    singles = [cm31_mul_scalar(b, _sub2(b, one))
+               for b in (m_w, m_real, m_same, m_hieq)]
+
+    not_w = _sub2(one, m_w)
+    firsts = [m_same, cval(row, COL_CLK),
+              cm31_mul_scalar(not_w, cval(row, M_VAL_LO)),
+              cm31_mul_scalar(not_w, cval(row, M_VAL_HI))]
+
+    same_n, hieq_n = cval(next_row, M_SAME), cval(next_row, M_HIEQ)
+    real_n, w_n = cval(next_row, M_REAL), cval(next_row, M_W)
+    not_same_n = _sub2(one, same_n)
+    not_w_n = _sub2(one, w_n)
+    d_gap = _add2(cval(next_row, M_CHA),
+                  cm31_mul_scalar(cval(next_row, M_CHB), (1 << 10, 0)))
+
+    def inc_gap(c):
+        return _sub2(_sub2(_sub2(cval(next_row, c), cval(row, c)), one),
+                     d_gap)
+
+    transitions = [
+        _sub2(_sub2(cval(next_row, COL_CLK), cval(row, COL_CLK)), one),
+        cm31_mul_scalar(_sub2(one, m_real), real_n),
+        cm31_mul_scalar(same_n, _sub2(cval(next_row, M_ADDR_LO),
+                                      cval(row, M_ADDR_LO))),
+        cm31_mul_scalar(same_n, _sub2(cval(next_row, M_ADDR_HI),
+                                      cval(row, M_ADDR_HI))),
+        cm31_mul_scalar(hieq_n, _sub2(cval(next_row, M_ADDR_HI),
+                                      cval(row, M_ADDR_HI))),
+        cm31_mul_scalar(not_same_n, _add2(
+            cm31_mul_scalar(hieq_n, inc_gap(M_ADDR_LO)),
+            cm31_mul_scalar(_sub2(one, hieq_n), inc_gap(M_ADDR_HI)))),
+        cm31_mul_scalar(same_n, inc_gap(M_CLK)),
+        cm31_mul_scalar(cm31_mul_scalar(same_n, not_w_n),
+                        _sub2(cval(next_row, M_VAL_LO),
+                              cval(row, M_VAL_LO))),
+        cm31_mul_scalar(cm31_mul_scalar(same_n, not_w_n),
+                        _sub2(cval(next_row, M_VAL_HI),
+                              cval(row, M_VAL_HI))),
+        cm31_mul_scalar(cm31_mul_scalar(not_same_n, not_w_n),
+                        cval(next_row, M_VAL_LO)),
+        cm31_mul_scalar(cm31_mul_scalar(not_same_n, not_w_n),
+                        cval(next_row, M_VAL_HI)),
+    ]
+    return singles, transitions, firsts
+
+
 def quotient_evals(ext_r, ext_i, log_n: int, log_blowup: int,
                    shift: Tuple[int, int], alpha: Tuple[int, int],
-                   lookup=None, program=None):
+                   lookup=None, program=None, memory=None):
     """Q(x) = sum_j alpha^j C_j(x) / D_j(x) on the coset LDE domain.
 
     ``lookup``: optional (s_ext, beta) enabling the LogUp constraints.
@@ -577,6 +794,52 @@ def quotient_evals(ext_r, ext_i, log_n: int, log_blowup: int,
             term = cm31_mul(cm31_mul(c, dinv), _scalar_vec(power, big))
             acc = cm31_add(acc, term)
             power = cm31_mul_scalar(power, alpha)
+    if memory is not None:
+        (smr, smi), delta = memory
+        _, beta = lookup
+        blowup = 1 << log_blowup
+        m_singles, m_trans, m_firsts = memory_constraint_evals(
+            ext_r, ext_i, log_blowup)
+        for cs, dinv in ((m_singles, zh_inv), (m_trans, zt_inv),
+                         (m_firsts, zf_inv)):
+            for c in cs:
+                term = cm31_mul(cm31_mul(c, dinv), _scalar_vec(power, big))
+                acc = cm31_add(acc, term)
+                power = cm31_mul_scalar(power, alpha)
+        # Multiset channel: exec (maddr, clk, mval, is_write) tuples of
+        # the LD/SD rows == the real sorted-table rows (LogUp with the
+        # shared beta; delta compresses the 6-tuple).
+        beta_vec = _scalar_vec(beta, big)
+
+        def tuple6(cols, flag):
+            acc6 = (ext_r[cols[0]], ext_i[cols[0]])
+            p6 = delta
+            for c in cols[1:]:
+                acc6 = cm31_add(acc6, cm31_mul(
+                    (ext_r[c], ext_i[c]), _scalar_vec(p6, big)))
+                p6 = cm31_mul_scalar(p6, delta)
+            return cm31_add(acc6, cm31_mul(flag, _scalar_vec(p6, big)))
+
+        sel_ld = (ext_r[COL_SEL0 + OP_VALUES.index(0x35)],
+                  ext_i[COL_SEL0 + OP_VALUES.index(0x35)])
+        sel_sd = (ext_r[COL_SEL0 + OP_VALUES.index(0x3B)],
+                  ext_i[COL_SEL0 + OP_VALUES.index(0x3B)])
+        v = cm31_add(sel_ld, sel_sd)
+        w = tuple6((COL_MEM_ADDR_LO, COL_MEM_ADDR_HI, COL_CLK,
+                    COL_MEM_VAL_LO, COL_MEM_VAL_HI), sel_sd)
+        t_mem = tuple6((M_ADDR_LO, M_ADDR_HI, M_CLK, M_VAL_LO, M_VAL_HI),
+                       (ext_r[M_W], ext_i[M_W]))
+        m_real = (ext_r[M_REAL], ext_i[M_REAL])
+        s = (smr, smi)
+        s_next = (jnp.roll(smr, -blowup), jnp.roll(smi, -blowup))
+        bw = cm31_sub(beta_vec, w)
+        bt = cm31_sub(beta_vec, t_mem)
+        lhs = cm31_mul(cm31_mul(cm31_sub(s_next, s), bw), bt)
+        rhs = cm31_sub(cm31_mul(v, bt), cm31_mul(m_real, bw))
+        term = cm31_mul(cm31_mul(cm31_sub(lhs, rhs), zh_inv),
+                        _scalar_vec(power, big))
+        acc = cm31_add(acc, term)
+        power = cm31_mul_scalar(power, alpha)
     if program is not None:
         (pr, pi), (spr, spi), gamma, entry = program
         _, beta = lookup
@@ -741,6 +1004,51 @@ def constraint_value_at(row: List[int], next_row: List[int], n_cols: int):
     singles.append(cm31_mul_scalar(
         cm31_mul_scalar(c2, _sub2(c2, one)), _sub2(c2, (2, 0))))
 
+    def selsum(ops):
+        acc = (0, 0)
+        for v in ops:
+            acc = _add2(acc, sel_by[v])
+        return acc
+
+    sel_loads = selsum(LOAD_OPS)
+    sel_stores = selsum(STORE_OPS)
+    flags_expr = _add2(sel_loads, cm31_mul_scalar(sel_stores, (3, 0)))
+    for v, width in MEM_WIDTHS.items():
+        flags_expr = _add2(flags_expr,
+                           cm31_mul_scalar(sel_by[v], (4 * width, 0)))
+    singles.append(_sub2(cval(row, COL_MEM_FLAGS), flags_expr))
+
+    maddr_lo = cval(row, COL_MEM_ADDR_LO)
+    maddr_hi = cval(row, COL_MEM_ADDR_HI)
+    for limb, c_base in ((maddr_lo, COL_MADDR_CH0),
+                         (maddr_hi, COL_MADDR_CH0 + 2)):
+        singles.append(_sub2(
+            limb, _add2(cval(row, c_base),
+                        cm31_mul_scalar(cval(row, c_base + 1),
+                                        (1 << 10, 0)))))
+
+    g_lo, g_hi = operand(e, COL_REG_LO), operand(e, COL_REG_HI)
+    c2_sh = cm31_mul_scalar(c2, (1 << 20, 0))
+    c3_sh = cm31_mul_scalar(c3, (1 << 20, 0))
+    for sel_m, base_lo, base_hi in ((sel_loads, a_lo, a_hi),
+                                    (sel_stores, g_lo, g_hi)):
+        singles.append(cm31_mul_scalar(sel_m, _add2(
+            _sub2(_sub2(maddr_lo, base_lo), i_lo), c2_sh)))
+        singles.append(cm31_mul_scalar(sel_m, _add2(
+            _sub2(_sub2(_sub2(maddr_hi, base_hi), i_hi), c2), c3_sh)))
+
+    mval_lo = cval(row, COL_MEM_VAL_LO)
+    mval_hi = cval(row, COL_MEM_VAL_HI)
+    sel_zl = selsum(ZEXT_LOAD_OPS)
+    singles.append(cm31_mul_scalar(sel_zl, _sub2(res_lo, mval_lo)))
+    singles.append(cm31_mul_scalar(sel_zl, _sub2(res_hi, mval_hi)))
+    singles.append(cm31_mul_scalar(sel_by[0x3B], _sub2(a_lo, mval_lo)))
+    singles.append(cm31_mul_scalar(sel_by[0x3B], _sub2(a_hi, mval_hi)))
+    singles.append(cm31_mul_scalar(sel_by[0x3A], _sub2(a_lo, mval_lo)))
+    singles.append(cm31_mul_scalar(sel_by[0x3A], _sub2(
+        a_hi, _add2(mval_hi, cm31_mul_scalar(cval(row, COL_SW_TW),
+                                             (1 << 12, 0))))))
+
     pc_lo = cval(row, COL_PC_LO)
     pc_hi = cval(row, COL_PC_HI)
     pc_lo_n = cval(next_row, COL_PC_LO)
@@ -840,12 +1148,15 @@ def lookup_constraint_values_at(row, next_row, s_row, s_next, n_cols: int,
 
 def quotient_value_at(row, next_row, n_cols: int, index: int, log_n: int,
                       log_blowup: int, shift: Tuple[int, int],
-                      alpha: Tuple[int, int], lookup=None, program=None):
+                      alpha: Tuple[int, int], lookup=None, program=None,
+                      memory=None):
     """Scalar Q(x_index) recomputed from opened rows (verifier side).
 
     ``lookup``: optional (s_row, s_next, beta).
-    ``program``: optional (prog_row, gamma, entry); the program partial
-    sum is the last sums column (index NUM_LOOKUP in s_row/s_next)."""
+    ``memory``: optional (delta,); its partial sum is sums column
+    NUM_LOOKUP.
+    ``program``: optional (prog_row, gamma, entry); its partial sum is
+    the last sums column."""
     n = 1 << log_n
     singles, transitions, firsts = constraint_value_at(row, next_row, n_cols)
     x = cm31_mul_scalar(shift,
@@ -871,7 +1182,8 @@ def quotient_value_at(row, next_row, n_cols: int, index: int, log_n: int,
         power = cm31_mul_scalar(power, alpha)
     if lookup is not None:
         s_row, s_next, beta = lookup
-        n_sums = NUM_LOOKUP + (1 if program is not None else 0)
+        n_sums = (NUM_LOOKUP + (1 if memory is not None else 0)
+                  + (1 if program is not None else 0))
         for c in lookup_constraint_values_at(row, next_row, s_row, s_next,
                                              n_cols, beta, n_sums=n_sums):
             acc = _add2(acc, cm31_mul_scalar(
@@ -888,10 +1200,51 @@ def quotient_value_at(row, next_row, n_cols: int, index: int, log_n: int,
             acc = _add2(acc, cm31_mul_scalar(
                 cm31_mul_scalar(c, dinv), power))
             power = cm31_mul_scalar(power, alpha)
+    if memory is not None:
+        (delta,) = memory
+        s_row, s_next, beta = lookup
+        n_sums = (NUM_LOOKUP + 1 + (1 if program is not None else 0))
+        m_singles, m_trans, m_firsts = memory_constraint_values_at(
+            row, next_row, n_cols)
+        for cs, dinv in ((m_singles, zh_inv), (m_trans, zt_inv),
+                         (m_firsts, zf_inv)):
+            for c in cs:
+                acc = _add2(acc, cm31_mul_scalar(
+                    cm31_mul_scalar(c, dinv), power))
+                power = cm31_mul_scalar(power, alpha)
+
+        def cval(cols, c):
+            return (cols[c], cols[n_cols + c])
+
+        def tuple6(cols, flag):
+            acc6 = cval(row, cols[0])
+            p6 = delta
+            for c in cols[1:]:
+                acc6 = _add2(acc6, cm31_mul_scalar(cval(row, c), p6))
+                p6 = cm31_mul_scalar(p6, delta)
+            return _add2(acc6, cm31_mul_scalar(flag, p6))
+
+        sel_ld = cval(row, COL_SEL0 + OP_VALUES.index(0x35))
+        sel_sd = cval(row, COL_SEL0 + OP_VALUES.index(0x3B))
+        v = _add2(sel_ld, sel_sd)
+        w = tuple6((COL_MEM_ADDR_LO, COL_MEM_ADDR_HI, COL_CLK,
+                    COL_MEM_VAL_LO, COL_MEM_VAL_HI), sel_sd)
+        t_mem = tuple6((M_ADDR_LO, M_ADDR_HI, M_CLK, M_VAL_LO, M_VAL_HI),
+                       cval(row, M_W))
+        m_real = cval(row, M_REAL)
+        s = (s_row[NUM_LOOKUP], s_row[n_sums + NUM_LOOKUP])
+        s_n = (s_next[NUM_LOOKUP], s_next[n_sums + NUM_LOOKUP])
+        bw = _sub2(beta, w)
+        bt = _sub2(beta, t_mem)
+        lhs = cm31_mul_scalar(cm31_mul_scalar(_sub2(s_n, s), bw), bt)
+        rhs = _sub2(cm31_mul_scalar(v, bt), cm31_mul_scalar(m_real, bw))
+        acc = _add2(acc, cm31_mul_scalar(
+            cm31_mul_scalar(_sub2(lhs, rhs), zh_inv), power))
+        power = cm31_mul_scalar(power, alpha)
     if program is not None:
         prog_row, gamma, entry = program
         s_row, s_next, beta = lookup
-        n_sums = NUM_LOOKUP + 1
+        n_sums = (NUM_LOOKUP + 1 + (1 if memory is not None else 0))
 
         def cval(cols, c):
             return (cols[c], cols[n_cols + c])
@@ -912,8 +1265,9 @@ def quotient_value_at(row, next_row, n_cols: int, index: int, log_n: int,
                        _add2(cm31_mul_scalar(pval(2), g2),
                              cm31_mul_scalar(pval(3), g3)))
         m = cval(row, COL_PROG_M)
-        s = (s_row[NUM_LOOKUP], s_row[n_sums + NUM_LOOKUP])
-        s_n = (s_next[NUM_LOOKUP], s_next[n_sums + NUM_LOOKUP])
+        idx_prog = n_sums - 1
+        s = (s_row[idx_prog], s_row[n_sums + idx_prog])
+        s_n = (s_next[idx_prog], s_next[n_sums + idx_prog])
         bw = _sub2(beta, w)
         bt = _sub2(beta, t_prog)
         lhs = cm31_mul_scalar(cm31_mul_scalar(_sub2(s_n, s), bw), bt)

@@ -66,8 +66,8 @@ def _pad_rows(matrix: np.ndarray, min_log: int = 2):
     branch/jump row has no successor pc, so either would violate an
     honest trace's result-binding / pc-target constraints."""
     from .constraints import (
-        COL_OPCODE, COL_RD1H0, COL_REG_LO, COL_RS1H0, COL_RS2H0, COL_SEL0,
-        OP_VALUES)
+        COL_CLK, COL_OPCODE, COL_RD1H0, COL_REG_LO, COL_RS1H0, COL_RS2H0,
+        COL_SEL0, OP_VALUES)
 
     n_rows = matrix.shape[0]
     if n_rows > 0 and int(matrix[-1, COL_OPCODE]) not in (0x50, 0x51):
@@ -85,7 +85,128 @@ def _pad_rows(matrix: np.ndarray, min_log: int = 2):
         padded[n_rows:, COL_RS2H0] = 1
         padded[n_rows:, COL_REG_LO:COL_REG_LO + 32] = \
             matrix[-1, COL_REG_LO:COL_REG_LO + 32]
+        # The exec clk chain (clk' = clk + 1) runs through padding.
+        padded[n_rows:, COL_CLK] = np.arange(n_rows, 1 << log_n,
+                                             dtype=np.uint32)
     return padded, log_n
+
+
+def _build_memory_table(padded: np.ndarray, n_real: int) -> None:
+    """Fill the sorted-memory-table block (trace.py M_BASE..M_BASE+10) in
+    place: the LD/SD exec rows sorted by (addr_hi, addr_lo, clk), then
+    padding rows that replicate the final entry's address/value as
+    clk-advancing reads (so the same-run read-consistency transitions
+    hold trivially).  Gap chunks cha/chb witness the strict increase of
+    clk within an address run and of the address between runs."""
+    from .constraints import (COL_CLK, COL_MEM_ADDR_HI, COL_MEM_ADDR_LO,
+                              COL_MEM_VAL_HI, COL_MEM_VAL_LO, COL_OPCODE,
+                              M_ADDR_HI, M_ADDR_LO, M_CHA, M_CHB, M_CLK,
+                              M_HIEQ, M_REAL, M_SAME, M_VAL_HI, M_VAL_LO,
+                              M_W, MEMARG_OPS)
+
+    n = padded.shape[0]
+    op = padded[:n_real, COL_OPCODE]
+    rows = np.nonzero(np.isin(op, MEMARG_OPS))[0]
+    k = len(rows)
+    t_al = np.zeros(n, dtype=np.int64)
+    t_ah = np.zeros(n, dtype=np.int64)
+    t_clk = np.zeros(n, dtype=np.int64)
+    t_vl = np.zeros(n, dtype=np.uint32)
+    t_vh = np.zeros(n, dtype=np.uint32)
+    t_w = np.zeros(n, dtype=np.uint32)
+    if k:
+        al = padded[rows, COL_MEM_ADDR_LO].astype(np.int64)
+        ah = padded[rows, COL_MEM_ADDR_HI].astype(np.int64)
+        clk = padded[rows, COL_CLK].astype(np.int64)
+        order = np.lexsort((clk, al, ah))
+        t_al[:k], t_ah[:k], t_clk[:k] = al[order], ah[order], clk[order]
+        t_vl[:k] = padded[rows, COL_MEM_VAL_LO][order]
+        t_vh[:k] = padded[rows, COL_MEM_VAL_HI][order]
+        t_w[:k] = (op[rows][order] == MEMARG_OPS[1]).astype(np.uint32)
+        t_al[k:], t_ah[k:] = t_al[k - 1], t_ah[k - 1]
+        t_clk[k:] = t_clk[k - 1] + np.arange(1, n - k + 1)
+        t_vl[k:], t_vh[k:] = t_vl[k - 1], t_vh[k - 1]
+    else:
+        t_clk[:] = np.arange(n)
+    same = np.zeros(n, dtype=np.uint32)
+    hieq = np.zeros(n, dtype=np.uint32)
+    same[1:] = ((t_al[1:] == t_al[:-1]) & (t_ah[1:] == t_ah[:-1])) \
+        .astype(np.uint32)
+    hieq[1:] = (t_ah[1:] == t_ah[:-1]).astype(np.uint32)
+    gap = np.zeros(n, dtype=np.int64)
+    gap[1:] = np.where(
+        same[1:] == 1, t_clk[1:] - t_clk[:-1] - 1,
+        np.where(hieq[1:] == 1, t_al[1:] - t_al[:-1] - 1,
+                 t_ah[1:] - t_ah[:-1] - 1))
+    if k and not ((gap[1:] >= 0).all() and (gap[1:] < 1 << 20).all()):
+        raise ValueError("memory-table gap outside the 20-bit chunk range")
+    padded[:, M_ADDR_LO] = t_al.astype(np.uint32)
+    padded[:, M_ADDR_HI] = t_ah.astype(np.uint32)
+    padded[:, M_CLK] = t_clk.astype(np.uint32)
+    padded[:, M_VAL_LO], padded[:, M_VAL_HI] = t_vl, t_vh
+    padded[:, M_W] = t_w
+    padded[:, M_REAL] = (np.arange(n) < k).astype(np.uint32)
+    padded[:, M_SAME], padded[:, M_HIEQ] = same, hieq
+    padded[:, M_CHA] = (gap & 1023).astype(np.uint32)
+    padded[:, M_CHB] = (gap >> 10).astype(np.uint32)
+
+
+def _memory_partial_sum(padded: np.ndarray, beta, delta):
+    """The memory-multiset LogUp partial-sum column (CM31 pair [n]):
+
+    s[0] = 0; s[i+1] = s[i] + v_i/(beta - w_i) - real_i/(beta - t_i)
+
+    where w/t delta-compress the exec-row and sorted-table 6-tuples
+    (addr_lo, addr_hi, clk, val_lo, val_hi, is_write)."""
+    from ..ops.field_ops import m31_batch_inv
+
+    from .constraints import (COL_CLK, COL_MEM_ADDR_HI, COL_MEM_ADDR_LO,
+                              COL_MEM_VAL_HI, COL_MEM_VAL_LO, COL_OPCODE,
+                              M_ADDR_HI, M_ADDR_LO, M_CLK, M_REAL,
+                              M_VAL_HI, M_VAL_LO, M_W, MEMARG_OPS)
+
+    n = padded.shape[0]
+
+    def compress(cols, flag):
+        wr = padded[:, cols[0]].astype(np.uint64) % P
+        wi = np.zeros(n, dtype=np.uint64)
+        p6 = delta
+        for c in cols[1:]:
+            v = padded[:, c].astype(np.uint64)
+            wr = (wr + v * (p6[0] % P)) % P
+            wi = (wi + v * (p6[1] % P)) % P
+            p6 = cm31_mul_scalar(p6, delta)
+        wr = (wr + flag * (p6[0] % P)) % P
+        wi = (wi + flag * (p6[1] % P)) % P
+        return wr, wi
+
+    op = padded[:, COL_OPCODE]
+    v = np.isin(op, MEMARG_OPS).astype(np.uint64)
+    is_sd = (op == MEMARG_OPS[1]).astype(np.uint64)
+    w_r, w_i = compress((COL_MEM_ADDR_LO, COL_MEM_ADDR_HI, COL_CLK,
+                         COL_MEM_VAL_LO, COL_MEM_VAL_HI), is_sd)
+    t_r, t_i = compress((M_ADDR_LO, M_ADDR_HI, M_CLK, M_VAL_LO, M_VAL_HI),
+                        padded[:, M_W].astype(np.uint64))
+    real = padded[:, M_REAL].astype(np.uint64)
+
+    dr = np.concatenate([(beta[0] - w_r.astype(np.int64)) % P,
+                         (beta[0] - t_r.astype(np.int64)) % P])
+    di = np.concatenate([(beta[1] - w_i.astype(np.int64)) % P,
+                         (beta[1] - t_i.astype(np.int64)) % P])
+    norm = (dr * dr + di * di) % P
+    ninv = np.asarray(m31_batch_inv(
+        jnp.asarray(norm.astype(np.uint32)))).astype(np.uint64)
+    inv_r = (dr.astype(np.uint64) * ninv) % P
+    inv_i = ((P - di.astype(np.uint64)) % P * ninv) % P
+    term_r = ((v * inv_r[:n]) % P + (P - (real * inv_r[n:]) % P)) % P
+    term_i = ((v * inv_i[:n]) % P + (P - (real * inv_i[n:]) % P)) % P
+    cum_r = np.cumsum(term_r.astype(np.int64)) % P
+    cum_i = np.cumsum(term_i.astype(np.int64)) % P
+    s_r = np.zeros(n, dtype=np.uint32)
+    s_i = np.zeros(n, dtype=np.uint32)
+    s_r[1:] = cum_r[:-1].astype(np.uint32)
+    s_i[1:] = cum_i[:-1].astype(np.uint32)
+    return s_r, s_i
 
 
 def _channel_witnesses(padded: np.ndarray) -> np.ndarray:
@@ -332,6 +453,8 @@ def prove_trace(matrix: np.ndarray,
     matrix = np.asarray(matrix, dtype=np.uint32)
     n_real = matrix.shape[0]
     padded, log_n = _pad_rows(matrix, min_log=10 if range_lookup else 2)
+    if range_lookup:
+        _build_memory_table(padded, n_real)
     prog = None
     entry_point = 0
     if program is not None:
@@ -394,14 +517,21 @@ def prove_trace(matrix: np.ndarray,
         challenger.observe(len(code_words))
 
     # Phase 1.5 (lookup only): beta challenge -> partial-sum columns.
+    # Sums-column layout: NUM_LOOKUP channel sums, then the memory
+    # multiset sum, then (if program-bound) the program sum.
     lookup = None
+    memory_args = None
     program_args = None
     levels_s = None
     s_rows = None
     if range_lookup:
         beta = challenger.sample_cm31()
         gamma = challenger.sample_cm31() if prog is not None else None
+        delta = challenger.sample_cm31()
         s_r, s_i = _build_partial_sums(padded, beta)
+        sm_r, sm_i = _memory_partial_sum(padded, beta, delta)
+        s_r = np.concatenate([s_r, sm_r[None, :]], axis=0)
+        s_i = np.concatenate([s_i, sm_i[None, :]], axis=0)
         if prog is not None:
             sp_r, sp_i = _program_partial_sum(padded, prog["cols"], beta,
                                               gamma)
@@ -414,9 +544,11 @@ def prove_trace(matrix: np.ndarray,
         root_s = merkle.root(levels_s)
         challenger.observe_many(int(x) for x in root_s)
         lookup = ((s_ext_r[:NUM_LOOKUP], s_ext_i[:NUM_LOOKUP]), beta)
+        memory_args = ((s_ext_r[NUM_LOOKUP], s_ext_i[NUM_LOOKUP]), delta)
         if prog is not None:
             program_args = (prog["ext"],
-                            (s_ext_r[NUM_LOOKUP], s_ext_i[NUM_LOOKUP]),
+                            (s_ext_r[NUM_LOOKUP + 1],
+                             s_ext_i[NUM_LOOKUP + 1]),
                             gamma, entry_point)
 
     alpha_c = challenger.sample_cm31()
@@ -426,7 +558,8 @@ def prove_trace(matrix: np.ndarray,
     # every committed column at the same FRI degree bound while allowing
     # constraints up to degree 3).
     q = quotient_evals(ext_r, ext_i, log_n, fri_config.log_blowup, shift,
-                       alpha_c, lookup=lookup, program=program_args)
+                       alpha_c, lookup=lookup, program=program_args,
+                       memory=memory_args)
     qc_r, qc_i = coset_intt(q[0], q[1], log_big, shift=shift)
     n_rows = 1 << log_n
     q_chunks = []
@@ -538,11 +671,13 @@ def verify_trace(proof: Dict[str, Any], program=None) -> bool:
         challenger.observe(int(prog_pub["n_code"]))
     beta = None
     gamma = None
-    n_sums = NUM_LOOKUP + (1 if prog_pub is not None else 0)
+    delta = None
+    n_sums = NUM_LOOKUP + 1 + (1 if prog_pub is not None else 0)
     if range_lookup:
         beta = challenger.sample_cm31()
         if prog_pub is not None:
             gamma = challenger.sample_cm31()
+        delta = challenger.sample_cm31()
         challenger.observe_many(int(x) for x in proof["sums_root"])
     alpha_c = challenger.sample_cm31()
     challenger.observe_many(int(x) for x in proof["quotient_root"])
@@ -628,14 +763,17 @@ def verify_trace(proof: Dict[str, Any], program=None) -> bool:
             # recomputed combination of constraints at the opened rows.
             jn = (j + blowup) % big
             lookup_args = None
+            memory_args = None
             program_args = None
             if range_lookup:
                 lookup_args = (s_vals[j], s_vals[jn], beta)
+                memory_args = (delta,)
             if prog_pub is not None:
                 program_args = (p_vals[j], gamma, int(prog_pub["entry"]))
             expected_q = quotient_value_at(
                 rows[j], rows[jn], n_cols, j, log_n, config.log_blowup,
-                shift, alpha_c, lookup=lookup_args, program=program_args)
+                shift, alpha_c, lookup=lookup_args, program=program_args,
+                memory=memory_args)
             x = cm31_mul_scalar(
                 shift, cm31_pow_scalar(root_of_unity(log_big), j))
             xn = cm31_pow_scalar(x, 1 << log_n)

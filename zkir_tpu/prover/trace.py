@@ -79,7 +79,24 @@ N_ALU_COLUMNS = N_DECODE_COLUMNS + 16 + 16 + 2 + 2 + 4 + 4
 # sext17(imm) : 4); JAL pc' = pc + sext21(16*imm + rs1); JALR
 # pc' = (rs1_val + sext17(imm)) & ~1.  Target limb ranges come from
 # program binding (the next row's pc is a table pc).
-N_COLUMNS = N_ALU_COLUMNS + 4
+N_CF_COLUMNS = N_ALU_COLUMNS + 4
+# Memory-op binding block: 10-bit chunks of the memory-address limbs
+# (al0, al1, ah0, ah1 -- unique-encoding range checks for the address
+# pin maddr = base + sext17(imm), which reuses c2/c3 as carries on
+# load/store rows), and the SW high-limb truncation witness tw
+# (b_hi = mval_hi + 2^12 tw, tw < 2^8).
+N_MEM_COLUMNS = N_CF_COLUMNS + 5
+# Memory-consistency block: the exec clk column (row index; clk' = clk+1,
+# clk(0) = 0) and the address-sorted memory table for the native-width
+# (LD/SD) ops -- addr limbs, clk, value limbs, is_write, is_real, same
+# (continues the previous address run), hieq (addr_hi equal to previous),
+# and the 10+10-bit gap chunks cha/chb shared by the clk-strict-increase
+# (same run) and address-strict-increase (new run) arguments.  The block
+# is filled by the prover post-padding (prover/prover.py
+# _build_memory_table); trace_to_matrix leaves it zero.
+COL_CLK = N_MEM_COLUMNS
+M_BASE = N_MEM_COLUMNS + 1
+N_COLUMNS = M_BASE + 11
 
 # Opcodes whose result value is pinned by an AIR constraint.
 _OP_ADD, _OP_SUB, _OP_ADDI = 0x00, 0x01, 0x08
@@ -277,7 +294,38 @@ def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0) -> np.ndarray:
         default=0)
     c3 = (t_hi_sum >> 20) & 1
     is_cf = is_branch | (op == _OP_JAL) | (op == _OP_JALR)
-    out[:, cf + 1] = np.where(is_cf, c2, 0).astype(np.uint32)
-    out[:, cf + 2] = np.where(is_cf, c3, 0).astype(np.uint32)
+
+    # --- Memory-op binding: address carries + chunks, SW truncation ---
+    # S-type encoding puts the base register in the rd bitfield and the
+    # value register in the rs1 bitfield (encoding.rs:142-159), so the
+    # store base operand reads through the rd one-hot and the store value
+    # IS the a operand.
+    is_load = (op >= 0x30) & (op <= 0x35)
+    is_store = (op >= 0x38) & (op <= 0x3B)
+    rd_op = np.take_along_axis(
+        values, out[:, 3][:, None].astype(np.int64), axis=1)[:, 0]
+    base_val = np.where(is_store, rd_op, a)
+    maddr_lo = out[:, 40].astype(np.uint64)
+    mc2 = ((base_val & _M20) + i_lo - maddr_lo) >> 20      # {0, 1}
+    mc3_sum = ((base_val >> 20) & _M20) + i_hi + mc2
+    mc3 = (mc3_sum >> 20) & 1
+    is_mem = is_load | is_store
+    out[:, cf + 1] = np.where(is_cf, c2, np.where(is_mem, mc2, 0)) \
+        .astype(np.uint32)
+    out[:, cf + 2] = np.where(is_cf, c3, np.where(is_mem, mc3, 0)) \
+        .astype(np.uint32)
     out[:, cf + 3] = b_lsb.astype(np.uint32)
+
+    mb = N_CF_COLUMNS
+    out[:, mb + 0] = out[:, 40] & 0x3FF           # al0
+    out[:, mb + 1] = out[:, 40] >> 10             # al1
+    out[:, mb + 2] = out[:, 41] & 0x3FF           # ah0
+    out[:, mb + 3] = out[:, 41] >> 10             # ah1
+    mval_hi = out[:, 43].astype(np.uint64)
+    tw = np.where(op == 0x3A,
+                  (((a >> 20) & _M20) - mval_hi) >> 12, 0)
+    out[:, mb + 4] = tw.astype(np.uint32)
+
+    # Exec clk = row index (padding rows continue it in _pad_rows).
+    out[:, COL_CLK] = np.arange(n, dtype=np.uint32)
     return out
