@@ -144,6 +144,13 @@ MEM_WIDTHS = {0x30: 1, 0x31: 1, 0x32: 2, 0x33: 2, 0x34: 4, 0x35: 8,
 # v1 scope: the native-width LD/SD ops (sub-word ops keep their register
 # pins above; cross-row consistency for them needs byte decomposition).
 from .trace import COL_CLK, M_BASE  # noqa: E402
+# Compare / branch-condition / cmov block (prover/trace.py).
+from .trace import (COL_AR0, COL_AR1, COL_BR0, COL_BR1, COL_CB0,  # noqa: E402
+                    COL_CB1, COL_CCH0, COL_CEQ, COL_CINV, COL_CU_HI,
+                    COL_CU_LO, COL_SA, COL_SB, COL_VA_HI, COL_VA_LO,
+                    COL_VB_HI, COL_VB_LO, COL_VG_HI, COL_VG_LO, COL_X1)
+COMPARE_OPS = tuple(range(0x20, 0x26))   # SLTU SGEU SLT SGE SEQ SNE
+CMOV_OPS = (0x26, 0x27, 0x28)            # CMOV CMOVZ CMOVNZ
 M_ADDR_LO = M_BASE
 M_ADDR_HI = M_BASE + 1
 M_CLK = M_BASE + 2
@@ -202,6 +209,14 @@ CHANNELS = (
     ("sw_tw", 0, ((COL_SW_TW, 4),)),           # 4*tw < 2^10 => tw < 2^8
     ("mem_cha", 0, ((M_CHA, 1),)),
     ("mem_chb", 0, ((M_CHB, 1),)),
+    ("cch0", 0, ((COL_CCH0 + 0, 1),)),
+    ("cch1", 0, ((COL_CCH0 + 1, 1),)),
+    ("cch2", 0, ((COL_CCH0 + 2, 1),)),
+    ("cch3", 0, ((COL_CCH0 + 3, 1),)),
+    ("ar0", 0, ((COL_AR0, 1),)),
+    ("ar1", 0, ((COL_AR1, 2),)),               # 2*ar1 < 2^10 => ar1 < 2^9
+    ("br0", 0, ((COL_BR0, 1),)),
+    ("br1", 0, ((COL_BR1, 2),)),
 )
 NUM_LOOKUP = len(CHANNELS)
 COL_PROG_M = COL_MULT0 + NUM_LOOKUP
@@ -215,7 +230,7 @@ COL_PROG_M = COL_MULT0 + NUM_LOOKUP
 # program; padding rows consume the dedicated (0, 0, EBREAK, 0) entry.
 PROG_F_TERMS = ((COL_OPCODE, 1), (COL_RD, 1 << 7), (COL_RS1, 1 << 11))
 
-NUM_SINGLE = 4 + N_OPS + 2 + 16 + 2 + 36 + 3 + 4 + 8 + 4 + 13
+NUM_SINGLE = 4 + N_OPS + 2 + 16 + 2 + 36 + 3 + 4 + 8 + 4 + 13 + 42
 NUM_TRANS = 2 + 30 + 30 + 6
 NUM_FIRST = 30           # boundary: registers start zeroed
 NUM_CONSTRAINTS = NUM_SINGLE + NUM_TRANS + NUM_FIRST
@@ -442,6 +457,100 @@ def constraint_evals(ext_r, ext_i, log_n: int, log_blowup: int):
     singles.append(cm31_mul(sel_by[0x3A], cm31_sub(
         a_hi, cm31_add(mval_hi, cm31_mul(col(COL_SW_TW),
                                          _scalar_vec((1 << 12, 0), big))))))
+
+    # --- Compare / branch-condition / cmov block ---
+    # Committed operand views (degree-1 handles on the inner products).
+    va_lo, va_hi = col(COL_VA_LO), col(COL_VA_HI)
+    vb_lo, vb_hi = col(COL_VB_LO), col(COL_VB_HI)
+    vg_lo, vg_hi = col(COL_VG_LO), col(COL_VG_HI)
+    for vcol, expr in ((va_lo, a_lo), (va_hi, a_hi), (vb_lo, b_lo),
+                       (vb_hi, b_hi), (vg_lo, g_lo), (vg_hi, g_hi)):
+        singles.append(cm31_sub(vcol, expr))
+    cu_lo, cu_hi = col(COL_CU_LO), col(COL_CU_HI)
+    cb0, cb1 = col(COL_CB0), col(COL_CB1)
+    cinv, ceq = col(COL_CINV), col(COL_CEQ)
+    sa, sb = col(COL_SA), col(COL_SB)
+    x1 = col(COL_X1)
+    for bcol in (cb0, cb1, sa, sb):
+        singles.append(cm31_mul(bcol, cm31_sub(bcol, one)))
+    # cu chunk decomposition (unique below 2^20).
+    for limb, c_base in ((cu_lo, COL_CCH0), (cu_hi, COL_CCH0 + 2)):
+        singles.append(cm31_sub(
+            limb, cm31_add(col(c_base), cm31_mul(
+                col(c_base + 1), _scalar_vec((1 << 10, 0), big)))))
+    # Equality gadget on s = cu_lo + cu_hi (< 2^21 < p, so s = 0 iff both
+    # limbs are 0 iff the 40-bit difference is 0): ceq = 1 - s*cinv and
+    # ceq*s = 0 force ceq = [cu == 0].
+    s_eq = cm31_add(cu_lo, cu_hi)
+    singles.append(cm31_sub(cm31_add(ceq, cm31_mul(s_eq, cinv)), one))
+    singles.append(cm31_mul(ceq, s_eq))
+    # x1 = cb1 XOR sa; lt_signed = x1 XOR sb (sign-XOR trick,
+    # value.rs:710-716: flip the unsigned borrow when the signs differ).
+    two = _scalar_vec((2, 0), big)
+    singles.append(cm31_sub(
+        x1, cm31_sub(cm31_add(cb1, sa),
+                     cm31_mul(two, cm31_mul(cb1, sa)))))
+    lts = cm31_sub(cm31_add(x1, sb),
+                   cm31_mul(two, cm31_mul(x1, sb)))
+    # cu pins: cu = x - y mod 2^40 in borrow form, where the compare
+    # operands (x, y) are (a, b) for the compare family and
+    # (rd-field, rs1-field) for branches (B-type bitfield quirk,
+    # encoding.rs:142-159); cmov rows pin cu = b (so ceq = [b == 0], the
+    # cmov condition).  Sign decompositions x_hi/y_hi = r0 + 2^10 r1 +
+    # 2^19 s (chunk ranges by the lookup channels) extract bit 39.
+    sel_cmp = selsum(COMPARE_OPS)
+    sel_brf = selsum(BRANCH_OPS)
+    sel_cmovf = selsum(CMOV_OPS)
+    cb0_sh = cm31_mul(cb0, two20)
+    cb1_sh = cm31_mul(cb1, two20)
+    sign_dec_a = cm31_add(cm31_add(
+        col(COL_AR0), cm31_mul(col(COL_AR1),
+                               _scalar_vec((1 << 10, 0), big))),
+        cm31_mul(sa, _scalar_vec((1 << 19, 0), big)))
+    sign_dec_b = cm31_add(cm31_add(
+        col(COL_BR0), cm31_mul(col(COL_BR1),
+                               _scalar_vec((1 << 10, 0), big))),
+        cm31_mul(sb, _scalar_vec((1 << 19, 0), big)))
+    for sel_f, x_lo, x_hi, y_lo, y_hi in (
+            (sel_cmp, va_lo, va_hi, vb_lo, vb_hi),
+            (sel_brf, vg_lo, vg_hi, va_lo, va_hi)):
+        singles.append(cm31_mul(sel_f, cm31_add(
+            cm31_sub(cm31_sub(x_lo, y_lo), cu_lo), cb0_sh)))
+        singles.append(cm31_mul(sel_f, cm31_add(
+            cm31_sub(cm31_sub(cm31_sub(x_hi, y_hi), cb0), cu_hi),
+            cb1_sh)))
+        singles.append(cm31_mul(sel_f, cm31_sub(x_hi, sign_dec_a)))
+        singles.append(cm31_mul(sel_f, cm31_sub(y_hi, sign_dec_b)))
+    singles.append(cm31_mul(sel_cmovf, cm31_sub(cu_lo, vb_lo)))
+    singles.append(cm31_mul(sel_cmovf, cm31_sub(cu_hi, vb_hi)))
+    # Compare-family result pins: res in {0,1} per the op's predicate
+    # (cb1 = unsigned lt, lts = signed lt, ceq = equal).
+    singles.append(cm31_mul(sel_cmp, res_hi))
+    for v, pred, neg in ((0x20, cb1, False), (0x21, cb1, True),
+                         (0x22, lts, False), (0x23, lts, True),
+                         (0x24, ceq, False), (0x25, ceq, True)):
+        want = cm31_sub(one, pred) if neg else pred
+        singles.append(cm31_mul(sel_by[v], cm31_sub(res_lo, want)))
+    # Branch taken bit DERIVED from the operands (closes control flow:
+    # the pc-target transitions consume this bit).
+    for v, pred, neg in ((0x40, ceq, False), (0x41, ceq, True),
+                         (0x42, lts, False), (0x43, lts, True),
+                         (0x44, cb1, False), (0x45, cb1, True)):
+        want = cm31_sub(one, pred) if neg else pred
+        singles.append(cm31_mul(sel_by[v], cm31_sub(taken, want)))
+    # CMOV result pins: res = cond ? a : rd_old with cond = [b != 0]
+    # (CMOV/CMOVNZ) or [b == 0] (CMOVZ).  A false condition writes
+    # rd_old, matching the no-write semantics (execute.rs:434-474).
+    sel_nz = cm31_add(sel_by[0x26], sel_by[0x28])
+    nceq = cm31_sub(one, ceq)
+    for selc, cond in ((sel_nz, nceq), (sel_by[0x27], ceq)):
+        ncond = cm31_sub(one, cond)
+        singles.append(cm31_mul(selc, cm31_sub(
+            res_lo, cm31_add(cm31_mul(cond, va_lo),
+                             cm31_mul(ncond, vg_lo)))))
+        singles.append(cm31_mul(selc, cm31_sub(
+            res_hi, cm31_add(cm31_mul(cond, va_hi),
+                             cm31_mul(ncond, vg_hi)))))
 
     pc_lo, pc_hi = col(COL_PC_LO), col(COL_PC_HI)
     pc_lo_n, pc_hi_n = nxt(COL_PC_LO), nxt(COL_PC_HI)
@@ -1048,6 +1157,79 @@ def constraint_value_at(row: List[int], next_row: List[int], n_cols: int):
     singles.append(cm31_mul_scalar(sel_by[0x3A], _sub2(
         a_hi, _add2(mval_hi, cm31_mul_scalar(cval(row, COL_SW_TW),
                                              (1 << 12, 0))))))
+
+    # --- Compare / branch-condition / cmov block (scalar mirror) ---
+    va_lo, va_hi = cval(row, COL_VA_LO), cval(row, COL_VA_HI)
+    vb_lo, vb_hi = cval(row, COL_VB_LO), cval(row, COL_VB_HI)
+    vg_lo, vg_hi = cval(row, COL_VG_LO), cval(row, COL_VG_HI)
+    for vcol, expr in ((va_lo, a_lo), (va_hi, a_hi), (vb_lo, b_lo),
+                       (vb_hi, b_hi), (vg_lo, g_lo), (vg_hi, g_hi)):
+        singles.append(_sub2(vcol, expr))
+    cu_lo, cu_hi = cval(row, COL_CU_LO), cval(row, COL_CU_HI)
+    cb0, cb1 = cval(row, COL_CB0), cval(row, COL_CB1)
+    cinv, ceq = cval(row, COL_CINV), cval(row, COL_CEQ)
+    sa, sb = cval(row, COL_SA), cval(row, COL_SB)
+    x1 = cval(row, COL_X1)
+    for bcol in (cb0, cb1, sa, sb):
+        singles.append(cm31_mul_scalar(bcol, _sub2(bcol, one)))
+    for limb, c_base in ((cu_lo, COL_CCH0), (cu_hi, COL_CCH0 + 2)):
+        singles.append(_sub2(
+            limb, _add2(cval(row, c_base),
+                        cm31_mul_scalar(cval(row, c_base + 1),
+                                        (1 << 10, 0)))))
+    s_eq = _add2(cu_lo, cu_hi)
+    singles.append(_sub2(_add2(ceq, cm31_mul_scalar(s_eq, cinv)), one))
+    singles.append(cm31_mul_scalar(ceq, s_eq))
+    singles.append(_sub2(
+        x1, _sub2(_add2(cb1, sa),
+                  cm31_mul_scalar(cm31_mul_scalar(cb1, sa), (2, 0)))))
+    lts = _sub2(_add2(x1, sb),
+                cm31_mul_scalar(cm31_mul_scalar(x1, sb), (2, 0)))
+    sel_cmp = selsum(COMPARE_OPS)
+    sel_brf = selsum(BRANCH_OPS)
+    sel_cmovf = selsum(CMOV_OPS)
+    cb0_sh = cm31_mul_scalar(cb0, (1 << 20, 0))
+    cb1_sh = cm31_mul_scalar(cb1, (1 << 20, 0))
+    sign_dec_a = _add2(_add2(
+        cval(row, COL_AR0),
+        cm31_mul_scalar(cval(row, COL_AR1), (1 << 10, 0))),
+        cm31_mul_scalar(sa, (1 << 19, 0)))
+    sign_dec_b = _add2(_add2(
+        cval(row, COL_BR0),
+        cm31_mul_scalar(cval(row, COL_BR1), (1 << 10, 0))),
+        cm31_mul_scalar(sb, (1 << 19, 0)))
+    for sel_f, x_lo, x_hi, y_lo, y_hi in (
+            (sel_cmp, va_lo, va_hi, vb_lo, vb_hi),
+            (sel_brf, vg_lo, vg_hi, va_lo, va_hi)):
+        singles.append(cm31_mul_scalar(sel_f, _add2(
+            _sub2(_sub2(x_lo, y_lo), cu_lo), cb0_sh)))
+        singles.append(cm31_mul_scalar(sel_f, _add2(
+            _sub2(_sub2(_sub2(x_hi, y_hi), cb0), cu_hi), cb1_sh)))
+        singles.append(cm31_mul_scalar(sel_f, _sub2(x_hi, sign_dec_a)))
+        singles.append(cm31_mul_scalar(sel_f, _sub2(y_hi, sign_dec_b)))
+    singles.append(cm31_mul_scalar(sel_cmovf, _sub2(cu_lo, vb_lo)))
+    singles.append(cm31_mul_scalar(sel_cmovf, _sub2(cu_hi, vb_hi)))
+    singles.append(cm31_mul_scalar(sel_cmp, res_hi))
+    for v, pred, neg in ((0x20, cb1, False), (0x21, cb1, True),
+                         (0x22, lts, False), (0x23, lts, True),
+                         (0x24, ceq, False), (0x25, ceq, True)):
+        want = _sub2(one, pred) if neg else pred
+        singles.append(cm31_mul_scalar(sel_by[v], _sub2(res_lo, want)))
+    for v, pred, neg in ((0x40, ceq, False), (0x41, ceq, True),
+                         (0x42, lts, False), (0x43, lts, True),
+                         (0x44, cb1, False), (0x45, cb1, True)):
+        want = _sub2(one, pred) if neg else pred
+        singles.append(cm31_mul_scalar(sel_by[v], _sub2(taken, want)))
+    sel_nz = _add2(sel_by[0x26], sel_by[0x28])
+    nceq = _sub2(one, ceq)
+    for selc, cond in ((sel_nz, nceq), (sel_by[0x27], ceq)):
+        ncond = _sub2(one, cond)
+        singles.append(cm31_mul_scalar(selc, _sub2(
+            res_lo, _add2(cm31_mul_scalar(cond, va_lo),
+                          cm31_mul_scalar(ncond, vg_lo)))))
+        singles.append(cm31_mul_scalar(selc, _sub2(
+            res_hi, _add2(cm31_mul_scalar(cond, va_hi),
+                          cm31_mul_scalar(ncond, vg_hi)))))
 
     pc_lo = cval(row, COL_PC_LO)
     pc_hi = cval(row, COL_PC_HI)

@@ -66,8 +66,8 @@ def _pad_rows(matrix: np.ndarray, min_log: int = 2):
     branch/jump row has no successor pc, so either would violate an
     honest trace's result-binding / pc-target constraints."""
     from .constraints import (
-        COL_CLK, COL_OPCODE, COL_RD1H0, COL_REG_LO, COL_RS1H0, COL_RS2H0,
-        COL_SEL0, OP_VALUES)
+        COL_CEQ, COL_CLK, COL_OPCODE, COL_RD1H0, COL_REG_LO, COL_RS1H0,
+        COL_RS2H0, COL_SEL0, OP_VALUES)
 
     n_rows = matrix.shape[0]
     if n_rows > 0 and int(matrix[-1, COL_OPCODE]) not in (0x50, 0x51):
@@ -88,6 +88,7 @@ def _pad_rows(matrix: np.ndarray, min_log: int = 2):
         # The exec clk chain (clk' = clk + 1) runs through padding.
         padded[n_rows:, COL_CLK] = np.arange(n_rows, 1 << log_n,
                                              dtype=np.uint32)
+        padded[n_rows:, COL_CEQ] = 1    # eq gadget: cu = 0 on padding
     return padded, log_n
 
 

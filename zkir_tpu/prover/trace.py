@@ -96,7 +96,38 @@ N_MEM_COLUMNS = N_CF_COLUMNS + 5
 # _build_memory_table); trace_to_matrix leaves it zero.
 COL_CLK = N_MEM_COLUMNS
 M_BASE = N_MEM_COLUMNS + 1
-N_COLUMNS = M_BASE + 11
+# Compare / branch-condition / cmov block.  Committed degree-1 operand
+# views (va = rs1-field operand, vb = rs2-field, vg = rd-field, pinned to
+# the one-hot inner products), the generic difference cu = x - y mod 2^40
+# (compare/branch rows: a - b with borrow bits cb0/cb1 -> cb1 is the
+# unsigned less-than; cmov rows: b) with 10-bit range chunks, the
+# equality gadget (ceq, cinv) on cu_lo + cu_hi, sign decompositions
+# va_hi = ar0 + 2^10 ar1 + 2^19 sa (ditto vb_hi/sb) for the signed
+# compare sign-XOR trick, and the XOR intermediate x1 = cb1 ^ sa
+# (lt_signed = x1 ^ sb).  Constraints derive the branch taken bit and
+# pin the compare-family and cmov results (prover/constraints.py).
+CMP_BASE = M_BASE + 11
+COL_VA_LO = CMP_BASE
+COL_VA_HI = CMP_BASE + 1
+COL_VB_LO = CMP_BASE + 2
+COL_VB_HI = CMP_BASE + 3
+COL_VG_LO = CMP_BASE + 4
+COL_VG_HI = CMP_BASE + 5
+COL_CU_LO = CMP_BASE + 6
+COL_CU_HI = CMP_BASE + 7
+COL_CB0 = CMP_BASE + 8
+COL_CB1 = CMP_BASE + 9
+COL_CCH0 = CMP_BASE + 10             # 4 chunks of cu_lo/cu_hi
+COL_CINV = CMP_BASE + 14
+COL_CEQ = CMP_BASE + 15
+COL_SA = CMP_BASE + 16
+COL_AR0 = CMP_BASE + 17
+COL_AR1 = CMP_BASE + 18
+COL_SB = CMP_BASE + 19
+COL_BR0 = CMP_BASE + 20
+COL_BR1 = CMP_BASE + 21
+COL_X1 = CMP_BASE + 22
+N_COLUMNS = CMP_BASE + 23
 
 # Opcodes whose result value is pinned by an AIR constraint.
 _OP_ADD, _OP_SUB, _OP_ADDI = 0x00, 0x01, 0x08
@@ -262,12 +293,24 @@ def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0) -> np.ndarray:
     out[:, b0 + 43] = res_hi >> 10                # rh1
 
     # --- Control-flow block: taken / target carries / JALR LSB ---
+    # taken is the branch *predicate* itself (the AIR derives it from the
+    # operands, so it must match even when the target equals pc + 4).
     cf = N_ALU_COLUMNS
-    next_pc = np.zeros(n, dtype=np.uint64)
-    if n > 1:
-        next_pc[:-1] = pc40[1:]
     is_branch = (op >= 0x40) & (op <= 0x45)
-    taken = is_branch & (next_pc != ((pc40 + 4) & _M40))
+    # B-type operands ride the rd/rs1 bitfields (encoding.rs:142-159):
+    # the machine compares reg[rd-field] against reg[rs1-field].
+    rd_op = np.take_along_axis(
+        values, out[:, 3][:, None].astype(np.int64), axis=1)[:, 0]
+    bx = np.where(is_branch, rd_op, a)
+    by = np.where(is_branch, a, b)
+    eq_xy = bx == by
+    ltu_xy = bx < by
+    lts_xy = (bx ^ (1 << 39)) < (by ^ (1 << 39))
+    taken = is_branch & np.select(
+        [op == 0x40, op == 0x41, op == 0x42,
+         op == 0x43, op == 0x44, op == 0x45],
+        [eq_xy, ~eq_xy, lts_xy, ~lts_xy, ltu_xy, ~ltu_xy],
+        default=False)
     out[:, cf] = taken.astype(np.uint32)
 
     # Target value per family (same sext(imm) limbs as ADDI).
@@ -302,8 +345,6 @@ def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0) -> np.ndarray:
     # IS the a operand.
     is_load = (op >= 0x30) & (op <= 0x35)
     is_store = (op >= 0x38) & (op <= 0x3B)
-    rd_op = np.take_along_axis(
-        values, out[:, 3][:, None].astype(np.int64), axis=1)[:, 0]
     base_val = np.where(is_store, rd_op, a)
     maddr_lo = out[:, 40].astype(np.uint64)
     mc2 = ((base_val & _M20) + i_lo - maddr_lo) >> 20      # {0, 1}
@@ -328,4 +369,58 @@ def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0) -> np.ndarray:
 
     # Exec clk = row index (padding rows continue it in _pad_rows).
     out[:, COL_CLK] = np.arange(n, dtype=np.uint32)
+
+    # --- Compare / branch-condition / cmov block ---
+    out[:, COL_VA_LO] = (a & _M20).astype(np.uint32)
+    out[:, COL_VA_HI] = ((a >> 20) & _M20).astype(np.uint32)
+    out[:, COL_VB_LO] = (b & _M20).astype(np.uint32)
+    out[:, COL_VB_HI] = ((b >> 20) & _M20).astype(np.uint32)
+    out[:, COL_VG_LO] = (rd_op & _M20).astype(np.uint32)
+    out[:, COL_VG_HI] = ((rd_op >> 20) & _M20).astype(np.uint32)
+
+    # cx/cy are the family's compare operands: compares (a, b), branches
+    # (rd-field, rs1-field) = (bx, by); cmov uses cu = b directly.
+    is_cmp = (op >= 0x20) & (op <= 0x25)
+    is_cmpbr = is_cmp | is_branch
+    is_cmovf = (op >= 0x26) & (op <= 0x28)
+    cx = np.where(is_cmpbr, bx, 0)
+    cy = np.where(is_cmpbr, by, 0)
+    cu = np.where(is_cmpbr, (cx - cy) & _M40,
+                  np.where(is_cmovf, b, 0))
+    cu_lo = (cu & _M20).astype(np.uint32)
+    cu_hi = ((cu >> 20) & _M20).astype(np.uint32)
+    out[:, COL_CU_LO] = cu_lo
+    out[:, COL_CU_HI] = cu_hi
+    cb0 = (is_cmpbr & ((cx & _M20) < (cy & _M20))).astype(np.int64)
+    cb1 = (is_cmpbr & (((cx >> 20) & _M20).astype(np.int64)
+                       - ((cy >> 20) & _M20).astype(np.int64) - cb0 < 0))
+    out[:, COL_CB0] = cb0.astype(np.uint32)
+    out[:, COL_CB1] = cb1.astype(np.uint32)
+    out[:, COL_CCH0 + 0] = cu_lo & 0x3FF
+    out[:, COL_CCH0 + 1] = cu_lo >> 10
+    out[:, COL_CCH0 + 2] = cu_hi & 0x3FF
+    out[:, COL_CCH0 + 3] = cu_hi >> 10
+    s_val = (cu_lo + cu_hi).astype(np.uint32)
+    out[:, COL_CEQ] = (s_val == 0).astype(np.uint32)
+    out[:, COL_CINV] = _m31_inv_np(s_val)
+    cx_hi = ((cx >> 20) & _M20).astype(np.uint32)
+    cy_hi = ((cy >> 20) & _M20).astype(np.uint32)
+    sa = ((cx >> 39) & 1).astype(np.uint32)
+    sb = ((cy >> 39) & 1).astype(np.uint32)
+    out[:, COL_SA] = sa
+    out[:, COL_AR0] = cx_hi & 0x3FF
+    out[:, COL_AR1] = (cx_hi >> 10) & 0x1FF
+    out[:, COL_SB] = sb
+    out[:, COL_BR0] = cy_hi & 0x3FF
+    out[:, COL_BR1] = (cy_hi >> 10) & 0x1FF
+    out[:, COL_X1] = out[:, COL_CB1] ^ sa
     return out
+
+
+def _m31_inv_np(x: np.ndarray) -> np.ndarray:
+    """Batched M31 inverse on the host (0 -> 0), via the device kernel."""
+    import jax.numpy as jnp
+
+    from ..ops.field_ops import m31_batch_inv
+
+    return np.asarray(m31_batch_inv(jnp.asarray(x.astype(np.uint32))))
