@@ -38,9 +38,13 @@ def test_checkpoint_resume_matches_uninterrupted(tmp_path):
 
     assert np.array_equal(np.asarray(state_c.cycles), full["cycles"])
     assert np.array_equal(np.asarray(state_c.halted), full["halted"])
-    assert np.array_equal(np.asarray(state_c.regs), full["regs"])
+    regs = (np.asarray(state_c.regs_lo).astype(np.uint64)
+            | (np.asarray(state_c.regs_hi).astype(np.uint64) << np.uint64(32)))
+    assert np.array_equal(regs, full["regs"])
     out_pos = np.asarray(state_c.out_pos)
-    outputs = np.asarray(state_c.outputs)
+    outputs = (np.asarray(state_c.outputs_lo).astype(np.uint64)
+               | (np.asarray(state_c.outputs_hi).astype(np.uint64)
+                  << np.uint64(32)))
     for lane in range(4):
         assert list(outputs[lane, :out_pos[lane]]) == \
             [int(x) for x in full["outputs"][lane]]

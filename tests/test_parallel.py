@@ -85,7 +85,9 @@ class TestShardedTraceGen:
         for _ in range(4):
             state, _ = interp._chunk_fn(interp.code, n_words, state)
         halted = np.asarray(state.halted)
-        outputs = np.asarray(state.outputs)
+        outputs = (np.asarray(state.outputs_lo).astype(np.uint64)
+                   | (np.asarray(state.outputs_hi).astype(np.uint64)
+                      << np.uint64(32)))
         expect = [0, 1, 1, 2, 3, 5, 8, 13]
         assert (halted == HALT_EXIT).all()
         for lane in range(8):

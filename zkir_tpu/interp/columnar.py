@@ -3,17 +3,26 @@
 TPU-first re-architecture of the reference scalar VM loop
 (``zkir-runtime/src/vm.rs:208-348``, ``execute.rs:35-673``):
 
-- **state as arrays**: pc/regs/bounds/flags are device arrays with a leading
-  lane axis; many program instances execute in lockstep.
-- **branch-free dispatch**: one step function computes every instruction
-  family's result and selects by opcode with ``jnp.where`` — no
-  data-dependent Python control flow, so the whole step jits into a single
-  XLA computation.
-- **``lax.scan`` over cycles**: trace columns (pre-state registers, memory
-  ops, normalization witnesses) are scan outputs, written directly to HBM.
-- **halt masking**: halted lanes keep their state; the host driver runs the
-  scan in chunks and stops early once every lane has halted (the standard
-  static-shape answer to data-dependent cycle counts).
+- **state as u32-limb arrays**: pc/regs/tapes are *pairs* of uint32 device
+  arrays with a leading lane axis (see ``interp/pairs.py``) — the TPU VPU
+  has no 64-bit integer lanes, so all 64-bit machine arithmetic is done as
+  explicit two-limb carry arithmetic that XLA fuses into single VPU kernels.
+- **one-hot register file**: operand reads are masked sums over the
+  16-register axis and writebacks are one-hot blends (``jnp.where`` over
+  ``[L, 16]``); there are *no* per-lane gathers or scatters in the ALU path
+  (scatter lowers catastrophically on TPU).
+- **pre-decoded program tables**: the code buffer is decoded once per chunk
+  into per-word field tables (op, swapped register indices, sign-extended
+  immediates, bit counts); the per-cycle fetch is a one-hot f32 matmul
+  against that table — exact (all fields < 2^24) and MXU-friendly — with a
+  gather fallback for large programs.
+- **static feature gating**: the step function is specialized to the opcode
+  families the program actually contains (memory, MUL, MULH, DIV-family,
+  shifts, ECALL); a fibonacci-style ALU loop never pays for the 64-step
+  long-division ladder or the byte-granular memory machinery.
+- **branch-free dispatch**: one step computes every (present) family's
+  result and selects by opcode; ``lax.scan`` over cycles with halt masking;
+  the host driver runs scan chunks and stops once every lane has halted.
 - **host-mediated crypto**: crypto syscalls (SHA-256 / Poseidon2 / Keccak /
   Blake3) pause the lane; between chunks the host services them against the
   lane's memory image using the same primitives as the oracle, then resumes.
@@ -32,7 +41,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+from typing import Any, Dict, FrozenSet, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +50,7 @@ import numpy as np
 from ..spec.memlayout import CODE_BASE, STACK_TOP
 from ..spec.opcodes import Op
 from ..spec.program import Program
+from . import pairs as P
 
 # Halt codes (per lane).
 HALT_NONE = 0
@@ -51,13 +61,14 @@ HALT_ERROR = 4        # invalid opcode / syscall / memory fault / div0
 PAUSE_CRYPTO = 5      # lane waiting for host-serviced crypto syscall
 
 _M40 = (1 << 40) - 1
-_M64 = (1 << 64) - 1
-_SIGN40 = 1 << 39
 
-u64 = jnp.uint64
-i64 = jnp.int64
 u32 = jnp.uint32
 i32 = jnp.int32
+f32 = jnp.float32
+
+# Largest code bucket fetched via one-hot f32 matmul; beyond this the fetch
+# falls back to a row gather (the one-hot matrix would dominate VMEM).
+_ONEHOT_FETCH_MAX = 512
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,56 +90,49 @@ class InterpConfig:
 
 
 class MachineState(NamedTuple):
-    """Per-lane machine state carried through the scan."""
+    """Per-lane machine state carried through the scan (u32-limb form)."""
 
-    pc: jax.Array            # u64 [L]
-    regs: jax.Array          # u64 [L, 16]
+    pc_lo: jax.Array         # u32 [L]
+    pc_hi: jax.Array         # u32 [L]
+    regs_lo: jax.Array       # u32 [L, 16]
+    regs_hi: jax.Array       # u32 [L, 16]
     bound_bits: jax.Array    # i32 [L, 16] (ValueBound.max_bits column)
     accum: jax.Array         # i32 [L, 16] (1 = accumulated, deferred model)
     halted: jax.Array        # i32 [L]
-    exit_code: jax.Array     # u64 [L]
-    cycles: jax.Array        # i64 [L]
+    exit_lo: jax.Array       # u32 [L]
+    exit_hi: jax.Array       # u32 [L]
+    cycles: jax.Array        # u32 [L]
     mem: jax.Array           # u8  [L, low_bytes + stack_bytes]
-    inputs: jax.Array        # u64 [L, max_inputs]
+    inputs_lo: jax.Array     # u32 [L, max_inputs]
+    inputs_hi: jax.Array     # u32 [L, max_inputs]
     n_inputs: jax.Array      # i32 [L]
     input_pos: jax.Array     # i32 [L]
-    outputs: jax.Array       # u64 [L, max_outputs]
+    outputs_lo: jax.Array    # u32 [L, max_outputs]
+    outputs_hi: jax.Array    # u32 [L, max_outputs]
     out_pos: jax.Array       # i32 [L]
 
 
-def _sext(value, bits: int):
-    """Sign-extend an unsigned field (u64 array) from `bits` to 64 bits."""
-    sign = 1 << (bits - 1)
-    return (value ^ u64(sign)) - u64(sign)
+def program_features(code: np.ndarray) -> FrozenSet[str]:
+    """Opcode families statically present in the program — the step function
+    is compiled without the machinery for absent families."""
+    ops = np.asarray(code, dtype=np.uint32) & 0x7F
+    feats = set()
+    if np.any(((ops >= 0x30) & (ops <= 0x3B)) | (ops == 0x50)):
+        feats.add("mem")
+    if np.any(ops == int(Op.MUL)):
+        feats.add("mul")
+    if np.any(ops == int(Op.MULH)):
+        feats.add("mulh")
+    if np.any((ops >= 0x04) & (ops <= 0x07)):
+        feats.add("div")
+    if np.any((ops >= 0x18) & (ops <= 0x1D)):
+        feats.add("shift")
+    if np.any(ops == 0x50):
+        feats.add("ecall")
+    return frozenset(feats)
 
 
-def _const_bits(v):
-    """bit_length of a u64 array (0 for 0)."""
-    return (64 - jax.lax.clz(v.astype(jnp.uint64))).astype(i32)
-
-
-def _mulhi_u64(a, b):
-    """High 64 bits of the 128-bit product of two u64 arrays."""
-    mask = u64(0xFFFFFFFF)
-    al, ah = a & mask, a >> 32
-    bl, bh = b & mask, b >> 32
-    ll = al * bl
-    lh = al * bh
-    hl = ah * bl
-    hh = ah * bh
-    mid = (ll >> 32) + (lh & mask) + (hl & mask)
-    return hh + (lh >> 32) + (hl >> 32) + (mid >> 32)
-
-
-def _gather_reg(regs, idx):
-    """regs: [L, 16], idx: [L] -> [L]."""
-    return jnp.take_along_axis(regs, idx[:, None].astype(i32), axis=1)[:, 0]
-
-
-def _put_along(arr, idx, value):
-    return jax.vmap(lambda row, j, v: row.at[j].set(v))(
-        arr, idx.astype(i32), value
-    )
+_ALL_FEATURES = frozenset({"mem", "mul", "mulh", "div", "shift", "ecall"})
 
 
 class TpuInterpreter:
@@ -147,18 +151,21 @@ class TpuInterpreter:
         padded = np.zeros(bucket, dtype=np.uint32)
         padded[: code.size] = code
         self.code = jnp.asarray(padded)
+        self.features = program_features(code)
         # Static program analysis: if no instruction can touch data memory
         # (no loads/stores, no crypto syscalls possible), compile the step
         # without the gather/scatter machinery.  (Device fetch always reads
         # the immutable code buffer, so self-modifying code is out of scope
         # for the TPU engine either way.)
-        ops = code & 0x7F
-        has_mem = bool(np.any(((ops >= 0x30) & (ops <= 0x3B))
-                              | (ops == 0x50)))
-        if not has_mem and self.config.enable_memory:
+        if "mem" not in self.features and self.config.enable_memory:
             self.config = dataclasses.replace(self.config,
                                               enable_memory=False)
-        self._chunk_fn = _chunk_fn_for(self.config, bucket)
+        self._chunk_fn = _chunk_fn_for(self.config, bucket, self.features)
+
+    @property
+    def chunk_fn(self):
+        """Jitted ``(code, n_words, state) -> (state, trace)`` executor."""
+        return self._chunk_fn
 
     # ------------------------------------------------------------------
     # State construction
@@ -192,36 +199,32 @@ class TpuInterpreter:
                 raise ValueError("too many inputs for tape")
             inp[lane, : len(vals)] = np.asarray(vals, dtype=np.uint64)
             n_in[lane] = len(vals)
+        inp_lo, inp_hi = P.from_u64_np(inp)
 
         bounds = np.full((L, 16), self.program.config().data_bits, dtype=np.int32)
         bounds[:, 0] = 0
 
+        entry = int(self.program.header.entry_point)
         return MachineState(
-            pc=jnp.full(L, self.program.header.entry_point, dtype=u64),
-            regs=jnp.zeros((L, 16), dtype=u64),
+            pc_lo=jnp.full(L, np.uint32(entry & 0xFFFFFFFF), dtype=u32),
+            pc_hi=jnp.full(L, np.uint32(entry >> 32), dtype=u32),
+            regs_lo=jnp.zeros((L, 16), dtype=u32),
+            regs_hi=jnp.zeros((L, 16), dtype=u32),
             bound_bits=jnp.asarray(bounds),
             accum=jnp.zeros((L, 16), dtype=i32),
             halted=jnp.zeros(L, dtype=i32),
-            exit_code=jnp.zeros(L, dtype=u64),
-            cycles=jnp.zeros(L, dtype=i64),
+            exit_lo=jnp.zeros(L, dtype=u32),
+            exit_hi=jnp.zeros(L, dtype=u32),
+            cycles=jnp.zeros(L, dtype=u32),
             mem=jnp.asarray(mem),
-            inputs=jnp.asarray(inp),
+            inputs_lo=jnp.asarray(inp_lo),
+            inputs_hi=jnp.asarray(inp_hi),
             n_inputs=jnp.asarray(n_in),
             input_pos=jnp.zeros(L, dtype=i32),
-            outputs=jnp.zeros((L, cfg.max_outputs), dtype=u64),
+            outputs_lo=jnp.zeros((L, cfg.max_outputs), dtype=u32),
+            outputs_hi=jnp.zeros((L, cfg.max_outputs), dtype=u32),
             out_pos=jnp.zeros(L, dtype=i32),
         )
-
-    # ------------------------------------------------------------------
-    # The step function
-    # ------------------------------------------------------------------
-
-    def _make_chunk_fn(self):
-        return functools.partial(
-            _chunk_fn_for(self.config, self.code.shape[0]),
-            self.code, i32(self.n_words),
-        )
-
 
     # ------------------------------------------------------------------
     # Host driver
@@ -263,9 +266,9 @@ class TpuInterpreter:
 
         cfg = self.config
         halted = np.array(state.halted)
-        regs = np.array(state.regs)
+        regs = P.to_u64_np(np.array(state.regs_lo), np.array(state.regs_hi))
         mem = np.array(state.mem)
-        pc = np.array(state.pc)
+        pc = P.to_u64_np(np.array(state.pc_lo), np.array(state.pc_hi))
         cycles = np.array(state.cycles)
         bounds = np.array(state.bound_bits)
         stack_lo = STACK_TOP - cfg.stack_bytes + 1
@@ -306,9 +309,13 @@ class TpuInterpreter:
             cycles[lane] += 1
             halted[lane] = HALT_NONE
 
+        regs_lo, regs_hi = P.from_u64_np(regs)
+        pc_lo, pc_hi = P.from_u64_np(pc)
         return state._replace(
-            halted=jnp.asarray(halted), regs=jnp.asarray(regs),
-            mem=jnp.asarray(mem), pc=jnp.asarray(pc),
+            halted=jnp.asarray(halted),
+            regs_lo=jnp.asarray(regs_lo), regs_hi=jnp.asarray(regs_hi),
+            mem=jnp.asarray(mem),
+            pc_lo=jnp.asarray(pc_lo), pc_hi=jnp.asarray(pc_hi),
             cycles=jnp.asarray(cycles), bound_bits=jnp.asarray(bounds),
         )
 
@@ -316,12 +323,15 @@ class TpuInterpreter:
                  traces: List[Dict[str, np.ndarray]]) -> Dict[str, Any]:
         halted = np.asarray(state.halted)
         out_pos = np.asarray(state.out_pos)
-        outputs = np.asarray(state.outputs)
+        outputs = P.to_u64_np(np.asarray(state.outputs_lo),
+                              np.asarray(state.outputs_hi))
         result: Dict[str, Any] = {
             "halted": halted,
-            "exit_code": np.asarray(state.exit_code),
-            "cycles": np.asarray(state.cycles),
-            "regs": np.asarray(state.regs),
+            "exit_code": P.to_u64_np(np.asarray(state.exit_lo),
+                                     np.asarray(state.exit_hi)),
+            "cycles": np.asarray(state.cycles).astype(np.int64),
+            "regs": P.to_u64_np(np.asarray(state.regs_lo),
+                                np.asarray(state.regs_hi)),
             "bound_bits": np.asarray(state.bound_bits),
             "outputs": [
                 list(outputs[lane, : out_pos[lane]])
@@ -333,83 +343,187 @@ class TpuInterpreter:
                 key: np.concatenate([t[key] for t in traces], axis=0)
                 for key in traces[0]
             }
-            result["trace"] = stacked
+            result["trace"] = _merge_trace_host(stacked)
         return result
 
 
-def _mem_offset(cfg: InterpConfig, addr):
-    """Map a 64-bit address into the flat window buffer.
+def _merge_trace_host(t: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Reassemble the u64 trace-column view from the device's u32-pair
+    columns (host boundary; key set and dtypes match the round-1 layout
+    consumed by ``prover/trace.py`` and the parity tests)."""
+    out = {
+        "valid": t["valid"],
+        "cycle": t["cycle"].astype(np.int64),
+        "pc": P.to_u64_np(t["pc_lo"], t["pc_hi"]),
+        "word": t["word"],
+        "regs": P.to_u64_np(t["regs_lo"], t["regs_hi"]),
+        "bounds": t["bounds"],
+        "accum_mask": t["accum_mask"],
+        "mem_valid": t["mem_valid"],
+        "mem_addr": P.to_u64_np(t["mem_addr_lo"], t["mem_addr_hi"]),
+        "mem_value": P.to_u64_np(t["mem_value_lo"], t["mem_value_hi"]),
+        "mem_width": t["mem_width"],
+        "mem_is_write": t["mem_is_write"],
+        "rc_valid": t["rc_valid"],
+        "rc_value": P.to_u64_np(t["rc_value_lo"], t["rc_value_hi"]),
+        "rc_chunks": t["rc_chunks"].astype(np.uint64),
+    }
+    if "norm_valid" in t:
+        out["norm_valid"] = t["norm_valid"]
+        out["norm_reg"] = t["norm_reg"]
+        for key in ("norm_acc0", "norm_acc1", "norm_n0", "norm_n1",
+                    "norm_c0", "norm_c1"):
+            out[key] = t[key].astype(np.uint64)
+    return out
 
-    Returns (offset u64, in_window bool)."""
-    stack_lo = STACK_TOP - cfg.stack_bytes + 1
-    in_low = addr < u64(cfg.low_bytes)
-    in_stack = (addr >= u64(stack_lo)) & (addr <= u64(STACK_TOP))
-    off = jnp.where(
-        in_low, addr,
-        jnp.where(in_stack, addr - u64(stack_lo) + u64(cfg.low_bytes),
-                  u64(0)),
+
+def _decode_table(code):
+    """Per-word decode table, computed once per chunk dispatch on the
+    (tiny) code buffer: all the per-instruction fields the step needs,
+    with the S/B-type rs1-at-rd swap (encoding.rs:142-159) pre-applied."""
+    word = code
+    op = (word & 0x7F).astype(i32)
+    f_rd = ((word >> 7) & 0xF).astype(i32)
+    f_rs1 = ((word >> 11) & 0xF).astype(i32)
+    f_rs2 = ((word >> 15) & 0xF).astype(i32)
+    imm17 = ((((word >> 15) & 0x1FFFF).astype(i32)) ^ (1 << 16)) - (1 << 16)
+    imm21 = ((((word >> 11) & 0x1FFFFF).astype(i32)) ^ (1 << 20)) - (1 << 20)
+    shamt8 = ((word >> 15) & 0xFF).astype(i32)
+    is_store = (op >= 0x38) & (op <= 0x3B)
+    is_branch = (op >= 0x40) & (op <= 0x45)
+    sb = is_store | is_branch
+    rs1x = jnp.where(sb, f_rd, f_rs1)
+    rs2x = jnp.where(sb, f_rs1, f_rs2)
+    rdx = jnp.where(sb, 0, f_rd)
+    valid = (
+        (op <= 0x08)
+        | ((op >= 0x10) & (op <= 0x15))
+        | ((op >= 0x18) & (op <= 0x1D))
+        | ((op >= 0x20) & (op <= 0x28))
+        | ((op >= 0x30) & (op <= 0x35))
+        | ((op >= 0x38) & (op <= 0x3B))
+        | ((op >= 0x40) & (op <= 0x45))
+        | ((op >= 0x48) & (op <= 0x49))
+        | ((op >= 0x50) & (op <= 0x51))
     )
-    return off, in_low | in_stack
+    # bit_length of the sign-extended imm17 as a u64 (64 when negative).
+    imm_bits = jnp.where(
+        imm17 < 0, i32(64),
+        32 - jax.lax.clz(imm17.astype(u32)).astype(i32))
+    w_lo16 = (word & 0xFFFF).astype(i32)
+    w_hi16 = (word >> 16).astype(i32)
+    cols = [op, rs1x, rs2x, rdx, imm17, imm21, shamt8, imm_bits,
+            valid.astype(i32), w_lo16, w_hi16]
+    return jnp.stack(cols, axis=1)  # [bucket, 11] i32
+
+
+def _fetch_fields(table, word_idx, bucket: int):
+    """Per-lane fetch of the decode-table row.
+
+    Small programs: one-hot f32 matmul (exact — every field < 2^24 in
+    magnitude — and it rides the MXU instead of a TPU gather).  Large
+    programs: row gather."""
+    if bucket <= _ONEHOT_FETCH_MAX:
+        onehot = (word_idx[:, None]
+                  == jnp.arange(bucket, dtype=i32)[None, :]).astype(f32)
+        vals = jnp.dot(onehot, table.astype(f32),
+                       preferred_element_type=f32).astype(i32)
+    else:
+        vals = jnp.take(table, word_idx, axis=0, mode="clip")
+    names = ["op", "rs1x", "rs2x", "rdx", "imm17", "imm21", "shamt8",
+             "imm_bits", "valid", "w_lo16", "w_hi16"]
+    return {name: vals[:, k] for k, name in enumerate(names)}
 
 
 @functools.lru_cache(maxsize=None)
-def _chunk_fn_for(cfg: InterpConfig, code_bucket: int):
-    """Build (and cache) the jitted chunk executor for a static config and
-    code-buffer bucket size.  The returned function has signature
-    ``(code u32[bucket], n_words i32, state) -> (state, trace)``."""
+def _chunk_fn_for(cfg: InterpConfig, code_bucket: int,
+                  features: Optional[FrozenSet[str]] = None):
+    """Build (and cache) the jitted chunk executor for a static config,
+    code-buffer bucket size, and program feature set.  The returned
+    function has signature ``(code u32[bucket], n_words i32, state) ->
+    (state, trace)``."""
+    feats = _ALL_FEATURES if features is None else features
     deferred = cfg.deferred
     nb, lb = cfg.normalized_bits, cfg.limb_bits
+    nmask = np.uint32((1 << nb) - 1)
+    has_mem = cfg.enable_memory
+    has_ecall = "ecall" in feats
 
     def build(code, n_words, state0):
+        table = _decode_table(code)
+        iota16 = jnp.arange(16, dtype=i32)[None, :]
+        m40 = P.const(_M40)
+
+        def rd16(oh, arr, dtype):
+            """One-hot masked read over the 16-register axis."""
+            return jnp.sum(jnp.where(oh, arr, arr.dtype.type(0)),
+                           axis=1, dtype=dtype)
+
+        def wr16(oh, mask, arr, val):
+            """One-hot blend write over the 16-register axis (index 0 is
+            the hardwired-zero register — never written)."""
+            m = oh & mask[:, None] & (iota16 != 0)
+            return jnp.where(m, val[:, None], arr)
+
+        def gather_pair(oh, lo, hi):
+            return rd16(oh, lo, u32), rd16(oh, hi, u32)
 
         def normalize_packed(value, is_accum):
-            """Carry-extract a packed register value; returns
-            (new_packed_20bit, acc_l0, acc_l1, n0, n1, c0, c1)."""
-            bits = jnp.where(is_accum, i32(lb), i32(nb))
-            mask = (u64(1) << bits.astype(u64)) - u64(1)
-            l0 = value & mask
-            l1 = (value >> bits.astype(u64)) & mask
-            nmask = u64((1 << nb) - 1)
-            c0 = l0 >> u64(nb)
+            """Carry-extract a packed register value (normalize.rs:85-105);
+            returns (packed_pair, l0, l1, n0, n1, c0, c1) — the witness
+            limbs all fit in u32."""
+            bits = jnp.where(is_accum, u32(lb), u32(nb))
+            mask = (u32(1) << bits) - u32(1)
+            l0 = value[0] & mask
+            l1 = P.shr(value, bits)[0] & mask
+            c0 = l0 >> u32(nb)
             n0 = l0 & nmask
             l1c = l1 + c0
-            c1 = l1c >> u64(nb)
+            c1 = l1c >> u32(nb)
             n1 = l1c & nmask
-            packed = n0 | (n1 << u64(nb))
+            packed = (n0 | (n1 << u32(nb)), n1 >> u32(32 - nb))
             return packed, l0, l1, n0, n1, c0, c1
 
         def read_limbs_ext(value, is_accum):
-            bits = jnp.where(is_accum, i32(lb), i32(nb))
-            mask = (u64(1) << bits.astype(u64)) - u64(1)
-            return value & mask, (value >> bits.astype(u64)) & mask
+            bits = jnp.where(is_accum, u32(lb), u32(nb))
+            mask = (u32(1) << bits) - u32(1)
+            return value[0] & mask, P.shr(value, bits)[0] & mask
 
         def step(state: MachineState, _):
             L = cfg.lanes
             active = state.halted == HALT_NONE
 
-            # ---- fetch & decode ----
-            pc = state.pc
-            in_code = (pc >= u64(CODE_BASE)) \
-                & (pc < u64(CODE_BASE) + u64(4) * n_words.astype(u64)) \
-                & (pc % u64(4) == 0)
+            # ---- fetch & decode (pre-decoded table; see _decode_table) ----
+            pc = (state.pc_lo, state.pc_hi)
+            code_end = u32(CODE_BASE) + u32(4) * n_words.astype(u32)
+            in_code = (
+                (pc[1] == u32(0))
+                & (pc[0] >= u32(CODE_BASE))
+                & (pc[0] < code_end)
+                & ((pc[0] & u32(3)) == u32(0))
+            )
             word_idx = jnp.where(
-                in_code, (pc - u64(CODE_BASE)) >> u64(2), u64(0)
+                in_code, (pc[0] - u32(CODE_BASE)) >> u32(2), u32(0)
             ).astype(i32)
-            word = code[jnp.clip(word_idx, 0, code_bucket - 1)]
-            word64 = word.astype(u64)
+            word_idx = jnp.clip(word_idx, 0, code_bucket - 1)
+            fld = _fetch_fields(table, word_idx, code_bucket)
 
-            op = (word & 0x7F).astype(i32)
-            f_rd = ((word >> 7) & 0xF).astype(i32)
-            f_rs1 = ((word >> 11) & 0xF).astype(i32)
-            f_rs2 = ((word >> 15) & 0xF).astype(i32)
-            imm17 = _sext((word64 >> u64(15)) & u64(0x1FFFF), 17)
-            imm21 = _sext((word64 >> u64(11)) & u64(0x1FFFFF), 21)
-            shamt8 = ((word >> 15) & 0xFF).astype(u64)
+            op = fld["op"]
+            rs1_idx, rs2_idx, rd_idx = fld["rs1x"], fld["rs2x"], fld["rdx"]
+            imm17 = fld["imm17"]
+            imm_sign = jnp.where(imm17 < 0, u32(0xFFFFFFFF), u32(0))
+            imm = (imm17.astype(u32), imm_sign)           # sext64(imm17)
+            imm21 = fld["imm21"]
+            imm21p = (imm21.astype(u32),
+                      jnp.where(imm21 < 0, u32(0xFFFFFFFF), u32(0)))
+            imm_bits = fld["imm_bits"]
+            valid_op = fld["valid"] != 0
+            word = (fld["w_lo16"].astype(u32)
+                    | (fld["w_hi16"].astype(u32) << u32(16)))
 
             is_store = (op >= 0x38) & (op <= 0x3B)
             is_branch = (op >= 0x40) & (op <= 0x45)
             is_load = (op >= 0x30) & (op <= 0x35)
-            sb_type = is_store | is_branch
             is_arith = (op >= 0x00) & (op <= 0x08)
             is_logical = (op >= 0x10) & (op <= 0x15)
             is_shift = (op >= 0x18) & (op <= 0x1D)
@@ -417,29 +531,24 @@ def _chunk_fn_for(cfg: InterpConfig, code_bucket: int):
             is_compare = (op >= 0x20) & (op <= 0x25)
             is_cmov = (op >= 0x26) & (op <= 0x28)
             is_jump = (op >= 0x48) & (op <= 0x49)
-            is_system = (op >= 0x50) & (op <= 0x51)
-            valid_op = (
-                is_arith | is_logical | is_shift | is_compare | is_cmov
-                | is_load | is_store | is_branch | is_jump | is_system
-            )
 
-            rs1_idx = jnp.where(sb_type, f_rd, f_rs1)
-            rs2_idx = jnp.where(sb_type, f_rs1, f_rs2)
-            rd_idx = jnp.where(sb_type, 0, f_rd)
+            oh_rs1 = rs1_idx[:, None] == iota16
+            oh_rs2 = rs2_idx[:, None] == iota16
+            oh_rd = rd_idx[:, None] == iota16
 
-            regs = state.regs
+            regs_lo, regs_hi = state.regs_lo, state.regs_hi
             accum = state.accum
             bound = state.bound_bits
 
             # ---- capture pre-state for trace ----
-            pre_regs = regs
+            pre_regs_lo, pre_regs_hi = regs_lo, regs_hi
             pre_accum = accum
             pre_bound = bound
 
             # ---- deferred model: observation-point pre-normalization ----
             norm_w_valid = jnp.zeros(L, dtype=jnp.bool_)
             norm_w = (jnp.zeros(L, dtype=i32),) + tuple(
-                jnp.zeros(L, dtype=u64) for _ in range(6)
+                jnp.zeros(L, dtype=u32) for _ in range(6)
             )
             if deferred:
                 # norm-two ops: branches, stores SB/SH/SW, bitwise R, shift R,
@@ -454,114 +563,148 @@ def _chunk_fn_for(cfg: InterpConfig, code_bucket: int):
                 )
                 is_norm_one = ((op >= 0x13) & (op <= 0x15)) | is_imm_shift
                 do1 = active & (is_norm_two | is_norm_one) & (rs1_idx != 0)
-                v1 = _gather_reg(regs, rs1_idx)
-                acc1 = _gather_reg(accum, rs1_idx) == 1
+                v1 = gather_pair(oh_rs1, regs_lo, regs_hi)
+                acc1 = rd16(oh_rs1, accum, i32) == 1
                 packed1, l0, l1, n0, n1, c0, c1 = normalize_packed(v1, acc1)
-                regs = _put_along(
-                    regs, rs1_idx, jnp.where(do1, packed1, v1))
-                accum = _put_along(
-                    accum, rs1_idx,
-                    jnp.where(do1, i32(0), _gather_reg(accum, rs1_idx)))
+                regs_lo = wr16(oh_rs1, do1, regs_lo, packed1[0])
+                regs_hi = wr16(oh_rs1, do1, regs_hi, packed1[1])
+                accum = wr16(oh_rs1, do1, accum, jnp.zeros(L, dtype=i32))
                 norm_w_valid = do1
                 norm_w = (rs1_idx, l0, l1, n0, n1, c0, c1)
 
                 # rs2: silent normalization only if accumulated.
-                do2 = active & is_norm_two & (rs2_idx != 0)
-                v2 = _gather_reg(regs, rs2_idx)
-                acc2 = _gather_reg(accum, rs2_idx) == 1
-                do2 = do2 & acc2
+                acc2 = rd16(oh_rs2, accum, i32) == 1
+                do2 = active & is_norm_two & (rs2_idx != 0) & acc2
+                v2 = gather_pair(oh_rs2, regs_lo, regs_hi)
                 packed2, *_ = normalize_packed(v2, acc2)
-                regs = _put_along(regs, rs2_idx, jnp.where(do2, packed2, v2))
-                accum = _put_along(
-                    accum, rs2_idx,
-                    jnp.where(do2, i32(0), _gather_reg(accum, rs2_idx)))
+                regs_lo = wr16(oh_rs2, do2, regs_lo, packed2[0])
+                regs_hi = wr16(oh_rs2, do2, regs_hi, packed2[1])
+                accum = wr16(oh_rs2, do2, accum, jnp.zeros(L, dtype=i32))
 
             # ---- operand reads (post-normalization) ----
-            a_raw = _gather_reg(regs, rs1_idx)
-            b_raw = _gather_reg(regs, rs2_idx)
-            rd_old = _gather_reg(regs, rd_idx)
-            a_bound = _gather_reg(bound, rs1_idx)
-            b_bound = _gather_reg(bound, rs2_idx)
-            rd_bound_old = _gather_reg(bound, rd_idx)
+            a_raw = gather_pair(oh_rs1, regs_lo, regs_hi)
+            b_raw = gather_pair(oh_rs2, regs_lo, regs_hi)
+            rd_old = gather_pair(oh_rd, regs_lo, regs_hi)
+            a_bound = rd16(oh_rs1, bound, i32)
+            b_bound = rd16(oh_rs2, bound, i32)
+            rd_bound_old = rd16(oh_rd, bound, i32)
 
-            a40 = a_raw & u64(_M40)
-            b40 = b_raw & u64(_M40)
-            imm_u = imm17  # sign-extended through u64
-            imm40 = imm_u & u64(_M40)
-            imm_bits = _const_bits(imm_u)
+            a40 = P.mask40(a_raw)
+            b40 = P.mask40(b_raw)
+            imm40 = P.mask40(imm)
+
+            zero_p = P.const(0, like=a_raw[0])
 
             # ---- arithmetic ----
-            add_r = (a40 + b40) & u64(_M40)
-            sub_r = (a40 - b40) & u64(_M40)
-            mul_r = (a40 * b40) & u64(_M40)
-            addi_r = (a40 + imm40) & u64(_M40)
-            lo_prod = a_raw * b_raw
-            hi_prod = _mulhi_u64(a_raw, b_raw)
-            mulh_r = ((hi_prod << u64(24)) | (lo_prod >> u64(40))) & u64(_M40)
-
-            b_zero = b_raw == 0
-            safe_b = jnp.where(b_zero, u64(1), b_raw)
-            divu_r = a_raw // safe_b
-            remu_r = a_raw % safe_b
-            ai = a_raw.astype(i64)
-            bi = safe_b.astype(i64)
-            div_r = jax.lax.div(ai, bi).astype(u64)
-            rem_r = jax.lax.rem(ai, bi).astype(u64)
+            add_r = P.mask40(P.add(a40, b40))
+            sub_r = P.mask40(P.sub(a40, b40))
+            addi_r = P.mask40(P.add(a40, imm40))
+            if "mul" in feats:
+                mul_r = P.mask40(P.mul_lo(a40, b40))
+            else:
+                mul_r = zero_p
+            if "mulh" in feats:
+                # MULH = bits [40..80) of the raw 128-bit product
+                # (execute.rs:101-115 — raw-u64 operand quirk).
+                lo_prod, hi_prod = P.mul_full(a_raw, b_raw)
+                mulh_r = P.mask40(P.bor(P.shl_const(hi_prod, 24),
+                                        P.shr_const(lo_prod, 40)))
+            else:
+                mulh_r = zero_p
             is_divrem = (op >= 0x04) & (op <= 0x07)
-            div0_err = is_divrem & b_zero
+            if "div" in feats:
+                b_zero = P.is_zero(b_raw)
+                safe_b = P.select(b_zero, P.const(1, like=b_raw[0]), b_raw)
+                # One shared 64-step divider ladder: signed ops feed it
+                # absolute values and fix signs after (matches lax.div /
+                # lax.rem C-style truncation, execute.rs:117-183).
+                is_signed_div = (op == Op.DIV) | (op == Op.REM)
+                neg_a = (a_raw[1] >> u32(31)) == u32(1)
+                neg_b = (safe_b[1] >> u32(31)) == u32(1)
+                abs_a = P.select(neg_a, P.neg(a_raw), a_raw)
+                abs_b = P.select(neg_b, P.neg(safe_b), safe_b)
+                div_in_a = P.select(is_signed_div, abs_a, a_raw)
+                div_in_b = P.select(is_signed_div, abs_b, safe_b)
+                q_u, r_u = P.divmod_u(div_in_a, div_in_b)
+                divu_r, remu_r = q_u, r_u
+                div_r = P.select(neg_a ^ neg_b, P.neg(q_u), q_u)
+                rem_r = P.select(neg_a, P.neg(r_u), r_u)
+                div0_err = is_divrem & b_zero
+            else:
+                divu_r = remu_r = div_r = rem_r = zero_p
+                div0_err = jnp.zeros(L, dtype=jnp.bool_)
 
-            arith_r = jnp.select(
+            def select_pairs(conds, vals, default):
+                out_lo = default[0]
+                out_hi = default[1]
+                for c, v in zip(reversed(conds), reversed(vals)):
+                    out_lo = jnp.where(c, v[0], out_lo)
+                    out_hi = jnp.where(c, v[1], out_hi)
+                return out_lo, out_hi
+
+            arith_r = select_pairs(
                 [op == Op.ADD, op == Op.SUB, op == Op.MUL, op == Op.MULH,
                  op == Op.DIVU, op == Op.REMU, op == Op.DIV, op == Op.REM,
                  op == Op.ADDI],
                 [add_r, sub_r, mul_r, mulh_r, divu_r, remu_r, div_r, rem_r,
                  addi_r],
-                u64(0),
+                zero_p,
             )
 
             # ---- logical ----
-            log_b = jnp.where(op >= 0x13, imm40, b40)
-            logical_r = jnp.select(
+            log_b = P.select(op >= 0x13, imm40, b40)
+            logical_r = select_pairs(
                 [(op == Op.AND) | (op == Op.ANDI),
                  (op == Op.OR) | (op == Op.ORI),
                  (op == Op.XOR) | (op == Op.XORI)],
-                [a40 & log_b, a40 | log_b, a40 ^ log_b],
-                u64(0),
+                [P.band(a40, log_b), P.bor(a40, log_b), P.bxor(a40, log_b)],
+                zero_p,
             )
 
             # ---- shifts ----
-            shamt = jnp.where(is_imm_shift, shamt8, b_raw & u64(0x3F))
-            shc = jnp.minimum(shamt, u64(63))
-            big = shamt >= u64(40)
-            sll_r = jnp.where(big, u64(0), (a40 << shc) & u64(_M40))
-            srl_r = jnp.where(big, u64(0), a40 >> shc)
-            neg = (a40 >> u64(39)) & u64(1)
-            fill = u64(_M40) ^ (u64(_M40) >> jnp.minimum(shamt, u64(40)))
-            sra_in = jnp.where(big, jnp.where(neg == 1, u64(_M40), u64(0)),
-                               jnp.where(neg == 1, srl_r | fill, srl_r))
+            shamt = jnp.where(is_imm_shift, fld["shamt8"].astype(u32),
+                              b_raw[0] & u32(0x3F))
             is_sll = (op == Op.SLL) | (op == Op.SLLI)
             is_srl = (op == Op.SRL) | (op == Op.SRLI)
-            shift_r = jnp.select(
-                [is_sll, is_srl], [sll_r, srl_r], sra_in
-            )
+            if "shift" in feats:
+                shc = jnp.minimum(shamt, u32(63))
+                big = shamt >= u32(40)
+                sll_r = P.select(big, zero_p, P.mask40(P.shl(a40, shc)))
+                srl_full = P.shr(a40, shc)
+                srl_r = P.select(big, zero_p, srl_full)
+                neg_bit = (a40[1] >> u32(7)) & u32(1)
+                fill = P.bxor(m40, P.shr(m40, jnp.minimum(shamt, u32(40))))
+                sra_neg = P.select(big, m40, P.bor(srl_r, fill))
+                sra_pos = srl_r
+                sra_r = P.select(neg_bit == 1, sra_neg, sra_pos)
+                shift_r = select_pairs([is_sll, is_srl], [sll_r, srl_r],
+                                       sra_r)
+            else:
+                shift_r = zero_p
 
-            # ---- compares ----
-            slt_p = (a40 ^ u64(_SIGN40)) < (b40 ^ u64(_SIGN40))
-            sltu_p = a40 < b40
-            eq_raw = a_raw == b_raw
-            cmp_r = jnp.select(
+            # ---- compares (also feed branch conditions) ----
+            # 40-bit signed compare via the sign-bit XOR trick
+            # (value.rs:710-716): flip bit 39 and compare unsigned.
+            af_hi = a40[1] ^ u32(0x80)
+            bf_hi = b40[1] ^ u32(0x80)
+            slt_p = (af_hi < bf_hi) | ((af_hi == bf_hi) & (a40[0] < b40[0]))
+            sltu_p = P.ltu(a40, b40)
+            eq_raw = P.eq(a_raw, b_raw)
+            cmp_bit = jnp.select(
                 [op == Op.SLTU, op == Op.SGEU, op == Op.SLT, op == Op.SGE,
                  op == Op.SEQ, op == Op.SNE],
                 [sltu_p, ~sltu_p, slt_p, ~slt_p, eq_raw, ~eq_raw],
                 False,
-            ).astype(u64)
+            )
+            cmp_r = (cmp_bit.astype(u32), jnp.zeros(L, dtype=u32))
 
             # ---- cmov ----
-            cmov_cond = jnp.where(op == Op.CMOVZ, b_raw == 0, b_raw != 0)
-            cmov_r = jnp.where(cmov_cond, a_raw, rd_old)
+            cmov_cond = jnp.where(op == Op.CMOVZ, P.is_zero(b_raw),
+                                  ~P.is_zero(b_raw))
+            cmov_r = P.select(cmov_cond, a_raw, rd_old)
 
             # ---- memory ----
-            addr = a_raw + imm_u
+            addr = P.add(a_raw, imm)
             width = jnp.select(
                 [(op == Op.LB) | (op == Op.LBU) | (op == Op.SB),
                  (op == Op.LH) | (op == Op.LHU) | (op == Op.SH),
@@ -571,42 +714,59 @@ def _chunk_fn_for(cfg: InterpConfig, code_bucket: int):
                 i32(0),
             )
             is_mem = is_load | is_store
-            if cfg.enable_memory:
+            if has_mem:
+                # Window mapping (vs the reference's paged hashmap,
+                # memory.rs:86-110): low window at 0, stack window below
+                # STACK_TOP; offsets always fit in u32.
+                stack_lo = STACK_TOP - cfg.stack_bytes + 1
                 aligned = jnp.where(
-                    width > 0, addr % width.astype(u64) == 0, True)
-                off, in_window = _mem_offset(cfg, addr)
+                    width > 0,
+                    (addr[0] & (width.astype(u32) - u32(1))) == u32(0),
+                    True)
+                in_low = (addr[1] == u32(0)) & (addr[0] < u32(cfg.low_bytes))
+                ge_stack = P.geu(addr, P.const(stack_lo, like=addr[0]))
+                le_top = ~P.ltu(P.const(STACK_TOP, like=addr[0]), addr)
+                in_stack = ge_stack & le_top
+                off = jnp.where(
+                    in_low, addr[0],
+                    jnp.where(in_stack,
+                              addr[0] - u32(stack_lo & 0xFFFFFFFF)
+                              + u32(cfg.low_bytes),
+                              u32(0)))
+                in_window = in_low | in_stack
                 mem_err = is_mem & active & (~in_window | ~aligned)
 
-                byte_idx = (off[:, None]
-                            + jnp.arange(8, dtype=u64)[None, :])
+                byte_idx = (off.astype(i32)[:, None]
+                            + jnp.arange(8, dtype=i32)[None, :])
                 byte_idx = jnp.minimum(
-                    byte_idx, u64(cfg.low_bytes + cfg.stack_bytes - 1)
-                ).astype(i32)
+                    byte_idx, i32(cfg.low_bytes + cfg.stack_bytes - 1))
                 cur_bytes = jnp.take_along_axis(state.mem, byte_idx, axis=1)
 
-                shifts = (jnp.arange(8, dtype=np.uint32) * 8).astype(u64)
+                sh4 = (jnp.arange(4, dtype=np.uint32) * 8)[None, :]
                 byte_in_width = jnp.arange(8, dtype=np.int32)[None, :] \
                     < width[:, None]
-                loaded = jnp.sum(
-                    jnp.where(byte_in_width,
-                              cur_bytes.astype(u64) << shifts[None, :],
-                              u64(0)),
-                    axis=1,
+                b_u32 = cur_bytes.astype(u32)
+                loaded = (
+                    jnp.sum(jnp.where(byte_in_width[:, :4],
+                                      b_u32[:, :4] << sh4, u32(0)),
+                            axis=1, dtype=u32),
+                    jnp.sum(jnp.where(byte_in_width[:, 4:],
+                                      b_u32[:, 4:] << sh4, u32(0)),
+                            axis=1, dtype=u32),
                 )
             else:
                 # Program statically cannot touch memory.
                 mem_err = is_mem & active  # decoded garbage would fault
-                loaded = jnp.zeros_like(addr)
+                loaded = zero_p
             # sign extension for LB/LH (through full 64 bits, execute.rs:477-510)
-            lb_v = jnp.where((loaded & u64(0x80)) != 0,
-                             loaded | u64(_M64 ^ 0xFF), loaded)
-            lh_v = jnp.where((loaded & u64(0x8000)) != 0,
-                             loaded | u64(_M64 ^ 0xFFFF), loaded)
-            load_r = jnp.select(
-                [op == Op.LB, op == Op.LH],
-                [lb_v, lh_v],
-                loaded,
-            )
+            lb_v = P.select((loaded[0] & u32(0x80)) != 0,
+                            (loaded[0] | u32(0xFFFFFF00),
+                             jnp.full(L, u32(0xFFFFFFFF))), loaded)
+            lh_v = P.select((loaded[0] & u32(0x8000)) != 0,
+                            (loaded[0] | u32(0xFFFF0000),
+                             jnp.full(L, u32(0xFFFFFFFF))), loaded)
+            load_r = select_pairs(
+                [op == Op.LB, op == Op.LH], [lb_v, lh_v], loaded)
             load_bound = jnp.select(
                 [(op == Op.LB) | (op == Op.LBU),
                  (op == Op.LH) | (op == Op.LHU),
@@ -622,17 +782,26 @@ def _chunk_fn_for(cfg: InterpConfig, code_bucket: int):
                 [eq_raw, ~eq_raw, slt_p, ~slt_p, sltu_p, ~sltu_p],
                 False,
             )
-            link = pc + u64(4)
-            jalr_target = (a_raw + imm_u) & ~u64(1)
+            link = P.add_small(pc, 4)
+            jalr_t = P.add(a_raw, imm)
+            jalr_target = (jalr_t[0] & ~u32(1), jalr_t[1])
 
             # ---- syscalls ----
-            num = regs[:, 10]
-            is_ecall = op == Op.ECALL
-            sys_exit = is_ecall & (num == 0)
-            sys_read = is_ecall & (num == 1)
-            sys_write = is_ecall & (num == 2)
-            sys_crypto = is_ecall & (num >= 3) & (num <= 6)
-            sys_invalid = is_ecall & (num > 6)
+            if has_ecall:
+                num_lo = regs_lo[:, 10]
+                num_hi = regs_hi[:, 10]
+                num_small = num_hi == u32(0)
+                is_ecall = op == Op.ECALL
+                sys_exit = is_ecall & num_small & (num_lo == 0)
+                sys_read = is_ecall & num_small & (num_lo == 1)
+                sys_write = is_ecall & num_small & (num_lo == 2)
+                sys_crypto = is_ecall & num_small \
+                    & (num_lo >= 3) & (num_lo <= 6)
+                sys_invalid = is_ecall & (~num_small | (num_lo > 6))
+            else:
+                false = jnp.zeros(L, dtype=jnp.bool_)
+                sys_exit = sys_read = sys_write = false
+                sys_crypto = sys_invalid = false
 
             # ---- fault / pause / commit resolution ----
             err = active & (
@@ -643,9 +812,11 @@ def _chunk_fn_for(cfg: InterpConfig, code_bucket: int):
 
             # ---- memory store (gated on commit) ----
             store_val = b_raw
-            if cfg.enable_memory:
-                store_bytes = (store_val[:, None]
-                               >> shifts[None, :]).astype(jnp.uint8)
+            if has_mem:
+                store_bytes = jnp.concatenate(
+                    [(store_val[0][:, None] >> sh4).astype(jnp.uint8),
+                     (store_val[1][:, None] >> sh4).astype(jnp.uint8)],
+                    axis=1)
                 do_store = (commit & is_store)[:, None] & byte_in_width
                 new_bytes = jnp.where(do_store, store_bytes, cur_bytes)
                 mem = jax.vmap(lambda row, j, v: row.at[j].set(v))(
@@ -655,35 +826,43 @@ def _chunk_fn_for(cfg: InterpConfig, code_bucket: int):
                 mem = state.mem
 
             # ---- I/O tape effects (gated on commit) ----
-            read_val = jnp.where(
-                state.input_pos < state.n_inputs,
-                jnp.take_along_axis(
-                    state.inputs,
-                    jnp.minimum(state.input_pos, cfg.max_inputs - 1)[:, None],
-                    axis=1,
-                )[:, 0],
-                u64(0),
-            )
-            input_pos = state.input_pos + (commit & sys_read).astype(i32)
+            if has_ecall:
+                in_slot = jnp.minimum(state.input_pos, cfg.max_inputs - 1)
+                oh_in = in_slot[:, None] == jnp.arange(
+                    cfg.max_inputs, dtype=i32)[None, :]
+                tape_val = (rd16(oh_in, state.inputs_lo, u32),
+                            rd16(oh_in, state.inputs_hi, u32))
+                has_input = state.input_pos < state.n_inputs
+                read_val = P.select(has_input, tape_val, zero_p)
+                input_pos = state.input_pos + (commit & sys_read).astype(i32)
 
-            out_slot = jnp.minimum(state.out_pos, cfg.max_outputs - 1)
-            do_write_out = commit & sys_write
-            outputs = jax.vmap(lambda row, j, v, en: row.at[j].set(
-                jnp.where(en, v, row[j])))(
-                state.outputs, out_slot, regs[:, 11], do_write_out
-            )
-            out_pos = state.out_pos + do_write_out.astype(i32)
+                out_slot = jnp.minimum(state.out_pos, cfg.max_outputs - 1)
+                oh_out = out_slot[:, None] == jnp.arange(
+                    cfg.max_outputs, dtype=i32)[None, :]
+                do_write_out = (commit & sys_write)[:, None] & oh_out
+                outputs_lo = jnp.where(do_write_out,
+                                       regs_lo[:, 11][:, None],
+                                       state.outputs_lo)
+                outputs_hi = jnp.where(do_write_out,
+                                       regs_hi[:, 11][:, None],
+                                       state.outputs_hi)
+                out_pos = state.out_pos + (commit & sys_write).astype(i32)
+            else:
+                read_val = zero_p
+                input_pos = state.input_pos
+                outputs_lo, outputs_hi = state.outputs_lo, state.outputs_hi
+                out_pos = state.out_pos
 
             # ---- rd writeback selection ----
             writes_rd = (
                 is_arith | is_logical | is_shift | is_compare | is_cmov
                 | is_load | (op == Op.JAL) | (op == Op.JALR)
             )
-            result = jnp.select(
+            result = select_pairs(
                 [is_arith, is_logical, is_shift, is_compare, is_cmov,
                  is_load, is_jump],
                 [arith_r, logical_r, shift_r, cmp_r, cmov_r, load_r, link],
-                u64(0),
+                zero_p,
             )
 
             # cmov only writes when its condition holds (execute.rs:434-474
@@ -693,53 +872,51 @@ def _chunk_fn_for(cfg: InterpConfig, code_bucket: int):
             # ---- deferred ADD/SUB/ADDI override ----
             if deferred:
                 is_def = (op == Op.ADD) | (op == Op.SUB) | (op == Op.ADDI)
-                al0, al1 = read_limbs_ext(
-                    a_raw, _gather_reg(accum, rs1_idx) == 1)
-                bl0, bl1 = read_limbs_ext(
-                    b_raw, _gather_reg(accum, rs2_idx) == 1)
-                nmask = u64((1 << nb) - 1)
-                il0, il1 = imm_u & nmask, (imm_u >> u64(nb)) & nmask
-                o0 = jnp.where(op == Op.ADDI, il0, bl0)
-                o1 = jnp.where(op == Op.ADDI, il1, bl1)
-                d0 = jnp.where(op == Op.SUB, al0 - o0, al0 + o0)
-                d1 = jnp.where(op == Op.SUB, al1 - o1, al1 + o1)
-                limit = u64(1 << lb)
-                overflow = ((op != Op.SUB) & ((d0 >= limit) | (d1 >= limit)))
+                acc_a = rd16(oh_rs1, accum, i32) == 1
+                acc_b = rd16(oh_rs2, accum, i32) == 1
+                al0, al1 = read_limbs_ext(a_raw, acc_a)
+                bl0, bl1 = read_limbs_ext(b_raw, acc_b)
+                il0 = imm[0] & nmask
+                il1 = P.shr_const(imm, nb)[0] & nmask
+                is_addi = op == Op.ADDI
+                o0 = jnp.where(is_addi, il0, bl0)
+                o1 = jnp.where(is_addi, il1, bl1)
+                # SUB wraps per-limb at the full 64-bit width
+                # (deferred.rs:163-206 via u64 wrapping sub) — pair math.
+                is_sub = op == Op.SUB
+                zl = jnp.zeros(L, dtype=u32)
+                d0 = P.select(is_sub, P.sub((al0, zl), (o0, zl)),
+                              (al0 + o0, zl))
+                d1 = P.select(is_sub, P.sub((al1, zl), (o1, zl)),
+                              (al1 + o1, zl))
+                limit = P.const(1 << lb, like=al0)
+                overflow = (~is_sub) & (P.geu(d0, limit) | P.geu(d1, limit))
                 # Overflow path: normalize sources, recompute (deferred.rs:100-119).
-                pa, *_ = normalize_packed(
-                    a_raw, _gather_reg(accum, rs1_idx) == 1)
-                pb, *_ = normalize_packed(
-                    b_raw, _gather_reg(accum, rs2_idx) == 1)
-                na0, na1 = pa & nmask, (pa >> u64(nb)) & nmask
-                nb0, nb1 = pb & nmask, (pb >> u64(nb)) & nmask
-                no0 = jnp.where(op == Op.ADDI, il0, nb0)
-                no1 = jnp.where(op == Op.ADDI, il1, nb1)
-                nd0 = na0 + no0
-                nd1 = na1 + no1
-                d0 = jnp.where(overflow, nd0, d0)
-                d1 = jnp.where(overflow, nd1, d1)
+                pa, *_ = normalize_packed(a_raw, acc_a)
+                pb, *_ = normalize_packed(b_raw, acc_b)
+                na0, nb0 = pa[0] & nmask, pb[0] & nmask
+                na1 = P.shr_const(pa, nb)[0] & nmask
+                nb1 = P.shr_const(pb, nb)[0] & nmask
+                no0 = jnp.where(is_addi, il0, nb0)
+                no1 = jnp.where(is_addi, il1, nb1)
+                nd0 = (na0 + no0, jnp.zeros(L, dtype=u32))
+                nd1 = (na1 + no1, jnp.zeros(L, dtype=u32))
+                d0 = P.select(overflow, nd0, d0)
+                d1 = P.select(overflow, nd1, d1)
                 # Write back normalized sources when overflow forced it.
                 ovf_on = active & is_def & overflow
-                regs = _put_along(regs, rs1_idx,
-                                  jnp.where(ovf_on & (rs1_idx != 0), pa, a_raw))
-                accum = _put_along(
-                    accum, rs1_idx,
-                    jnp.where(ovf_on & (rs1_idx != 0), i32(0),
-                              _gather_reg(accum, rs1_idx)))
-                is_addi = op == Op.ADDI
-                regs = _put_along(
-                    regs, rs2_idx,
-                    jnp.where(ovf_on & ~is_addi & (rs2_idx != 0), pb,
-                              _gather_reg(regs, rs2_idx)))
-                accum = _put_along(
-                    accum, rs2_idx,
-                    jnp.where(ovf_on & ~is_addi & (rs2_idx != 0), i32(0),
-                              _gather_reg(accum, rs2_idx)))
+                regs_lo = wr16(oh_rs1, ovf_on, regs_lo, pa[0])
+                regs_hi = wr16(oh_rs1, ovf_on, regs_hi, pa[1])
+                accum = wr16(oh_rs1, ovf_on, accum, jnp.zeros(L, dtype=i32))
+                ovf_rs2 = ovf_on & ~is_addi
+                regs_lo = wr16(oh_rs2, ovf_rs2, regs_lo, pb[0])
+                regs_hi = wr16(oh_rs2, ovf_rs2, regs_hi, pb[1])
+                accum = wr16(oh_rs2, ovf_rs2, accum, jnp.zeros(L, dtype=i32))
                 # Pack exactly like the reference write_reg_from_accumulated
                 # (state.rs:184-192): limb0 is OR'd in UNMASKED, so limbs
                 # that exceed limb_bits overlap into limb1's bits.
-                def_packed = d0 | (d1 << u64(lb))
-                result = jnp.where(is_def, def_packed, result)
+                def_packed = P.bor(d0, P.shl_const(d1, lb))
+                result = P.select(is_def, def_packed, result)
 
             # ---- bound propagation ----
             max_ab = jnp.maximum(a_bound, b_bound)
@@ -770,43 +947,40 @@ def _chunk_fn_for(cfg: InterpConfig, code_bucket: int):
                  i32(1),
                  jnp.maximum(a_bound, rd_bound_old),
                  load_bound,
-                 _const_bits(link)],
+                 P.bit_length(link)],
                 i32(40),
             )
 
             # ---- assemble new state ----
             wb = commit & writes_rd & cmov_effective & ~is_branch & ~is_store
-            regs = _put_along(
-                regs, rd_idx,
-                jnp.where(wb & (rd_idx != 0), result,
-                          _gather_reg(regs, rd_idx)))
-            bound = _put_along(
-                bound, rd_idx,
-                jnp.where(wb & (rd_idx != 0), new_bound,
-                          _gather_reg(bound, rd_idx)))
+            regs_lo = wr16(oh_rd, wb, regs_lo, result[0])
+            regs_hi = wr16(oh_rd, wb, regs_hi, result[1])
+            bound = jnp.where(oh_rd & wb[:, None] & (iota16 != 0),
+                              new_bound[:, None], bound)
             if deferred:
                 # Only deferred writes mark rd Accumulated; plain writes
                 # leave the flag untouched (the reference's write_reg never
                 # updates register_states — state.rs:87-91).
                 is_def_w = (op == Op.ADD) | (op == Op.SUB) | (op == Op.ADDI)
-                accum = _put_along(
-                    accum, rd_idx,
-                    jnp.where(wb & (rd_idx != 0) & is_def_w,
-                              i32(1),
-                              _gather_reg(accum, rd_idx)))
+                accum = wr16(oh_rd, wb & is_def_w, accum,
+                             jnp.ones(L, dtype=i32))
 
             # READ syscall writes its value into r10 (syscall.rs:107-112);
             # WRITE leaves registers untouched (syscall.rs:114-119).
-            regs = regs.at[:, 10].set(
-                jnp.where(commit & sys_read, read_val, regs[:, 10]))
+            if has_ecall:
+                rd_read = commit & sys_read
+                regs_lo = regs_lo.at[:, 10].set(
+                    jnp.where(rd_read, read_val[0], regs_lo[:, 10]))
+                regs_hi = regs_hi.at[:, 10].set(
+                    jnp.where(rd_read, read_val[1], regs_hi[:, 10]))
 
-            next_pc = jnp.select(
+            br_step = P.select(br_taken, imm, P.const(4, like=imm[0]))
+            next_pc = select_pairs(
                 [is_branch, op == Op.JAL, op == Op.JALR],
-                [pc + jnp.where(br_taken, imm_u, u64(4)), pc + imm21,
-                 jalr_target],
-                pc + u64(4),
+                [P.add(pc, br_step), P.add(pc, imm21p), jalr_target],
+                link,
             )
-            pc_new = jnp.where(commit, next_pc, pc)
+            pc_new = P.select(commit, next_pc, pc)
 
             halted = jnp.where(
                 err, i32(HALT_ERROR),
@@ -816,43 +990,54 @@ def _chunk_fn_for(cfg: InterpConfig, code_bucket: int):
                         commit & (op == Op.EBREAK), i32(HALT_EBREAK),
                         jnp.where(commit & sys_exit, i32(HALT_EXIT),
                                   state.halted))))
-            exit_code = jnp.where(commit & sys_exit, regs[:, 11],
-                                  state.exit_code)
-            cycles = state.cycles + commit.astype(i64)
-
-            # Keep halted lanes frozen.
-            frozen = ~commit
-            pc_new = jnp.where(frozen, pc, pc_new)
+            exit_lo = jnp.where(commit & sys_exit, regs_lo[:, 11],
+                                state.exit_lo)
+            exit_hi = jnp.where(commit & sys_exit, regs_hi[:, 11],
+                                state.exit_hi)
+            cycles = state.cycles + commit.astype(u32)
 
             new_state = MachineState(
-                pc=pc_new, regs=regs, bound_bits=bound, accum=accum,
-                halted=halted, exit_code=exit_code, cycles=cycles,
-                mem=mem, inputs=state.inputs, n_inputs=state.n_inputs,
-                input_pos=input_pos, outputs=outputs, out_pos=out_pos,
+                pc_lo=pc_new[0], pc_hi=pc_new[1],
+                regs_lo=regs_lo, regs_hi=regs_hi,
+                bound_bits=bound, accum=accum,
+                halted=halted, exit_lo=exit_lo, exit_hi=exit_hi,
+                cycles=cycles, mem=mem,
+                inputs_lo=state.inputs_lo, inputs_hi=state.inputs_hi,
+                n_inputs=state.n_inputs, input_pos=input_pos,
+                outputs_lo=outputs_lo, outputs_hi=outputs_hi,
+                out_pos=out_pos,
             )
 
             if cfg.collect_trace:
                 accum_mask = jnp.sum(
                     (pre_accum.astype(u32) << jnp.arange(16, dtype=np.uint32)
                      [None, :]), axis=1, dtype=u32)
+                # Store-value masking for the trace slot (width < 8 bytes
+                # truncates; width 8 records the full raw value).
+                sm_lo = jnp.select(
+                    [width == 1, width == 2, width >= 4],
+                    [u32(0xFF), u32(0xFFFF), u32(0xFFFFFFFF)],
+                    u32(0))
+                sm_hi = jnp.where(width == 8, u32(0xFFFFFFFF), u32(0))
+                mem_value = P.select(
+                    is_store,
+                    (store_val[0] & sm_lo, store_val[1] & sm_hi),
+                    loaded)
                 trace = {
                     "valid": commit,
                     "cycle": state.cycles,
-                    "pc": pc,
+                    "pc_lo": pc[0],
+                    "pc_hi": pc[1],
                     "word": word,
-                    "regs": pre_regs,
+                    "regs_lo": pre_regs_lo,
+                    "regs_hi": pre_regs_hi,
                     "bounds": pre_bound,
                     "accum_mask": accum_mask,
                     "mem_valid": commit & is_mem & (width > 0),
-                    "mem_addr": addr,
-                    "mem_value": jnp.where(
-                        is_store,
-                        jnp.where(
-                            width == 8, store_val,
-                            store_val
-                            & ((u64(1) << (u64(8) * jnp.minimum(
-                                width, 7).astype(u64))) - u64(1))),
-                        loaded),
+                    "mem_addr_lo": addr[0],
+                    "mem_addr_hi": addr[1],
+                    "mem_value_lo": mem_value[0],
+                    "mem_value_hi": mem_value[1],
                     "mem_width": width,
                     "mem_is_write": is_store,
                 }
@@ -862,14 +1047,15 @@ def _chunk_fn_for(cfg: InterpConfig, code_bucket: int):
                 # with a 4x10-bit chunk decomposition
                 # (range_check.rs:140-192).  The device emits the
                 # per-deferral witness row directly: (value, chunks, pc).
-                rc_value = jnp.where(op == Op.MUL, mul_r, add_r)
+                rc_value = P.select(op == Op.MUL, mul_r, add_r)
                 trace["rc_valid"] = (
                     commit & ((op == Op.ADD) | (op == Op.MUL))
                     & (new_bound > 40)
                 )
-                trace["rc_value"] = rc_value
+                trace["rc_value_lo"] = rc_value[0]
+                trace["rc_value_hi"] = rc_value[1]
                 trace["rc_chunks"] = jnp.stack(
-                    [(rc_value >> u64(10 * c)) & u64(0x3FF)
+                    [P.shr_const(rc_value, 10 * c)[0] & u32(0x3FF)
                      for c in range(4)], axis=1)
                 if deferred:
                     trace["norm_valid"] = norm_w_valid
@@ -884,4 +1070,3 @@ def _chunk_fn_for(cfg: InterpConfig, code_bucket: int):
         return jax.lax.scan(step, state0, None, length=cfg.chunk)
 
     return jax.jit(build)
-

@@ -193,8 +193,7 @@ def prove_step_sharded(interp, state, mesh: Mesh, log_n: int = 12,
         new_state, _ = _chunk_body(interp, code, n_inputs, state)
         # Derive a field column from the register file: low 20 bits of all
         # lane registers, padded/tiled to 2^log_n.
-        col = (new_state.regs.reshape(-1) & jnp.uint64(0xFFFFF)).astype(
-            jnp.uint32)
+        col = new_state.regs_lo.reshape(-1) & jnp.uint32(0xFFFFF)
         n = 1 << log_n
         reps = n // col.shape[0] + 1
         col = jnp.tile(col, reps)[:n] % jnp.uint32(M31_PRIME)
@@ -208,7 +207,4 @@ def prove_step_sharded(interp, state, mesh: Mesh, log_n: int = 12,
 
 
 def _chunk_body(interp, code, n_words, state):
-    from ..interp.columnar import _chunk_fn_for
-
-    return _chunk_fn_for(interp.config, interp.code.shape[0])(
-        code, n_words, state)
+    return interp.chunk_fn(code, n_words, state)
