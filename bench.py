@@ -44,7 +44,7 @@ def _slope_time(make_fn, work_small, work_big, warm_arg, fresh_arg, probe):
     return (work_big - work_small) / (t_big - t_small)
 
 
-def bench_trace_gen(lanes=8192, chunk=512):
+def bench_trace_gen(lanes=65536, chunk=512):
     """One scan dispatch = lanes x chunk machine cycles."""
     import jax.numpy as jnp
 
@@ -114,7 +114,7 @@ def bench_poseidon2(log_batch=20, iters=16):
     return rate
 
 
-def bench_ntt(log_n=20, iters=8):
+def bench_ntt(log_n=24, iters=8):
     """One dispatch of `iters` chained NTTs via fori_loop."""
     import jax
     import jax.numpy as jnp
@@ -196,19 +196,26 @@ def main():
         extra["poseidon2_error"] = err
     val, err = _run_isolated("ntt")
     if val is not None:
-        extra["ntt_2e20_ms"] = round(val, 3)
+        extra["ntt_2e24_ms"] = round(val, 3)
     else:
         extra["ntt_error"] = err
 
+    # The native C++ VM rate is always reported as its own metric — it is
+    # a CPU number and must never masquerade as the TPU headline.
+    try:
+        extra["native_vm_cycles_per_sec"] = round(_native_fallback())
+    except Exception as exc:  # pragma: no cover
+        extra["native_vm_error"] = str(exc)[-120:]
+
     value, err = _run_isolated("trace", timeout_s=600)
     if value is None:
-        # Fall back to the native C++ engine so the headline metric always
-        # reports a real measured number.
-        value = _native_fallback()
-        extra["trace_note"] = f"tpu path unavailable ({err}); native VM rate"
+        # Headline stays honest: report 0 with the error rather than
+        # substituting the CPU engine's rate.
+        value = 0.0
+        extra["trace_note"] = f"tpu path unavailable ({err})"
     baseline = 10e6  # reference's own stated target (README.md:279)
     print(json.dumps({
-        "metric": "trace_gen_cycles_per_sec",
+        "metric": "tpu_trace_gen_cycles_per_sec",
         "value": round(value),
         "unit": "cycles/s",
         "vs_baseline": round(value / baseline, 3),

@@ -96,3 +96,71 @@ class TestControlFlowTargets:
         row = int(np.nonzero(m[:, COL_OPCODE] == int(Op.BNE))[0][0])
         with pytest.raises(ValueError, match="halt"):
             prove_trace(m[:row + 1], CFG)
+
+
+class TestHaltChain:
+    """A halted machine keeps halting: EBREAK (and exit-ECALL) rows may
+    only be followed by EBREAK rows, and non-exit ECALL rows advance pc
+    by exactly 4 (prover/constraints.py halt-chain block)."""
+
+    @pytest.fixture(scope="class")
+    def ecall_matrix(self):
+        # READ syscall (r10 = 1), a post-syscall op, then EXIT.
+        return _matrix_for([
+            I(Op.ADDI, rd=10, rs1=0, imm=1),
+            I(Op.ECALL),                       # READ -> r10 = tape value
+            I(Op.ADD, rd=2, rs1=10, rs2=10),
+            I(Op.ADDI, rd=10, rs1=0, imm=0),
+            I(Op.ADDI, rd=11, rs1=0, imm=0),
+            I(Op.ECALL),                       # EXIT 0
+        ], inputs=[7])
+
+    def test_honest_ecall_roundtrip(self, ecall_matrix):
+        proof = prove_trace(ecall_matrix, CFG)
+        assert verify_trace(proof)
+
+    def test_ebreak_resurrection_rejected(self, cf_matrix):
+        # Rewrite the padding row right after the final EBREAK into an
+        # ADDI that "resumes" execution with the halted register file.
+        from zkir_tpu.prover.constraints import COL_SEL0, OP_VALUES
+        from zkir_tpu.prover.prover import _pad_rows
+
+        padded, _ = _pad_rows(cf_matrix.copy(), min_log=2)
+        n = cf_matrix.shape[0]
+        assert padded.shape[0] > n
+        row = padded[n].copy()
+        row[COL_OPCODE] = 0x08                         # ADDI
+        row[COL_SEL0 + OP_VALUES.index(0x51)] = 0
+        row[COL_SEL0 + OP_VALUES.index(0x08)] = 1
+        padded[n] = row
+        proof = prove_trace(padded, CFG)
+        assert not verify_trace(proof)
+
+    def test_nonexit_ecall_pc_teleport_rejected(self, ecall_matrix):
+        # Claim the READ ecall jumped somewhere other than pc + 4.
+        m = ecall_matrix
+        row = int(np.nonzero(m[:, COL_OPCODE] == 0x50)[0][0])
+        bad = m.copy()
+        bad[row + 1, 0] += 8
+        proof = prove_trace(bad, CFG)
+        assert not verify_trace(proof)
+
+    def test_forged_exit_flag_rejected(self, ecall_matrix):
+        # Claim the READ ecall (r10 = 1) was an EXIT to dodge the pc+4
+        # constraint: the eex gadget must refuse eex = 1 with r10 != 0.
+        from zkir_tpu.prover.constraints import COL_EEX, COL_EINV
+
+        m = ecall_matrix
+        row = int(np.nonzero(m[:, COL_OPCODE] == 0x50)[0][0])
+        bad = m.copy()
+        bad[row, COL_EEX] = 1
+        bad[row, COL_EINV] = 0
+        bad[row + 1, 0] += 8     # the teleport eex=1 would permit
+        proof = prove_trace(bad, CFG)
+        assert not verify_trace(proof)
+
+    def test_nonexit_ecall_final_row_rejected_at_prove(self, ecall_matrix):
+        m = ecall_matrix
+        row = int(np.nonzero(m[:, COL_OPCODE] == 0x50)[0][0])
+        with pytest.raises(ValueError, match="halt"):
+            prove_trace(m[:row + 1], CFG)

@@ -176,21 +176,28 @@ class TpuInterpreter:
         L = cfg.lanes
         assert len(inputs_per_lane) == L
 
-        mem = np.zeros((L, cfg.low_bytes + cfg.stack_bytes), dtype=np.uint8)
-        # Load code at CODE_BASE, data right after (vm.rs:153-170).
-        code_bytes = np.frombuffer(
-            np.asarray(self.program.code, dtype="<u4").tobytes(), dtype=np.uint8
-        )
-        end = CODE_BASE + len(code_bytes)
-        if end > cfg.low_bytes:
-            raise ValueError("program too large for low memory window")
-        mem[:, CODE_BASE:end] = code_bytes
-        if self.program.data:
-            data = np.frombuffer(bytes(self.program.data), dtype=np.uint8)
-            dend = end + len(data)
-            if dend > cfg.low_bytes:
-                raise ValueError("data too large for low memory window")
-            mem[:, end:dend] = data
+        if cfg.enable_memory:
+            mem = np.zeros((L, cfg.low_bytes + cfg.stack_bytes),
+                           dtype=np.uint8)
+            # Load code at CODE_BASE, data right after (vm.rs:153-170).
+            code_bytes = np.frombuffer(
+                np.asarray(self.program.code, dtype="<u4").tobytes(),
+                dtype=np.uint8)
+            end = CODE_BASE + len(code_bytes)
+            if end > cfg.low_bytes:
+                raise ValueError("program too large for low memory window")
+            mem[:, CODE_BASE:end] = code_bytes
+            if self.program.data:
+                data = np.frombuffer(bytes(self.program.data), dtype=np.uint8)
+                dend = end + len(data)
+                if dend > cfg.low_bytes:
+                    raise ValueError("data too large for low memory window")
+                mem[:, end:dend] = data
+        else:
+            # The program statically cannot touch memory (instruction
+            # fetch reads the immutable code buffer, not this array) —
+            # carry a 1-byte placeholder instead of the full windows.
+            mem = np.zeros((L, 1), dtype=np.uint8)
 
         inp = np.zeros((L, cfg.max_inputs), dtype=np.uint64)
         n_in = np.zeros(L, dtype=np.int32)

@@ -146,9 +146,12 @@ MEM_WIDTHS = {0x30: 1, 0x31: 1, 0x32: 2, 0x33: 2, 0x34: 4, 0x35: 8,
 from .trace import COL_CLK, M_BASE  # noqa: E402
 # Compare / branch-condition / cmov block (prover/trace.py).
 from .trace import (COL_AR0, COL_AR1, COL_BR0, COL_BR1, COL_CB0,  # noqa: E402
-                    COL_CB1, COL_CCH0, COL_CEQ, COL_CINV, COL_CU_HI,
-                    COL_CU_LO, COL_SA, COL_SB, COL_VA_HI, COL_VA_LO,
-                    COL_VB_HI, COL_VB_LO, COL_VG_HI, COL_VG_LO, COL_X1)
+                    COL_CB1, COL_CCH0, COL_CD0, COL_CEQ, COL_CINV,
+                    COL_CU_HI, COL_CU_LO, COL_DR0, COL_E0, COL_EEX,
+                    COL_EINV, COL_K0, COL_K1C, COL_K2C, COL_K3C,
+                    COL_K4C, COL_K5C, COL_K6C, COL_PL0, COL_SA, COL_SB,
+                    COL_U0, COL_VA_HI, COL_VA_LO, COL_VB_HI, COL_VB_LO,
+                    COL_VG_HI, COL_VG_LO, COL_X1, COL_XQ0, COL_YQ0)
 COMPARE_OPS = tuple(range(0x20, 0x26))   # SLTU SGEU SLT SGE SEQ SNE
 CMOV_OPS = (0x26, 0x27, 0x28)            # CMOV CMOVZ CMOVNZ
 M_ADDR_LO = M_BASE
@@ -217,6 +220,34 @@ CHANNELS = (
     ("ar1", 0, ((COL_AR1, 2),)),               # 2*ar1 < 2^10 => ar1 < 2^9
     ("br0", 0, ((COL_BR0, 1),)),
     ("br1", 0, ((COL_BR1, 2),)),
+    # Multiply/divide block chunks (trace.py MD_BASE layout).
+    ("xq0", 0, ((COL_XQ0 + 0, 1),)),
+    ("xq1", 0, ((COL_XQ0 + 1, 1),)),
+    ("xq2", 0, ((COL_XQ0 + 2, 1),)),
+    ("xq3", 0, ((COL_XQ0 + 3, 1),)),
+    ("yq0", 0, ((COL_YQ0 + 0, 1),)),
+    ("yq1", 0, ((COL_YQ0 + 1, 1),)),
+    ("yq2", 0, ((COL_YQ0 + 2, 1),)),
+    ("yq3", 0, ((COL_YQ0 + 3, 1),)),
+    ("pl0", 0, ((COL_PL0 + 0, 1),)),
+    ("pl1", 0, ((COL_PL0 + 1, 1),)),
+    ("pl2", 0, ((COL_PL0 + 2, 1),)),
+    ("pl3", 0, ((COL_PL0 + 3, 1),)),
+    ("k0", 0, ((COL_K0, 1),)),
+    ("k1c", 0, ((COL_K1C, 1),)),
+    ("k2c", 0, ((COL_K2C, 1),)),
+    ("k3c", 0, ((COL_K3C, 1),)),
+    ("k4c", 0, ((COL_K4C, 1),)),
+    ("k5c", 0, ((COL_K5C, 1),)),
+    ("k6c", 0, ((COL_K6C, 1),)),
+    ("dr0", 0, ((COL_DR0 + 0, 1),)),
+    ("dr1", 0, ((COL_DR0 + 1, 1),)),
+    ("dr2", 0, ((COL_DR0 + 2, 1),)),
+    ("dr3", 0, ((COL_DR0 + 3, 1),)),
+    ("u0", 0, ((COL_U0 + 0, 1),)),
+    ("u1", 0, ((COL_U0 + 1, 1),)),
+    ("u2", 0, ((COL_U0 + 2, 1),)),
+    ("u3", 0, ((COL_U0 + 3, 1),)),
 )
 NUM_LOOKUP = len(CHANNELS)
 COL_PROG_M = COL_MULT0 + NUM_LOOKUP
@@ -230,8 +261,8 @@ COL_PROG_M = COL_MULT0 + NUM_LOOKUP
 # program; padding rows consume the dedicated (0, 0, EBREAK, 0) entry.
 PROG_F_TERMS = ((COL_OPCODE, 1), (COL_RD, 1 << 7), (COL_RS1, 1 << 11))
 
-NUM_SINGLE = 4 + N_OPS + 2 + 16 + 2 + 36 + 3 + 4 + 8 + 4 + 13 + 42
-NUM_TRANS = 2 + 30 + 30 + 6
+NUM_SINGLE = 4 + N_OPS + 2 + 16 + 2 + 36 + 3 + 4 + 8 + 4 + 13 + 42 + 3 + 39
+NUM_TRANS = 2 + 30 + 30 + 6 + 4
 NUM_FIRST = 30           # boundary: registers start zeroed
 NUM_CONSTRAINTS = NUM_SINGLE + NUM_TRANS + NUM_FIRST
 
@@ -552,6 +583,110 @@ def constraint_evals(ext_r, ext_i, log_n: int, log_blowup: int):
             res_hi, cm31_add(cm31_mul(cond, va_hi),
                              cm31_mul(ncond, vg_hi)))))
 
+    # --- Halt-chain block: exit-ECALL detection gadget ---
+    # s10 = r10_lo + r10_hi (< 2^21 < p, zero iff r10 == 0); on ECALL rows
+    # eex = [s10 == 0] via eex + s10*einv = 1 and eex*s10 = 0.
+    eex = col(COL_EEX)
+    einv = col(COL_EINV)
+    s10 = cm31_add(col(COL_REG_LO + 10), col(COL_REG_HI + 10))
+    sel_ec = sel_by[0x50]
+    sel_eb = sel_by[0x51]
+    singles.append(cm31_mul(eex, cm31_sub(eex, one)))
+    singles.append(cm31_mul(sel_ec, cm31_sub(
+        cm31_add(eex, cm31_mul(s10, einv)), one)))
+    singles.append(cm31_mul(sel_ec, cm31_mul(eex, s10)))
+
+    # --- Multiply/divide block (layout comment in trace.py at MD_BASE) ---
+    two10 = _scalar_vec((1 << 10, 0), big)
+    sel_mul, sel_mulh = sel_by[0x02], sel_by[0x03]
+    sel_divf = selsum((0x04, 0x05, 0x06, 0x07))
+    sel_mulf = cm31_add(sel_mul, sel_mulh)
+    sel_md = cm31_add(sel_mulf, sel_divf)
+    xq = [col(COL_XQ0 + i) for i in range(4)]
+    yq = [col(COL_YQ0 + i) for i in range(4)]
+    pl = [col(COL_PL0 + i) for i in range(4)]
+    dr = [col(COL_DR0 + i) for i in range(4)]
+    uc = [col(COL_U0 + i) for i in range(4)]
+
+    def comb2(c0v, c1v):
+        return cm31_add(c0v, cm31_mul(c1v, two10))
+
+    xq_lo, xq_hi = comb2(xq[0], xq[1]), comb2(xq[2], xq[3])
+    yq_lo, yq_hi = comb2(yq[0], yq[1]), comb2(yq[2], yq[3])
+    dr_lo, dr_hi = comb2(dr[0], dr[1]), comb2(dr[2], dr[3])
+    pl_lo, pl_hi = comb2(pl[0], pl[1]), comb2(pl[2], pl[3])
+    u_lo, u_hi = comb2(uc[0], uc[1]), comb2(uc[2], uc[3])
+    # Operand bindings: x = a on MUL/MULH rows, x = res (the quotient) on
+    # DIV/DIVU rows (REM/REMU leave x a free 40-bit witness); y = b on
+    # every mul/div row; res = r on REM/REMU rows.
+    singles.append(cm31_mul(sel_mulf, cm31_sub(va_lo, xq_lo)))
+    singles.append(cm31_mul(sel_mulf, cm31_sub(va_hi, xq_hi)))
+    singles.append(cm31_mul(sel_md, cm31_sub(vb_lo, yq_lo)))
+    singles.append(cm31_mul(sel_md, cm31_sub(vb_hi, yq_hi)))
+    sel_qres = cm31_add(sel_by[0x04], sel_by[0x06])
+    singles.append(cm31_mul(sel_qres, cm31_sub(res_lo, xq_lo)))
+    singles.append(cm31_mul(sel_qres, cm31_sub(res_hi, xq_hi)))
+    sel_rres = cm31_add(sel_by[0x05], sel_by[0x07])
+    singles.append(cm31_mul(sel_rres, cm31_sub(res_lo, dr_lo)))
+    singles.append(cm31_mul(sel_rres, cm31_sub(res_hi, dr_hi)))
+    # Carry reconstructions (k0 a bare chunk; k1/k6 chunk + 1 bit;
+    # k2..k5 chunk + 2 bits) with bit boolean constraints.
+    kvals = [col(COL_K0)]
+    for cc, bits in ((COL_K1C, 1), (COL_K2C, 2), (COL_K3C, 2),
+                     (COL_K4C, 2), (COL_K5C, 2), (COL_K6C, 1)):
+        b0v = col(cc + 1)
+        singles.append(cm31_mul(b0v, cm31_sub(b0v, one)))
+        hi_part = b0v
+        if bits == 2:
+            b1v = col(cc + 2)
+            singles.append(cm31_mul(b1v, cm31_sub(b1v, one)))
+            hi_part = cm31_add(b0v, cm31_mul(b1v, _scalar_vec((2, 0), big)))
+        kvals.append(cm31_add(col(cc), cm31_mul(hi_part, two10)))
+    # Column sums s_t = sum_{i+j=t} xq_i * yq_j (degree 2).
+    s_sums = []
+    for t in range(7):
+        acc = None
+        for i in range(4):
+            j = t - i
+            if 0 <= j < 4:
+                term = cm31_mul(xq[i], yq[j])
+                acc = term if acc is None else cm31_add(acc, term)
+        s_sums.append(acc)
+    res_ch = [col(COL_RES_CH0 + i) for i in range(4)]
+    # Low chain (stages 0..3): result chunks on MUL rows; pl chunks on
+    # MULH/DIV rows.  Every term < 2^23 << p: field identity == integers.
+    sel_plchain = cm31_add(sel_mulh, sel_divf)
+    for t in range(4):
+        base_e = s_sums[t] if t == 0 else cm31_add(s_sums[t], kvals[t - 1])
+        k_sh = cm31_mul(kvals[t], two10)
+        singles.append(cm31_mul(sel_mul, cm31_sub(
+            base_e, cm31_add(res_ch[t], k_sh))))
+        singles.append(cm31_mul(sel_plchain, cm31_sub(
+            base_e, cm31_add(pl[t], k_sh))))
+    # MULH high chain (stages 4..6 -> res chunks 0..2; chunk 7 = k6).
+    for t in range(4, 7):
+        base_e = cm31_add(s_sums[t], kvals[t - 1])
+        singles.append(cm31_mul(sel_mulh, cm31_sub(
+            base_e, cm31_add(res_ch[t - 4], cm31_mul(kvals[t], two10)))))
+    singles.append(cm31_mul(sel_mulh, cm31_sub(res_ch[3], kvals[6])))
+    # Division: q*b < 2^40 (high stages vanish), a = q*b + r exactly,
+    # and r < b via u = b - 1 - r >= 0.
+    singles.append(cm31_mul(sel_divf, cm31_add(s_sums[4], kvals[3])))
+    singles.append(cm31_mul(sel_divf, s_sums[5]))
+    singles.append(cm31_mul(sel_divf, s_sums[6]))
+    cd0, e0 = col(COL_CD0), col(COL_E0)
+    singles.append(cm31_mul(cd0, cm31_sub(cd0, one)))
+    singles.append(cm31_mul(e0, cm31_sub(e0, one)))
+    singles.append(cm31_mul(sel_divf, cm31_sub(
+        cm31_add(pl_lo, dr_lo), cm31_add(va_lo, cm31_mul(cd0, two20)))))
+    singles.append(cm31_mul(sel_divf, cm31_sub(
+        cm31_add(cm31_add(pl_hi, dr_hi), cd0), va_hi)))
+    singles.append(cm31_mul(sel_divf, cm31_sub(
+        cm31_add(cm31_add(u_lo, one), dr_lo),
+        cm31_add(vb_lo, cm31_mul(e0, two20)))))
+    singles.append(cm31_mul(sel_divf, cm31_sub(
+        cm31_add(cm31_add(u_hi, dr_hi), e0), vb_hi)))
+
     pc_lo, pc_hi = col(COL_PC_LO), col(COL_PC_HI)
     pc_lo_n, pc_hi_n = nxt(COL_PC_LO), nxt(COL_PC_HI)
     t1_inner = cm31_add(
@@ -624,6 +759,19 @@ def constraint_evals(ext_r, ext_i, log_n: int, log_blowup: int):
     transitions.append(cm31_mul(sel_by[0x49], cm31_add(
         cm31_sub(cm31_sub(cm31_sub(nxt(COL_PC_HI), a_hi), i_hi), c2),
         c3_sh)))
+
+    # Halt chain: a halted machine keeps halting.  An EBREAK row's
+    # successor must be an EBREAK row (prevents "resuming" after a halt
+    # at an arbitrary pc with registers preserved); an exit-ECALL row's
+    # successor likewise; a non-exit ECALL advances pc by exactly 4
+    # (vm.rs:277-279), reusing the carry column (free on non-seq rows).
+    sel_eb_next = nxt(COL_SEL0 + OP_VALUES.index(0x51))
+    transitions.append(cm31_mul(sel_eb, cm31_sub(one, sel_eb_next)))
+    transitions.append(cm31_mul(cm31_mul(sel_ec, eex),
+                                cm31_sub(one, sel_eb_next)))
+    ec_adv = cm31_mul(sel_ec, cm31_sub(one, eex))
+    transitions.append(cm31_mul(ec_adv, t1_inner))
+    transitions.append(cm31_mul(ec_adv, t2_inner))
 
     # Boundary: the machine starts with a zeroed register file.
     firsts = [col(base + r)
@@ -1231,6 +1379,98 @@ def constraint_value_at(row: List[int], next_row: List[int], n_cols: int):
             res_hi, _add2(cm31_mul_scalar(cond, va_hi),
                           cm31_mul_scalar(ncond, vg_hi)))))
 
+    # --- Halt-chain block (scalar mirror) ---
+    eex = cval(row, COL_EEX)
+    einv = cval(row, COL_EINV)
+    s10 = _add2(cval(row, COL_REG_LO + 10), cval(row, COL_REG_HI + 10))
+    sel_ec = sel_by[0x50]
+    sel_eb = sel_by[0x51]
+    singles.append(cm31_mul_scalar(eex, _sub2(eex, one)))
+    singles.append(cm31_mul_scalar(sel_ec, _sub2(
+        _add2(eex, cm31_mul_scalar(s10, einv)), one)))
+    singles.append(cm31_mul_scalar(sel_ec, cm31_mul_scalar(eex, s10)))
+
+    # --- Multiply/divide block (scalar mirror) ---
+    sel_mul, sel_mulh = sel_by[0x02], sel_by[0x03]
+    sel_divf = selsum((0x04, 0x05, 0x06, 0x07))
+    sel_mulf = _add2(sel_mul, sel_mulh)
+    sel_md = _add2(sel_mulf, sel_divf)
+    xq = [cval(row, COL_XQ0 + i) for i in range(4)]
+    yq = [cval(row, COL_YQ0 + i) for i in range(4)]
+    pl = [cval(row, COL_PL0 + i) for i in range(4)]
+    dr = [cval(row, COL_DR0 + i) for i in range(4)]
+    uc = [cval(row, COL_U0 + i) for i in range(4)]
+
+    def comb2(c0v, c1v):
+        return _add2(c0v, cm31_mul_scalar(c1v, (1 << 10, 0)))
+
+    xq_lo, xq_hi = comb2(xq[0], xq[1]), comb2(xq[2], xq[3])
+    yq_lo, yq_hi = comb2(yq[0], yq[1]), comb2(yq[2], yq[3])
+    dr_lo, dr_hi = comb2(dr[0], dr[1]), comb2(dr[2], dr[3])
+    pl_lo, pl_hi = comb2(pl[0], pl[1]), comb2(pl[2], pl[3])
+    u_lo, u_hi = comb2(uc[0], uc[1]), comb2(uc[2], uc[3])
+    singles.append(cm31_mul_scalar(sel_mulf, _sub2(va_lo, xq_lo)))
+    singles.append(cm31_mul_scalar(sel_mulf, _sub2(va_hi, xq_hi)))
+    singles.append(cm31_mul_scalar(sel_md, _sub2(vb_lo, yq_lo)))
+    singles.append(cm31_mul_scalar(sel_md, _sub2(vb_hi, yq_hi)))
+    sel_qres = _add2(sel_by[0x04], sel_by[0x06])
+    singles.append(cm31_mul_scalar(sel_qres, _sub2(res_lo, xq_lo)))
+    singles.append(cm31_mul_scalar(sel_qres, _sub2(res_hi, xq_hi)))
+    sel_rres = _add2(sel_by[0x05], sel_by[0x07])
+    singles.append(cm31_mul_scalar(sel_rres, _sub2(res_lo, dr_lo)))
+    singles.append(cm31_mul_scalar(sel_rres, _sub2(res_hi, dr_hi)))
+    kvals = [cval(row, COL_K0)]
+    for cc, bits in ((COL_K1C, 1), (COL_K2C, 2), (COL_K3C, 2),
+                     (COL_K4C, 2), (COL_K5C, 2), (COL_K6C, 1)):
+        b0v = cval(row, cc + 1)
+        singles.append(cm31_mul_scalar(b0v, _sub2(b0v, one)))
+        hi_part = b0v
+        if bits == 2:
+            b1v = cval(row, cc + 2)
+            singles.append(cm31_mul_scalar(b1v, _sub2(b1v, one)))
+            hi_part = _add2(b0v, cm31_mul_scalar(b1v, (2, 0)))
+        kvals.append(_add2(cval(row, cc),
+                           cm31_mul_scalar(hi_part, (1 << 10, 0))))
+    s_sums = []
+    for t in range(7):
+        acc = (0, 0)
+        for i in range(4):
+            j = t - i
+            if 0 <= j < 4:
+                acc = _add2(acc, cm31_mul_scalar(xq[i], yq[j]))
+        s_sums.append(acc)
+    res_ch = [cval(row, COL_RES_CH0 + i) for i in range(4)]
+    sel_plchain = _add2(sel_mulh, sel_divf)
+    for t in range(4):
+        base_e = s_sums[t] if t == 0 else _add2(s_sums[t], kvals[t - 1])
+        k_sh = cm31_mul_scalar(kvals[t], (1 << 10, 0))
+        singles.append(cm31_mul_scalar(sel_mul, _sub2(
+            base_e, _add2(res_ch[t], k_sh))))
+        singles.append(cm31_mul_scalar(sel_plchain, _sub2(
+            base_e, _add2(pl[t], k_sh))))
+    for t in range(4, 7):
+        base_e = _add2(s_sums[t], kvals[t - 1])
+        singles.append(cm31_mul_scalar(sel_mulh, _sub2(
+            base_e, _add2(res_ch[t - 4],
+                          cm31_mul_scalar(kvals[t], (1 << 10, 0))))))
+    singles.append(cm31_mul_scalar(sel_mulh, _sub2(res_ch[3], kvals[6])))
+    singles.append(cm31_mul_scalar(sel_divf, _add2(s_sums[4], kvals[3])))
+    singles.append(cm31_mul_scalar(sel_divf, s_sums[5]))
+    singles.append(cm31_mul_scalar(sel_divf, s_sums[6]))
+    cd0, e0 = cval(row, COL_CD0), cval(row, COL_E0)
+    singles.append(cm31_mul_scalar(cd0, _sub2(cd0, one)))
+    singles.append(cm31_mul_scalar(e0, _sub2(e0, one)))
+    singles.append(cm31_mul_scalar(sel_divf, _sub2(
+        _add2(pl_lo, dr_lo),
+        _add2(va_lo, cm31_mul_scalar(cd0, (1 << 20, 0))))))
+    singles.append(cm31_mul_scalar(sel_divf, _sub2(
+        _add2(_add2(pl_hi, dr_hi), cd0), va_hi)))
+    singles.append(cm31_mul_scalar(sel_divf, _sub2(
+        _add2(_add2(u_lo, one), dr_lo),
+        _add2(vb_lo, cm31_mul_scalar(e0, (1 << 20, 0))))))
+    singles.append(cm31_mul_scalar(sel_divf, _sub2(
+        _add2(_add2(u_hi, dr_hi), e0), vb_hi)))
+
     pc_lo = cval(row, COL_PC_LO)
     pc_hi = cval(row, COL_PC_HI)
     pc_lo_n = cval(next_row, COL_PC_LO)
@@ -1289,6 +1529,15 @@ def constraint_value_at(row: List[int], next_row: List[int], n_cols: int):
     transitions.append(cm31_mul_scalar(sel_by[0x49], _add2(
         _sub2(_sub2(_sub2(cval(next_row, COL_PC_HI), a_hi), i_hi), c2),
         c3_sh)))
+
+    # Halt chain (scalar mirror).
+    sel_eb_next = cval(next_row, COL_SEL0 + OP_VALUES.index(0x51))
+    transitions.append(cm31_mul_scalar(sel_eb, _sub2(one, sel_eb_next)))
+    transitions.append(cm31_mul_scalar(cm31_mul_scalar(sel_ec, eex),
+                                       _sub2(one, sel_eb_next)))
+    ec_adv = cm31_mul_scalar(sel_ec, _sub2(one, eex))
+    transitions.append(cm31_mul_scalar(ec_adv, t1))
+    transitions.append(cm31_mul_scalar(ec_adv, t2))
 
     firsts = [cval(row, base + r)
               for r in range(1, 16) for base in (COL_REG_LO, COL_REG_HI)]

@@ -74,6 +74,15 @@ def _pad_rows(matrix: np.ndarray, min_log: int = 2):
         raise ValueError(
             "trace must end in a halt (ECALL/EBREAK) row; got opcode "
             f"{int(matrix[-1, COL_OPCODE]):#x}")
+    if n_rows > 0 and int(matrix[-1, COL_OPCODE]) == 0x50:
+        # The halt-chain AIR requires a final ECALL to be EXIT (r10 == 0):
+        # non-exit ECALLs advance pc by 4 into a successor row.
+        r10 = (int(matrix[-1, COL_REG_LO + 10])
+               + (int(matrix[-1, COL_REG_LO + 26]) << 20))
+        if r10 != 0:
+            raise ValueError(
+                "trace must end in a halt: final ECALL row has r10 = "
+                f"{r10:#x} (not EXIT)")
     log_n = max((n_rows - 1).bit_length(), min_log)
     padded = np.zeros(((1 << log_n), matrix.shape[1]), dtype=np.uint32)
     padded[:n_rows] = matrix

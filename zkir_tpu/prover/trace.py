@@ -127,7 +127,59 @@ COL_SB = CMP_BASE + 19
 COL_BR0 = CMP_BASE + 20
 COL_BR1 = CMP_BASE + 21
 COL_X1 = CMP_BASE + 22
-N_COLUMNS = CMP_BASE + 23
+# Halt-chain block: exit-ECALL detection.  eex = [r10 == 0] (syscall
+# number zero = EXIT, syscall.rs:18-24) via the inverse gadget on
+# s = r10_lo + r10_hi (< 2^21, zero iff the canonical r10 value is zero);
+# einv commits s^-1.  Constraints force: an EBREAK row's successor is an
+# EBREAK row; an exit-ECALL row's successor is an EBREAK row ("a halted
+# machine keeps halting"); a non-exit ECALL row advances pc by 4
+# (reusing the pc_carry column, which is free on non-is_seq rows).
+COL_EEX = CMP_BASE + 23
+COL_EINV = CMP_BASE + 24
+# Multiply/divide block.  One shared grade-school multiplier over 10-bit
+# chunks pins all six ops (semantics: execute.rs:85-183 on the canonical
+# 40-bit operand views):
+#   x, y chunks  xq0..3 / yq0..3  -- the multiplier inputs: (a, b) on
+#       MUL/MULH rows; (q, b) on DIV-family rows (q = the quotient:
+#       res on DIV/DIVU rows, a free 40-bit witness on REM/REMU rows)
+#   column sums  s_k = sum_{i+j=k} xq_i * yq_j   (k = 0..6, degree 2)
+#   carry chain  s_k + k_{k-1} = chunk_k + 2^10 * k_k   over integers
+#       (every term < 2^23 << p, so the field identity is the integer
+#       identity); chunk_0..3 = the product's low 40 bits, chunk_4..7 =
+#       the high 40 bits.  Carries k0 < 2^10; k1..k6 get a 12-bit budget
+#       committed as a 10-bit chunk + two bits (k = kc + 2^10(kb0+2kb1)).
+#   pl0..3       -- low-product chunks when the row's result is NOT the
+#       low product (MULH keeps the high half; DIV keeps the quotient)
+#   dr0..3       -- remainder chunks (DIV family): a = q*b + r exactly
+#       (high product chunks forced to zero), with r < b enforced by
+#       u = b - 1 - r >= 0 (chunks u0..3, borrow e0); cd0 is the carry
+#       of the limb-wise a = pl + r addition
+MD_BASE = CMP_BASE + 25
+COL_XQ0 = MD_BASE                 # 4 x-operand chunks
+COL_YQ0 = MD_BASE + 4             # 4 y-operand chunks
+COL_PL0 = MD_BASE + 8             # 4 low-product chunks
+COL_K0 = MD_BASE + 12             # carry k0 (single 10-bit chunk)
+COL_K1C = MD_BASE + 13            # k1 = k1c + 2^10*k1b
+COL_K1B = MD_BASE + 14
+COL_K2C = MD_BASE + 15            # k2..k5 = kc + 2^10*(kb0 + 2*kb1)
+COL_K2B0 = MD_BASE + 16
+COL_K2B1 = MD_BASE + 17
+COL_K3C = MD_BASE + 18
+COL_K3B0 = MD_BASE + 19
+COL_K3B1 = MD_BASE + 20
+COL_K4C = MD_BASE + 21
+COL_K4B0 = MD_BASE + 22
+COL_K4B1 = MD_BASE + 23
+COL_K5C = MD_BASE + 24
+COL_K5B0 = MD_BASE + 25
+COL_K5B1 = MD_BASE + 26
+COL_K6C = MD_BASE + 27            # k6 = k6c + 2^10*k6b
+COL_K6B = MD_BASE + 28
+COL_DR0 = MD_BASE + 29            # 4 remainder chunks
+COL_U0 = MD_BASE + 33             # 4 chunks of u = b - 1 - r
+COL_CD0 = MD_BASE + 37            # a = pl + r lo-limb carry bit
+COL_E0 = MD_BASE + 38             # u lo-limb borrow bit
+N_COLUMNS = MD_BASE + 39
 
 # Opcodes whose result value is pinned by an AIR constraint.
 _OP_ADD, _OP_SUB, _OP_ADDI = 0x00, 0x01, 0x08
@@ -208,7 +260,14 @@ def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0) -> np.ndarray:
     if n > 0:
         sequential[-1] = False  # last committed row has no successor
     out[:, base + 5] = sequential.astype(np.uint32)
-    carry = sequential & (out[:, 0] + 4 >= (1 << 20))
+    # Non-exit ECALL rows also advance pc by 4 (vm.rs:277-279 dispatch
+    # then fall-through); their constraint reuses the carry column.
+    r10 = values[:, 10]
+    s10 = ((r10 & _M20) + ((r10 >> 20) & _M20)).astype(np.uint32)
+    ecall_adv = (op == 0x50) & (s10 != 0)
+    if n > 0:
+        ecall_adv[-1] = False
+    carry = (sequential | ecall_adv) & (out[:, 0] + 4 >= (1 << 20))
     out[:, base + 6] = carry.astype(np.uint32)
 
     # Range-check chunk columns (4 x 10-bit decomposition of deferred
@@ -414,6 +473,89 @@ def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0) -> np.ndarray:
     out[:, COL_BR0] = cy_hi & 0x3FF
     out[:, COL_BR1] = (cy_hi >> 10) & 0x1FF
     out[:, COL_X1] = out[:, COL_CB1] ^ sa
+
+    # --- Halt-chain block: exit-ECALL detection gadget ---
+    is_ecall_row = op == 0x50
+    out[:, COL_EEX] = (is_ecall_row & (s10 == 0)).astype(np.uint32)
+    out[:, COL_EINV] = np.where(is_ecall_row, _m31_inv_np(s10), 0)
+
+    # --- Multiply/divide block witnesses (layout comment at MD_BASE) ---
+    is_mulf = (op == 0x02) | (op == 0x03)
+    is_divf = (op >= 0x04) & (op <= 0x07)
+    is_md = is_mulf | is_divf
+    if np.any(is_md):
+        res64 = (out[:, N_DECODE_COLUMNS + 32].astype(np.uint64)
+                 | (out[:, N_DECODE_COLUMNS + 33].astype(np.uint64) << 20))
+        bb = np.where(b == 0, 1, b)  # div0 rows fault before committing
+        q = np.where(is_divf, a // bb, 0)
+        r = np.where(is_divf, a % bb, 0)
+        x = np.where(is_mulf, a, q)
+        y = np.where(is_md, b, 0)
+        x = np.where(is_md, x, 0)
+        xq = [((x >> np.uint64(10 * i)) & 0x3FF) for i in range(4)]
+        yq = [((y >> np.uint64(10 * i)) & 0x3FF) for i in range(4)]
+        for i in range(4):
+            out[:, COL_XQ0 + i] = xq[i].astype(np.uint32)
+            out[:, COL_YQ0 + i] = yq[i].astype(np.uint32)
+        # Column sums + carry chain: product chunks without 80-bit ints.
+        chunk = []
+        k = []
+        k_prev = np.zeros(n, dtype=np.uint64)
+        for t in range(7):
+            s_t = np.zeros(n, dtype=np.uint64)
+            for i in range(4):
+                j = t - i
+                if 0 <= j < 4:
+                    s_t += xq[i] * yq[j]
+            tot = s_t + k_prev
+            chunk.append(tot & 0x3FF)
+            k_prev = tot >> np.uint64(10)
+            k.append(k_prev)
+        # The completeness domain of the 40-bit AIR is the canonical
+        # operand view; MULH/DIV on a raw >40-bit register (only LD can
+        # produce one) is outside it — fail loudly rather than emit an
+        # unprovable matrix.
+        prod_lo = (chunk[0] | (chunk[1] << np.uint64(10))
+                   | (chunk[2] << np.uint64(20)) | (chunk[3] << np.uint64(30)))
+        prod_hi = (chunk[4] | (chunk[5] << np.uint64(10))
+                   | (chunk[6] << np.uint64(20)) | (k[6] << np.uint64(30)))
+        want = np.select(
+            [op == 0x02, op == 0x03, (op == 0x04) | (op == 0x06),
+             (op == 0x05) | (op == 0x07)],
+            [prod_lo, prod_hi, q, r], default=np.uint64(0))
+        bad = is_md & (want != res64)
+        if np.any(bad):
+            at = int(np.nonzero(bad)[0][0])
+            raise ValueError(
+                "mul/div row result disagrees with the canonical 40-bit "
+                f"operand view at trace row {at} (op {int(op[at]):#x}): "
+                "raw >40-bit operands (e.g. via LD) are outside the AIR's "
+                "completeness domain")
+        out[:, COL_K0] = np.where(is_md, k[0], 0).astype(np.uint32)
+        for idx, (cc, bits) in enumerate(
+                ((COL_K1C, 1), (COL_K2C, 2), (COL_K3C, 2), (COL_K4C, 2),
+                 (COL_K5C, 2), (COL_K6C, 1))):
+            kv = np.where(is_md, k[idx + 1], 0)
+            out[:, cc] = (kv & 0x3FF).astype(np.uint32)
+            hi_bits = kv >> np.uint64(10)
+            out[:, cc + 1] = (hi_bits & 1).astype(np.uint32)
+            if bits == 2:
+                out[:, cc + 2] = (hi_bits >> np.uint64(1)).astype(np.uint32)
+        need_pl = (op == 0x03) | is_divf
+        for i in range(4):
+            out[:, COL_PL0 + i] = np.where(need_pl, chunk[i], 0) \
+                .astype(np.uint32)
+            out[:, COL_DR0 + i] = np.where(
+                is_divf, (r >> np.uint64(10 * i)) & 0x3FF, 0).astype(np.uint32)
+        # u = b - 1 - r with lo-limb borrow e0; cd0 = (pl_lo + r_lo) >> 20.
+        u = np.where(is_divf, bb - 1 - r, 0)
+        for i in range(4):
+            out[:, COL_U0 + i] = ((u >> np.uint64(10 * i)) & 0x3FF) \
+                .astype(np.uint32)
+        e0 = is_divf & ((bb & _M20) < (r & _M20) + 1)
+        out[:, COL_E0] = e0.astype(np.uint32)
+        cd0 = is_divf & ((prod_lo & _M20) + (r & _M20) >= (1 << 20))
+        out[:, COL_CD0] = cd0.astype(np.uint32)
     return out
 
 
