@@ -56,10 +56,25 @@ is a polynomial of degree < 2n iff every constraint holds (degree <= 3
 constraints with blowup 4); it is committed in two degree-< n chunks and
 batched into FRI alongside the trace columns.
 
-(The is_seq selector is additionally bound to the opcode by the 5th
-LogUp channel when range_lookup is on.  Remaining gaps: linking ALU
-result values and memory-consistency arguments — see
-IMPLEMENTATION_STATUS.md.)
+The is_seq selector is additionally bound to the opcode by the 5th
+LogUp channel when range_lookup is on.
+
+Op-semantics coverage (every pin on canonical 40-bit operand views):
+ADD/SUB/ADDI/JAL/JALR carry-chain pins; MUL/MULH/DIV/DIVU/REM/REMU via
+the shared 10-bit-chunk multiplier (a = q*b + r, r < b); compare family,
+branch conditions, and CMOV via the borrow/equality/sign gadgets;
+AND/OR/XOR(+I) via the challenge-compressed AND-chunk table
+(aux_table.py) with OR/XOR as carry-free linear identities; SLL/SRL/SRA
+(+I) via the shift-power table riding the same multiplier (SLL = low
+product, SRL/SRA = division by 2^s, SRA through the complement trick);
+LD/SD plus the sorted-table memory-consistency argument; halt chaining.
+Remaining gaps (see IMPLEMENTATION_STATUS.md): sub-word memory
+cross-row consistency, data-segment initial values, I/O tape binding.
+
+Constraints are written ONCE against the algebra interface (VecAlg /
+ScalarAlg below) and evaluated both vectorized over the LDE domain
+(prover) and scalar at opened points (verifier), so the two sides can
+never drift.
 
 Evaluation runs on the *coset* LDE so Z_H is invertible at every committed
 point.
@@ -152,6 +167,12 @@ from .trace import (COL_AR0, COL_AR1, COL_BR0, COL_BR1, COL_CB0,  # noqa: E402
                     COL_K4C, COL_K5C, COL_K6C, COL_PL0, COL_SA, COL_SB,
                     COL_U0, COL_VA_HI, COL_VA_LO, COL_VB_HI, COL_VB_LO,
                     COL_VG_HI, COL_VG_LO, COL_X1, COL_XQ0, COL_YQ0)
+from .trace import (COL_LG_A0, COL_LG_B0, COL_LG_C0, COL_LG_C_HI,  # noqa: E402
+                    COL_LG_C_LO, COL_SH_D0, COL_SH_PM, COL_SH_S,
+                    COL_SH_SEFF, COL_SH_SHQ, COL_SH_SHQC0, COL_SH_SHQC1,
+                    COL_SH_XD_HI, COL_SH_XD_LO, COL_SH_Z, COL_SH_ZINV,
+                    COL_SW_MH0, COL_SW_MH1)
+from .aux_table import AUX_AND_BASE, AUX_SHIFT_BASE  # noqa: E402
 COMPARE_OPS = tuple(range(0x20, 0x26))   # SLTU SGEU SLT SGE SEQ SNE
 CMOV_OPS = (0x26, 0x27, 0x28)            # CMOV CMOVZ CMOVNZ
 M_ADDR_LO = M_BASE
@@ -248,9 +269,54 @@ CHANNELS = (
     ("u1", 0, ((COL_U0 + 1, 1),)),
     ("u2", 0, ((COL_U0 + 2, 1),)),
     ("u3", 0, ((COL_U0 + 3, 1),)),
+    # Shift block: shq = shqc0 + 2^10 shqc1 < 2^20 makes the masking
+    # decomposition src = s + 64 shq unique; 16*s < 2^10 forces the raw
+    # amount below 64.
+    ("shqc0", 0, ((COL_SH_SHQC0, 1),)),
+    ("shqc1", 0, ((COL_SH_SHQC1, 1),)),
+    ("sh_s", 0, ((COL_SH_S, 16),)),
+    # SW truncation: mval_hi = swh0 + 2^10 swh1 < 2^12.
+    ("sw_mh0", 0, ((COL_SW_MH0, 1),)),
+    ("sw_mh1", 0, ((COL_SW_MH1, 256),)),
 )
 NUM_LOOKUP = len(CHANNELS)
-COL_PROG_M = COL_MULT0 + NUM_LOOKUP
+COL_AUXM0 = COL_MULT0 + NUM_LOOKUP
+
+# ----------------------------------------------------------------------
+# Challenge-compressed aux-table channels (prover/aux_table.py).  Each
+# channel looks up a COMPONENT TRIPLE: the witness triple (w0, w1, w2)
+# — every wj an affine combination of trace columns — is compressed as
+# w0 + eta*w1 + eta^2*w2 and must be a member (LogUp, shared beta) of
+# the similarly compressed preprocessed table triple.  eta is drawn
+# after the phase-1 commitment, so matching compressed values forces
+# component-wise equality (Schwartz–Zippel over CM31); the chunks need
+# no separate range checks.
+#
+# Spec per channel: (name, (w0_terms, w1_terms, w2_terms), table_base,
+# index_terms) where index_terms give the table ROW each honest lookup
+# hits (for the multiplicity histogram).
+#
+#   and0..7   (a_k, b_k, a_k & b_k) 5-bit chunk triples of the logical
+#             family; non-logic rows hold (0, 0, 0) = AND-table row 0
+#   shift     (s_eff, d, pm): the shift power decomposition; non-shift
+#             rows hold (0, 0, 1) = shift-table row 0
+# ----------------------------------------------------------------------
+AUX_CHANNELS = tuple(
+    (f"and{k}",
+     (((COL_LG_A0 + k, 1),), ((COL_LG_B0 + k, 1),), ((COL_LG_C0 + k, 1),)),
+     AUX_AND_BASE,
+     ((COL_LG_A0 + k, 1), (COL_LG_B0 + k, 32)))
+    for k in range(8)
+) + (
+    ("shift",
+     (((COL_SH_SEFF, 1),),
+      tuple((COL_SH_D0 + j, j) for j in range(1, 5)),
+      ((COL_SH_PM, 1),)),
+     AUX_SHIFT_BASE,
+     ((COL_SH_SEFF, 1),)),
+)
+NUM_AUX = len(AUX_CHANNELS)
+COL_PROG_M = COL_AUXM0 + NUM_AUX
 
 # Program-binding tuple compression: with a transcript challenge gamma,
 #     w_row = pc_lo + g*pc_hi + g^2*(op + 2^7 rd + 2^11 rs1) + g^3*imm
@@ -260,11 +326,6 @@ COL_PROG_M = COL_MULT0 + NUM_LOOKUP
 # Every executed row is therefore a real (pc, instruction) pair of the
 # program; padding rows consume the dedicated (0, 0, EBREAK, 0) entry.
 PROG_F_TERMS = ((COL_OPCODE, 1), (COL_RD, 1 << 7), (COL_RS1, 1 << 11))
-
-NUM_SINGLE = 4 + N_OPS + 2 + 16 + 2 + 36 + 3 + 4 + 8 + 4 + 13 + 42 + 3 + 39
-NUM_TRANS = 2 + 30 + 30 + 6 + 4
-NUM_FIRST = 30           # boundary: registers start zeroed
-NUM_CONSTRAINTS = NUM_SINGLE + NUM_TRANS + NUM_FIRST
 
 # The is_seq selector is DERIVED from the opcode by the 5th lookup channel:
 # with banked opcode numbering, sequential ops are exactly op < 0x40, so
@@ -286,497 +347,6 @@ def _cm31_inv_vec(a: Tuple[jnp.ndarray, jnp.ndarray]):
 def _scalar_vec(value: Tuple[int, int], n: int):
     return (jnp.full(n, value[0], dtype=jnp.uint32),
             jnp.full(n, value[1], dtype=jnp.uint32))
-
-
-def constraint_evals(ext_r, ext_i, log_n: int, log_blowup: int):
-    """Evaluate every constraint on the LDE domain.
-
-    ext_r/ext_i: uint32 [n_cols, N].  Returns a list of CM31 vectors,
-    singles first then transitions.
-    """
-    blowup = 1 << log_blowup
-
-    def col(c):
-        return (ext_r[c], ext_i[c])
-
-    def nxt(c):
-        return (jnp.roll(ext_r[c], -blowup), jnp.roll(ext_i[c], -blowup))
-
-    big = ext_r.shape[1]
-    one = _scalar_vec((1, 0), big)
-    four = _scalar_vec((4, 0), big)
-    two20 = _scalar_vec((1 << 20, 0), big)
-
-    s_seq = col(COL_IS_SEQ)
-    carry = col(COL_PC_CARRY)
-
-    singles = [
-        col(COL_R0_LIMB0),
-        col(COL_R0_LIMB1),
-        cm31_mul(s_seq, cm31_sub(s_seq, one)),
-        cm31_mul(carry, cm31_sub(carry, one)),
-    ]
-
-    # Opcode one-hot decode binding: booleans, sum to 1, weighted sum
-    # equals the opcode column (=> opcode is one of the 50 valid codes).
-    sel = [col(COL_SEL0 + j) for j in range(N_OPS)]
-    for s in sel:
-        singles.append(cm31_mul(s, cm31_sub(s, one)))
-    sel_sum = sel[0]
-    op_sum = cm31_mul(sel[0], _scalar_vec((OP_VALUES[0], 0), big))
-    for j in range(1, N_OPS):
-        sel_sum = cm31_add(sel_sum, sel[j])
-        op_sum = cm31_add(op_sum, cm31_mul(
-            sel[j], _scalar_vec((OP_VALUES[j], 0), big)))
-    singles.append(cm31_sub(sel_sum, one))
-    singles.append(cm31_sub(op_sum, col(COL_OPCODE)))
-
-    # rd / rs1 / rs2 one-hot bindings.
-    def onehot_block(base, field_col):
-        blk = [col(base + i) for i in range(16)]
-        for bi in blk:
-            singles.append(cm31_mul(bi, cm31_sub(bi, one)))
-        b_sum = blk[0]
-        f_sum = _scalar_vec((0, 0), big)
-        for i in range(1, 16):
-            b_sum = cm31_add(b_sum, blk[i])
-            f_sum = cm31_add(f_sum, cm31_mul(blk[i], _scalar_vec((i, 0), big)))
-        singles.append(cm31_sub(b_sum, one))
-        singles.append(cm31_sub(f_sum, col(field_col)))
-        return blk
-
-    e = onehot_block(COL_RD1H0, COL_RD)
-    e1 = onehot_block(COL_RS1H0, COL_RS1)
-    e2 = onehot_block(COL_RS2H0, COL_RS2)
-
-    # Booleans: carries and the immediate sign bit.
-    c0 = col(COL_CARRY0)
-    c1 = col(COL_CARRY1)
-    s_imm = col(COL_IMM_S)
-    for bcol in (c0, c1, s_imm):
-        singles.append(cm31_mul(bcol, cm31_sub(bcol, one)))
-
-    # Immediate decomposition: imm = q0 + 2^10 q1 + 2^16 s, q0 = rs2 + 16 q0hi
-    # (chunk ranges enforced by the lookup channels).
-    q0 = col(COL_IMM_Q0)
-    singles.append(cm31_sub(
-        col(COL_IMM_LO),
-        cm31_add(cm31_add(q0, cm31_mul(col(COL_IMM_Q1),
-                                       _scalar_vec((1 << 10, 0), big))),
-                 cm31_mul(s_imm, _scalar_vec((1 << 16, 0), big)))))
-    singles.append(cm31_sub(
-        q0, cm31_add(col(COL_RS2), cm31_mul(col(COL_IMM_Q0HI),
-                                            _scalar_vec((16, 0), big)))))
-
-    # Result limb decomposition: res = ch0 + 2^10 ch1 per limb.
-    res_lo = col(COL_RES_LO)
-    res_hi = col(COL_RES_HI)
-    for res, c_base in ((res_lo, COL_RES_CH0), (res_hi, COL_RES_CH0 + 2)):
-        singles.append(cm31_sub(
-            res, cm31_add(col(c_base), cm31_mul(
-                col(c_base + 1), _scalar_vec((1 << 10, 0), big)))))
-
-    # Operand values via one-hot inner product over the register file
-    # (degree 2; this row's committed registers are the pre-state).
-    def operand(blk, base):
-        acc = cm31_mul(blk[0], col(base))
-        for i in range(1, 16):
-            acc = cm31_add(acc, cm31_mul(blk[i], col(base + i)))
-        return acc
-
-    a_lo, a_hi = operand(e1, COL_REG_LO), operand(e1, COL_REG_HI)
-    b_lo, b_hi = operand(e2, COL_REG_LO), operand(e2, COL_REG_HI)
-
-    # Op-specific result pins (degree 3): res = a OP b mod 2^40 with
-    # carry/borrow bits; see module docstring for the integer-range
-    # soundness argument.
-    sel_by = {v: sel[j] for j, v in enumerate(OP_VALUES)}
-    two17 = (1 << 20) - (1 << 17)
-
-    def pin(selector, lo_expr, hi_expr):
-        singles.append(cm31_mul(selector, lo_expr))
-        singles.append(cm31_mul(selector, hi_expr))
-
-    c0_sh = cm31_mul(c0, two20)
-    c1_sh = cm31_mul(c1, two20)
-    # ADD: a + b = res + 2^20 c0 (lo); a_hi + b_hi + c0 = res_hi + 2^20 c1.
-    pin(sel_by[0x00],
-        cm31_sub(cm31_add(a_lo, b_lo), cm31_add(res_lo, c0_sh)),
-        cm31_sub(cm31_add(cm31_add(a_hi, b_hi), c0),
-                 cm31_add(res_hi, c1_sh)))
-    # SUB: a - b = res - 2^20 c0 (borrow).
-    pin(sel_by[0x01],
-        cm31_sub(cm31_add(a_lo, c0_sh), cm31_add(b_lo, res_lo)),
-        cm31_sub(cm31_add(a_hi, c1_sh),
-                 cm31_add(cm31_add(b_hi, c0), res_hi)))
-    # ADDI: b = sext17(imm) with limbs (imm + s*(2^20 - 2^17), s*(2^20-1)).
-    i_lo = cm31_add(col(COL_IMM_LO),
-                    cm31_mul(s_imm, _scalar_vec((two17, 0), big)))
-    i_hi = cm31_mul(s_imm, _scalar_vec(((1 << 20) - 1, 0), big))
-    pin(sel_by[0x08],
-        cm31_sub(cm31_add(a_lo, i_lo), cm31_add(res_lo, c0_sh)),
-        cm31_sub(cm31_add(cm31_add(a_hi, i_hi), c0),
-                 cm31_add(res_hi, c1_sh)))
-    # JAL/JALR: rd = pc + 4 mod 2^40.
-    sel_jump = cm31_add(sel_by[0x48], sel_by[0x49])
-    pin(sel_jump,
-        cm31_sub(cm31_add(col(COL_PC_LO), four), cm31_add(res_lo, c0_sh)),
-        cm31_sub(cm31_add(col(COL_PC_HI), c0), cm31_add(res_hi, c1_sh)))
-
-    # Control-flow witness booleans; the target lo carry c2 is in
-    # {0, 1, 2} (JAL's 21-bit offset can carry 2 out of the low limb).
-    taken = col(COL_TAKEN)
-    c2 = col(COL_CARRY2)
-    c3 = col(COL_CARRY3)
-    b_lsb = col(COL_BLSB)
-    for bcol in (taken, c3, b_lsb):
-        singles.append(cm31_mul(bcol, cm31_sub(bcol, one)))
-    singles.append(cm31_mul(cm31_mul(c2, cm31_sub(c2, one)),
-                            cm31_sub(c2, _scalar_vec((2, 0), big))))
-
-    # --- Memory-op binding ---
-    # flags = is_mem + 2*is_store + 4*width, all selector-derived.
-    def selsum(ops):
-        acc = None
-        for v in ops:
-            acc = sel_by[v] if acc is None else cm31_add(acc, sel_by[v])
-        return acc
-
-    sel_loads = selsum(LOAD_OPS)
-    sel_stores = selsum(STORE_OPS)
-    flags_expr = cm31_add(sel_loads, cm31_mul(sel_stores,
-                                              _scalar_vec((3, 0), big)))
-    for v, width in MEM_WIDTHS.items():
-        flags_expr = cm31_add(flags_expr, cm31_mul(
-            sel_by[v], _scalar_vec((4 * width, 0), big)))
-    singles.append(cm31_sub(col(COL_MEM_FLAGS), flags_expr))
-
-    # Address-limb decomposition (unique encoding below 2^20).
-    maddr_lo = col(COL_MEM_ADDR_LO)
-    maddr_hi = col(COL_MEM_ADDR_HI)
-    for limb, c_base in ((maddr_lo, COL_MADDR_CH0),
-                         (maddr_hi, COL_MADDR_CH0 + 2)):
-        singles.append(cm31_sub(
-            limb, cm31_add(col(c_base), cm31_mul(
-                col(c_base + 1), _scalar_vec((1 << 10, 0), big)))))
-
-    # Address pin: maddr = base + sext17(imm) mod 2^40.  Loads (I-type)
-    # read the base through rs1; stores (S-type) through the rd bitfield.
-    g_lo, g_hi = operand(e, COL_REG_LO), operand(e, COL_REG_HI)
-    c2_sh = cm31_mul(c2, two20)
-    c3_sh = cm31_mul(c3, two20)
-    for sel_m, base_lo, base_hi in ((sel_loads, a_lo, a_hi),
-                                    (sel_stores, g_lo, g_hi)):
-        singles.append(cm31_mul(sel_m, cm31_add(
-            cm31_sub(cm31_sub(maddr_lo, base_lo), i_lo), c2_sh)))
-        singles.append(cm31_mul(sel_m, cm31_add(
-            cm31_sub(cm31_sub(cm31_sub(maddr_hi, base_hi), i_hi), c2),
-            c3_sh)))
-
-    # Value pins.  Zero-extending loads: res == mval (the loaded value is
-    # what lands in rd).  SD stores the full 40-bit a operand; SW stores
-    # a mod 2^32 (truncation witness tw).  LB/LH (sign-extend) and SB/SH
-    # value links remain documented gaps.
-    mval_lo = col(COL_MEM_VAL_LO)
-    mval_hi = col(COL_MEM_VAL_HI)
-    sel_zl = selsum(ZEXT_LOAD_OPS)
-    singles.append(cm31_mul(sel_zl, cm31_sub(res_lo, mval_lo)))
-    singles.append(cm31_mul(sel_zl, cm31_sub(res_hi, mval_hi)))
-    singles.append(cm31_mul(sel_by[0x3B], cm31_sub(a_lo, mval_lo)))
-    singles.append(cm31_mul(sel_by[0x3B], cm31_sub(a_hi, mval_hi)))
-    singles.append(cm31_mul(sel_by[0x3A], cm31_sub(a_lo, mval_lo)))
-    singles.append(cm31_mul(sel_by[0x3A], cm31_sub(
-        a_hi, cm31_add(mval_hi, cm31_mul(col(COL_SW_TW),
-                                         _scalar_vec((1 << 12, 0), big))))))
-
-    # --- Compare / branch-condition / cmov block ---
-    # Committed operand views (degree-1 handles on the inner products).
-    va_lo, va_hi = col(COL_VA_LO), col(COL_VA_HI)
-    vb_lo, vb_hi = col(COL_VB_LO), col(COL_VB_HI)
-    vg_lo, vg_hi = col(COL_VG_LO), col(COL_VG_HI)
-    for vcol, expr in ((va_lo, a_lo), (va_hi, a_hi), (vb_lo, b_lo),
-                       (vb_hi, b_hi), (vg_lo, g_lo), (vg_hi, g_hi)):
-        singles.append(cm31_sub(vcol, expr))
-    cu_lo, cu_hi = col(COL_CU_LO), col(COL_CU_HI)
-    cb0, cb1 = col(COL_CB0), col(COL_CB1)
-    cinv, ceq = col(COL_CINV), col(COL_CEQ)
-    sa, sb = col(COL_SA), col(COL_SB)
-    x1 = col(COL_X1)
-    for bcol in (cb0, cb1, sa, sb):
-        singles.append(cm31_mul(bcol, cm31_sub(bcol, one)))
-    # cu chunk decomposition (unique below 2^20).
-    for limb, c_base in ((cu_lo, COL_CCH0), (cu_hi, COL_CCH0 + 2)):
-        singles.append(cm31_sub(
-            limb, cm31_add(col(c_base), cm31_mul(
-                col(c_base + 1), _scalar_vec((1 << 10, 0), big)))))
-    # Equality gadget on s = cu_lo + cu_hi (< 2^21 < p, so s = 0 iff both
-    # limbs are 0 iff the 40-bit difference is 0): ceq = 1 - s*cinv and
-    # ceq*s = 0 force ceq = [cu == 0].
-    s_eq = cm31_add(cu_lo, cu_hi)
-    singles.append(cm31_sub(cm31_add(ceq, cm31_mul(s_eq, cinv)), one))
-    singles.append(cm31_mul(ceq, s_eq))
-    # x1 = cb1 XOR sa; lt_signed = x1 XOR sb (sign-XOR trick,
-    # value.rs:710-716: flip the unsigned borrow when the signs differ).
-    two = _scalar_vec((2, 0), big)
-    singles.append(cm31_sub(
-        x1, cm31_sub(cm31_add(cb1, sa),
-                     cm31_mul(two, cm31_mul(cb1, sa)))))
-    lts = cm31_sub(cm31_add(x1, sb),
-                   cm31_mul(two, cm31_mul(x1, sb)))
-    # cu pins: cu = x - y mod 2^40 in borrow form, where the compare
-    # operands (x, y) are (a, b) for the compare family and
-    # (rd-field, rs1-field) for branches (B-type bitfield quirk,
-    # encoding.rs:142-159); cmov rows pin cu = b (so ceq = [b == 0], the
-    # cmov condition).  Sign decompositions x_hi/y_hi = r0 + 2^10 r1 +
-    # 2^19 s (chunk ranges by the lookup channels) extract bit 39.
-    sel_cmp = selsum(COMPARE_OPS)
-    sel_brf = selsum(BRANCH_OPS)
-    sel_cmovf = selsum(CMOV_OPS)
-    cb0_sh = cm31_mul(cb0, two20)
-    cb1_sh = cm31_mul(cb1, two20)
-    sign_dec_a = cm31_add(cm31_add(
-        col(COL_AR0), cm31_mul(col(COL_AR1),
-                               _scalar_vec((1 << 10, 0), big))),
-        cm31_mul(sa, _scalar_vec((1 << 19, 0), big)))
-    sign_dec_b = cm31_add(cm31_add(
-        col(COL_BR0), cm31_mul(col(COL_BR1),
-                               _scalar_vec((1 << 10, 0), big))),
-        cm31_mul(sb, _scalar_vec((1 << 19, 0), big)))
-    for sel_f, x_lo, x_hi, y_lo, y_hi in (
-            (sel_cmp, va_lo, va_hi, vb_lo, vb_hi),
-            (sel_brf, vg_lo, vg_hi, va_lo, va_hi)):
-        singles.append(cm31_mul(sel_f, cm31_add(
-            cm31_sub(cm31_sub(x_lo, y_lo), cu_lo), cb0_sh)))
-        singles.append(cm31_mul(sel_f, cm31_add(
-            cm31_sub(cm31_sub(cm31_sub(x_hi, y_hi), cb0), cu_hi),
-            cb1_sh)))
-        singles.append(cm31_mul(sel_f, cm31_sub(x_hi, sign_dec_a)))
-        singles.append(cm31_mul(sel_f, cm31_sub(y_hi, sign_dec_b)))
-    singles.append(cm31_mul(sel_cmovf, cm31_sub(cu_lo, vb_lo)))
-    singles.append(cm31_mul(sel_cmovf, cm31_sub(cu_hi, vb_hi)))
-    # Compare-family result pins: res in {0,1} per the op's predicate
-    # (cb1 = unsigned lt, lts = signed lt, ceq = equal).
-    singles.append(cm31_mul(sel_cmp, res_hi))
-    for v, pred, neg in ((0x20, cb1, False), (0x21, cb1, True),
-                         (0x22, lts, False), (0x23, lts, True),
-                         (0x24, ceq, False), (0x25, ceq, True)):
-        want = cm31_sub(one, pred) if neg else pred
-        singles.append(cm31_mul(sel_by[v], cm31_sub(res_lo, want)))
-    # Branch taken bit DERIVED from the operands (closes control flow:
-    # the pc-target transitions consume this bit).
-    for v, pred, neg in ((0x40, ceq, False), (0x41, ceq, True),
-                         (0x42, lts, False), (0x43, lts, True),
-                         (0x44, cb1, False), (0x45, cb1, True)):
-        want = cm31_sub(one, pred) if neg else pred
-        singles.append(cm31_mul(sel_by[v], cm31_sub(taken, want)))
-    # CMOV result pins: res = cond ? a : rd_old with cond = [b != 0]
-    # (CMOV/CMOVNZ) or [b == 0] (CMOVZ).  A false condition writes
-    # rd_old, matching the no-write semantics (execute.rs:434-474).
-    sel_nz = cm31_add(sel_by[0x26], sel_by[0x28])
-    nceq = cm31_sub(one, ceq)
-    for selc, cond in ((sel_nz, nceq), (sel_by[0x27], ceq)):
-        ncond = cm31_sub(one, cond)
-        singles.append(cm31_mul(selc, cm31_sub(
-            res_lo, cm31_add(cm31_mul(cond, va_lo),
-                             cm31_mul(ncond, vg_lo)))))
-        singles.append(cm31_mul(selc, cm31_sub(
-            res_hi, cm31_add(cm31_mul(cond, va_hi),
-                             cm31_mul(ncond, vg_hi)))))
-
-    # --- Halt-chain block: exit-ECALL detection gadget ---
-    # s10 = r10_lo + r10_hi (< 2^21 < p, zero iff r10 == 0); on ECALL rows
-    # eex = [s10 == 0] via eex + s10*einv = 1 and eex*s10 = 0.
-    eex = col(COL_EEX)
-    einv = col(COL_EINV)
-    s10 = cm31_add(col(COL_REG_LO + 10), col(COL_REG_HI + 10))
-    sel_ec = sel_by[0x50]
-    sel_eb = sel_by[0x51]
-    singles.append(cm31_mul(eex, cm31_sub(eex, one)))
-    singles.append(cm31_mul(sel_ec, cm31_sub(
-        cm31_add(eex, cm31_mul(s10, einv)), one)))
-    singles.append(cm31_mul(sel_ec, cm31_mul(eex, s10)))
-
-    # --- Multiply/divide block (layout comment in trace.py at MD_BASE) ---
-    two10 = _scalar_vec((1 << 10, 0), big)
-    sel_mul, sel_mulh = sel_by[0x02], sel_by[0x03]
-    sel_divf = selsum((0x04, 0x05, 0x06, 0x07))
-    sel_mulf = cm31_add(sel_mul, sel_mulh)
-    sel_md = cm31_add(sel_mulf, sel_divf)
-    xq = [col(COL_XQ0 + i) for i in range(4)]
-    yq = [col(COL_YQ0 + i) for i in range(4)]
-    pl = [col(COL_PL0 + i) for i in range(4)]
-    dr = [col(COL_DR0 + i) for i in range(4)]
-    uc = [col(COL_U0 + i) for i in range(4)]
-
-    def comb2(c0v, c1v):
-        return cm31_add(c0v, cm31_mul(c1v, two10))
-
-    xq_lo, xq_hi = comb2(xq[0], xq[1]), comb2(xq[2], xq[3])
-    yq_lo, yq_hi = comb2(yq[0], yq[1]), comb2(yq[2], yq[3])
-    dr_lo, dr_hi = comb2(dr[0], dr[1]), comb2(dr[2], dr[3])
-    pl_lo, pl_hi = comb2(pl[0], pl[1]), comb2(pl[2], pl[3])
-    u_lo, u_hi = comb2(uc[0], uc[1]), comb2(uc[2], uc[3])
-    # Operand bindings: x = a on MUL/MULH rows, x = res (the quotient) on
-    # DIV/DIVU rows (REM/REMU leave x a free 40-bit witness); y = b on
-    # every mul/div row; res = r on REM/REMU rows.
-    singles.append(cm31_mul(sel_mulf, cm31_sub(va_lo, xq_lo)))
-    singles.append(cm31_mul(sel_mulf, cm31_sub(va_hi, xq_hi)))
-    singles.append(cm31_mul(sel_md, cm31_sub(vb_lo, yq_lo)))
-    singles.append(cm31_mul(sel_md, cm31_sub(vb_hi, yq_hi)))
-    sel_qres = cm31_add(sel_by[0x04], sel_by[0x06])
-    singles.append(cm31_mul(sel_qres, cm31_sub(res_lo, xq_lo)))
-    singles.append(cm31_mul(sel_qres, cm31_sub(res_hi, xq_hi)))
-    sel_rres = cm31_add(sel_by[0x05], sel_by[0x07])
-    singles.append(cm31_mul(sel_rres, cm31_sub(res_lo, dr_lo)))
-    singles.append(cm31_mul(sel_rres, cm31_sub(res_hi, dr_hi)))
-    # Carry reconstructions (k0 a bare chunk; k1/k6 chunk + 1 bit;
-    # k2..k5 chunk + 2 bits) with bit boolean constraints.
-    kvals = [col(COL_K0)]
-    for cc, bits in ((COL_K1C, 1), (COL_K2C, 2), (COL_K3C, 2),
-                     (COL_K4C, 2), (COL_K5C, 2), (COL_K6C, 1)):
-        b0v = col(cc + 1)
-        singles.append(cm31_mul(b0v, cm31_sub(b0v, one)))
-        hi_part = b0v
-        if bits == 2:
-            b1v = col(cc + 2)
-            singles.append(cm31_mul(b1v, cm31_sub(b1v, one)))
-            hi_part = cm31_add(b0v, cm31_mul(b1v, _scalar_vec((2, 0), big)))
-        kvals.append(cm31_add(col(cc), cm31_mul(hi_part, two10)))
-    # Column sums s_t = sum_{i+j=t} xq_i * yq_j (degree 2).
-    s_sums = []
-    for t in range(7):
-        acc = None
-        for i in range(4):
-            j = t - i
-            if 0 <= j < 4:
-                term = cm31_mul(xq[i], yq[j])
-                acc = term if acc is None else cm31_add(acc, term)
-        s_sums.append(acc)
-    res_ch = [col(COL_RES_CH0 + i) for i in range(4)]
-    # Low chain (stages 0..3): result chunks on MUL rows; pl chunks on
-    # MULH/DIV rows.  Every term < 2^23 << p: field identity == integers.
-    sel_plchain = cm31_add(sel_mulh, sel_divf)
-    for t in range(4):
-        base_e = s_sums[t] if t == 0 else cm31_add(s_sums[t], kvals[t - 1])
-        k_sh = cm31_mul(kvals[t], two10)
-        singles.append(cm31_mul(sel_mul, cm31_sub(
-            base_e, cm31_add(res_ch[t], k_sh))))
-        singles.append(cm31_mul(sel_plchain, cm31_sub(
-            base_e, cm31_add(pl[t], k_sh))))
-    # MULH high chain (stages 4..6 -> res chunks 0..2; chunk 7 = k6).
-    for t in range(4, 7):
-        base_e = cm31_add(s_sums[t], kvals[t - 1])
-        singles.append(cm31_mul(sel_mulh, cm31_sub(
-            base_e, cm31_add(res_ch[t - 4], cm31_mul(kvals[t], two10)))))
-    singles.append(cm31_mul(sel_mulh, cm31_sub(res_ch[3], kvals[6])))
-    # Division: q*b < 2^40 (high stages vanish), a = q*b + r exactly,
-    # and r < b via u = b - 1 - r >= 0.
-    singles.append(cm31_mul(sel_divf, cm31_add(s_sums[4], kvals[3])))
-    singles.append(cm31_mul(sel_divf, s_sums[5]))
-    singles.append(cm31_mul(sel_divf, s_sums[6]))
-    cd0, e0 = col(COL_CD0), col(COL_E0)
-    singles.append(cm31_mul(cd0, cm31_sub(cd0, one)))
-    singles.append(cm31_mul(e0, cm31_sub(e0, one)))
-    singles.append(cm31_mul(sel_divf, cm31_sub(
-        cm31_add(pl_lo, dr_lo), cm31_add(va_lo, cm31_mul(cd0, two20)))))
-    singles.append(cm31_mul(sel_divf, cm31_sub(
-        cm31_add(cm31_add(pl_hi, dr_hi), cd0), va_hi)))
-    singles.append(cm31_mul(sel_divf, cm31_sub(
-        cm31_add(cm31_add(u_lo, one), dr_lo),
-        cm31_add(vb_lo, cm31_mul(e0, two20)))))
-    singles.append(cm31_mul(sel_divf, cm31_sub(
-        cm31_add(cm31_add(u_hi, dr_hi), e0), vb_hi)))
-
-    pc_lo, pc_hi = col(COL_PC_LO), col(COL_PC_HI)
-    pc_lo_n, pc_hi_n = nxt(COL_PC_LO), nxt(COL_PC_HI)
-    t1_inner = cm31_add(
-        cm31_sub(cm31_sub(pc_lo_n, pc_lo), four),
-        cm31_mul(carry, two20),
-    )
-    t2_inner = cm31_sub(cm31_sub(pc_hi_n, pc_hi), carry)
-    transitions = [
-        cm31_mul(s_seq, t1_inner),
-        cm31_mul(s_seq, t2_inner),
-    ]
-
-    # Register-file write consistency: register r may change into the next
-    # row only if this row writes it (w * e_r, both one-hot-derived) or is
-    # an ECALL writing R10 (the syscall result register, syscall.rs:94-97;
-    # READ results, status codes — crypto syscalls write memory and an R14
-    # *bound*, never an R14 value).  Degree 3.
-    w = None
-    for j, v in enumerate(OP_VALUES):
-        if v in WRITING_OPS:
-            w = sel[j] if w is None else cm31_add(w, sel[j])
-    sel_ecall = sel[OP_VALUES.index(OP_ECALL)]
-    for r in range(1, 16):
-        allow = cm31_mul(w, e[r])
-        if r == 10:
-            allow = cm31_add(allow, sel_ecall)
-        factor = cm31_sub(one, allow)
-        for base in (COL_REG_LO, COL_REG_HI):
-            delta = cm31_sub(nxt(base + r), col(base + r))
-            transitions.append(cm31_mul(factor, delta))
-
-    # Result binding: on a writing row the destination register's next-row
-    # value must equal the committed result limbs (degree 3).  Together
-    # with the op-specific pins above this links e.g. ADD's written value
-    # to rs1 + rs2.
-    for r in range(1, 16):
-        we = cm31_mul(w, e[r])
-        transitions.append(cm31_mul(we, cm31_sub(nxt(COL_REG_LO + r),
-                                                 res_lo)))
-        transitions.append(cm31_mul(we, cm31_sub(nxt(COL_REG_HI + r),
-                                                 res_hi)))
-
-    # Branch/jump pc-target semantics (trace.py control-flow block).
-    # The next row's pc limbs are table-range-bound via program binding.
-    sel_br = None
-    for v in BRANCH_OPS:
-        sel_br = sel_by[v] if sel_br is None else cm31_add(sel_br, sel_by[v])
-    c2_sh = cm31_mul(c2, two20)
-    c3_sh = cm31_mul(c3, two20)
-    d_lo = cm31_add(cm31_mul(taken, i_lo),
-                    cm31_mul(cm31_sub(one, taken), four))
-    transitions.append(cm31_mul(sel_br, cm31_add(
-        cm31_sub(cm31_sub(nxt(COL_PC_LO), pc_lo), d_lo), c2_sh)))
-    transitions.append(cm31_mul(sel_br, cm31_add(
-        cm31_sub(cm31_sub(cm31_sub(nxt(COL_PC_HI), pc_hi),
-                          cm31_mul(taken, i_hi)), c2), c3_sh)))
-    # JAL: pc' = pc + sext21(16*imm + rs1); sign bit of the 21-bit offset
-    # is word bit 31 = imm_s; (2^40 - 2^21) has limbs (0, 0xFFFFE).
-    jal_off = cm31_add(cm31_mul(col(COL_IMM_LO), _scalar_vec((16, 0), big)),
-                       col(COL_RS1))
-    transitions.append(cm31_mul(sel_by[0x48], cm31_add(
-        cm31_sub(cm31_sub(nxt(COL_PC_LO), pc_lo), jal_off), c2_sh)))
-    transitions.append(cm31_mul(sel_by[0x48], cm31_add(
-        cm31_sub(cm31_sub(cm31_sub(nxt(COL_PC_HI), pc_hi),
-                          cm31_mul(s_imm, _scalar_vec((0xFFFFE, 0), big))),
-                 c2), c3_sh)))
-    # JALR: pc' = (rs1_val + sext17(imm)) & ~1.
-    transitions.append(cm31_mul(sel_by[0x49], cm31_add(cm31_add(
-        cm31_sub(cm31_sub(nxt(COL_PC_LO), a_lo), i_lo), b_lsb), c2_sh)))
-    transitions.append(cm31_mul(sel_by[0x49], cm31_add(
-        cm31_sub(cm31_sub(cm31_sub(nxt(COL_PC_HI), a_hi), i_hi), c2),
-        c3_sh)))
-
-    # Halt chain: a halted machine keeps halting.  An EBREAK row's
-    # successor must be an EBREAK row (prevents "resuming" after a halt
-    # at an arbitrary pc with registers preserved); an exit-ECALL row's
-    # successor likewise; a non-exit ECALL advances pc by exactly 4
-    # (vm.rs:277-279), reusing the carry column (free on non-seq rows).
-    sel_eb_next = nxt(COL_SEL0 + OP_VALUES.index(0x51))
-    transitions.append(cm31_mul(sel_eb, cm31_sub(one, sel_eb_next)))
-    transitions.append(cm31_mul(cm31_mul(sel_ec, eex),
-                                cm31_sub(one, sel_eb_next)))
-    ec_adv = cm31_mul(sel_ec, cm31_sub(one, eex))
-    transitions.append(cm31_mul(ec_adv, t1_inner))
-    transitions.append(cm31_mul(ec_adv, t2_inner))
-
-    # Boundary: the machine starts with a zeroed register file.
-    firsts = [col(base + r)
-              for r in range(1, 16) for base in (COL_REG_LO, COL_REG_HI)]
-    return singles, transitions, firsts
 
 
 @functools.lru_cache(maxsize=None)
@@ -832,56 +402,767 @@ def _vanishing_tables(log_n: int, log_blowup: int, shift: Tuple[int, int]):
             np.asarray(zlast_inv[0]), np.asarray(zlast_inv[1]))
 
 
-def lookup_constraint_evals(ext_r, ext_i, s_ext, beta: Tuple[int, int],
-                            log_blowup: int):
-    """The cyclic LogUp constraints on the LDE domain, one per CHANNELS
-    entry.
+# ============================================================================
+# Evaluation algebras.  Every constraint is written ONCE against this
+# interface and instantiated twice: vectorized over the LDE domain
+# (prover) and scalar at one opened row pair (verifier).  A CM31 value is
+# a (re, im) pair of uint32 jnp vectors (VecAlg) or Python ints
+# (ScalarAlg).
+# ============================================================================
 
-    Per channel k (w = the channel's affine witness, m = multiplicities,
-    t = table, S the phase-2 partial-sum column):
 
-        (S' - S) (beta - w) (beta - t)  -  (beta - t)  +  m (beta - w) = 0
+class VecAlg:
+    """Whole-LDE-domain evaluation: columns are [N] uint32 vectors."""
 
-    Degree 3; divides by Z_H (holds cyclically on every row — the
-    telescoping around the cycle IS the multiset identity).
+    def __init__(self, ext_r, ext_i, log_blowup, chan_sums=None,
+                 mem_sum=None, prog_sum=None, prog_ext=None,
+                 aux_ext=None, aux_sums=None):
+        self.ext_r, self.ext_i = ext_r, ext_i
+        self.big = ext_r.shape[1]
+        self.blowup = 1 << log_blowup
+        self._chan_sums = chan_sums      # (sr, si): [NUM_LOOKUP, N]
+        self._mem_sum = mem_sum          # (sr, si): [N]
+        self._prog_sum = prog_sum        # (sr, si): [N]
+        self._prog_ext = prog_ext        # (pr, pi): [4, N]
+        self._aux_ext = aux_ext          # (ar, ai): [N_AUX_COLS, N]
+        self._aux_sums = aux_sums        # (sr, si): [NUM_AUX, N]
+
+    def col(self, c):
+        return (self.ext_r[c], self.ext_i[c])
+
+    def nxt(self, c):
+        return (jnp.roll(self.ext_r[c], -self.blowup),
+                jnp.roll(self.ext_i[c], -self.blowup))
+
+    def _pair(self, pair):
+        return pair
+
+    def _pair_nxt(self, pair):
+        return (jnp.roll(pair[0], -self.blowup),
+                jnp.roll(pair[1], -self.blowup))
+
+    def scol(self, k):
+        sr, si = self._chan_sums
+        return (sr[k], si[k])
+
+    def snxt(self, k):
+        sr, si = self._chan_sums
+        return self._pair_nxt((sr[k], si[k]))
+
+    def mcol(self):
+        return self._mem_sum
+
+    def mnxt(self):
+        return self._pair_nxt(self._mem_sum)
+
+    def pscol(self):
+        return self._prog_sum
+
+    def psnxt(self):
+        return self._pair_nxt(self._prog_sum)
+
+    def pcol(self, c):
+        pr, pi = self._prog_ext
+        return (pr[c], pi[c])
+
+    def acol(self, c):
+        ar, ai = self._aux_ext
+        return (ar[c], ai[c])
+
+    def ascol(self, k):
+        sr, si = self._aux_sums
+        return (sr[k], si[k])
+
+    def asnxt(self, k):
+        sr, si = self._aux_sums
+        return self._pair_nxt((sr[k], si[k]))
+
+    def const(self, v):
+        if not isinstance(v, tuple):
+            v = (v, 0)
+        return (jnp.full(self.big, v[0] % P, dtype=jnp.uint32),
+                jnp.full(self.big, v[1] % P, dtype=jnp.uint32))
+
+    @staticmethod
+    def add(a, b):
+        return cm31_add(a, b)
+
+    @staticmethod
+    def sub(a, b):
+        return cm31_sub(a, b)
+
+    @staticmethod
+    def mul(a, b):
+        return cm31_mul(a, b)
+
+    def mulc(self, a, v):
+        return cm31_mul(a, self.const(v))
+
+
+class ScalarAlg:
+    """Single-point evaluation from opened rows.
+
+    ``row``/``next_row``: [re x n_cols, im x n_cols] trace openings.
+    ``s_row``/``s_next``: [re x n_sums, im x n_sums] partial-sum openings
+    (channel k at index k, memory sum at NUM_LOOKUP, program sum last).
+    ``prog_row``: [re x 4, im x 4] program-table opening.
     """
-    blowup = 1 << log_blowup
-    big = ext_r.shape[1]
-    beta_vec = _scalar_vec(beta, big)
-    t = (ext_r[COL_TABLE], ext_i[COL_TABLE])
-    bt = cm31_sub(beta_vec, t)
-    sr, si = s_ext
 
-    def affine_vec(const, terms):
-        acc = _scalar_vec((const % P, 0), big)
-        for c, coef in terms:
-            acc = cm31_add(acc, cm31_mul(
-                (ext_r[c], ext_i[c]), _scalar_vec((coef % P, 0), big)))
+    def __init__(self, row, next_row, n_cols, s_row=None, s_next=None,
+                 n_sums=0, prog_row=None, aux_row=None):
+        self.row, self.next_row, self.n_cols = row, next_row, n_cols
+        self.s_row, self.s_next, self.n_sums = s_row, s_next, n_sums
+        self.prog_row = prog_row
+        self.aux_row = aux_row
+
+    def col(self, c):
+        return (self.row[c], self.row[self.n_cols + c])
+
+    def nxt(self, c):
+        return (self.next_row[c], self.next_row[self.n_cols + c])
+
+    def scol(self, k):
+        return (self.s_row[k], self.s_row[self.n_sums + k])
+
+    def snxt(self, k):
+        return (self.s_next[k], self.s_next[self.n_sums + k])
+
+    def mcol(self):
+        return self.scol(NUM_LOOKUP + NUM_AUX)
+
+    def mnxt(self):
+        return self.snxt(NUM_LOOKUP + NUM_AUX)
+
+    def acol(self, c):
+        from .aux_table import N_AUX_COLS
+        return (self.aux_row[c], self.aux_row[N_AUX_COLS + c])
+
+    def ascol(self, k):
+        return self.scol(NUM_LOOKUP + k)
+
+    def asnxt(self, k):
+        return self.snxt(NUM_LOOKUP + k)
+
+    def pscol(self):
+        return self.scol(self.n_sums - 1)
+
+    def psnxt(self):
+        return self.snxt(self.n_sums - 1)
+
+    def pcol(self, c):
+        return (self.prog_row[c], self.prog_row[4 + c])
+
+    @staticmethod
+    def const(v):
+        if not isinstance(v, tuple):
+            v = (v, 0)
+        return (v[0] % P, v[1] % P)
+
+    @staticmethod
+    def add(a, b):
+        return ((a[0] + b[0]) % P, (a[1] + b[1]) % P)
+
+    @staticmethod
+    def sub(a, b):
+        return ((a[0] - b[0]) % P, (a[1] - b[1]) % P)
+
+    @staticmethod
+    def mul(a, b):
+        return cm31_mul_scalar(a, b)
+
+    def mulc(self, a, v):
+        return cm31_mul_scalar(a, self.const(v))
+
+
+# ============================================================================
+# The AIR, written once against the algebra interface.
+# ============================================================================
+
+
+def air_constraints(A):
+    """Every machine constraint as (singles, transitions, firsts) lists of
+    CM31 values in A's representation.  See the module docstring for the
+    constraint-by-constraint soundness argument."""
+    add, sub, mul, col, nxt, K = A.add, A.sub, A.mul, A.col, A.nxt, A.const
+    mulc = A.mulc
+    one = K(1)
+    four = K(4)
+    two20 = K(1 << 20)
+
+    def boolean(b):
+        return mul(b, sub(b, one))
+
+    s_seq = col(COL_IS_SEQ)
+    carry = col(COL_PC_CARRY)
+    singles = [
+        col(COL_R0_LIMB0),
+        col(COL_R0_LIMB1),
+        boolean(s_seq),
+        boolean(carry),
+    ]
+
+    # Opcode one-hot decode binding: booleans, sum to 1, weighted sum
+    # equals the opcode column (=> opcode is one of the 50 valid codes).
+    sel = [col(COL_SEL0 + j) for j in range(N_OPS)]
+    for s in sel:
+        singles.append(boolean(s))
+    sel_sum = sel[0]
+    op_sum = mulc(sel[0], OP_VALUES[0])
+    for j in range(1, N_OPS):
+        sel_sum = add(sel_sum, sel[j])
+        op_sum = add(op_sum, mulc(sel[j], OP_VALUES[j]))
+    singles.append(sub(sel_sum, one))
+    singles.append(sub(op_sum, col(COL_OPCODE)))
+
+    # rd / rs1 / rs2 one-hot bindings.
+    def onehot_block(base, field_col):
+        blk = [col(base + i) for i in range(16)]
+        for bi in blk:
+            singles.append(boolean(bi))
+        b_sum = blk[0]
+        f_sum = mulc(blk[1], 1)
+        for i in range(1, 16):
+            b_sum = add(b_sum, blk[i])
+            if i > 1:
+                f_sum = add(f_sum, mulc(blk[i], i))
+        singles.append(sub(b_sum, one))
+        singles.append(sub(f_sum, col(field_col)))
+        return blk
+
+    e = onehot_block(COL_RD1H0, COL_RD)
+    e1 = onehot_block(COL_RS1H0, COL_RS1)
+    e2 = onehot_block(COL_RS2H0, COL_RS2)
+
+    # Booleans: carries and the immediate sign bit.
+    c0 = col(COL_CARRY0)
+    c1 = col(COL_CARRY1)
+    s_imm = col(COL_IMM_S)
+    for bcol in (c0, c1, s_imm):
+        singles.append(boolean(bcol))
+
+    # Immediate decomposition: imm = q0 + 2^10 q1 + 2^16 s, q0 = rs2+16q0hi
+    # (chunk ranges enforced by the lookup channels).
+    q0 = col(COL_IMM_Q0)
+    singles.append(sub(
+        col(COL_IMM_LO),
+        add(add(q0, mulc(col(COL_IMM_Q1), 1 << 10)),
+            mulc(s_imm, 1 << 16))))
+    singles.append(sub(
+        q0, add(col(COL_RS2), mulc(col(COL_IMM_Q0HI), 16))))
+
+    # Result limb decomposition: res = ch0 + 2^10 ch1 per limb.
+    res_lo = col(COL_RES_LO)
+    res_hi = col(COL_RES_HI)
+    for res, c_base in ((res_lo, COL_RES_CH0), (res_hi, COL_RES_CH0 + 2)):
+        singles.append(sub(
+            res, add(col(c_base), mulc(col(c_base + 1), 1 << 10))))
+
+    # Operand values via one-hot inner product over the register file
+    # (degree 2; this row's committed registers are the pre-state).
+    def operand(blk, base):
+        acc = mul(blk[0], col(base))
+        for i in range(1, 16):
+            acc = add(acc, mul(blk[i], col(base + i)))
         return acc
 
-    out = []
-    for k, (_, const, terms) in enumerate(CHANNELS):
-        w = affine_vec(const, terms)
-        m = (ext_r[COL_MULT0 + k], ext_i[COL_MULT0 + k])
-        s = (sr[k], si[k])
-        s_next = (jnp.roll(sr[k], -blowup), jnp.roll(si[k], -blowup))
-        bw = cm31_sub(beta_vec, w)
-        lhs = cm31_mul(cm31_mul(cm31_sub(s_next, s), bw), bt)
-        rhs = cm31_sub(bt, cm31_mul(m, bw))
-        out.append(cm31_sub(lhs, rhs))
-    return out
+    a_lo, a_hi = operand(e1, COL_REG_LO), operand(e1, COL_REG_HI)
+    b_lo, b_hi = operand(e2, COL_REG_LO), operand(e2, COL_REG_HI)
+
+    # Op-specific result pins (degree 3): res = a OP b mod 2^40 with
+    # carry/borrow bits; see module docstring for the integer-range
+    # soundness argument.
+    sel_by = {v: sel[j] for j, v in enumerate(OP_VALUES)}
+    two17 = (1 << 20) - (1 << 17)
+
+    def pin(selector, lo_expr, hi_expr):
+        singles.append(mul(selector, lo_expr))
+        singles.append(mul(selector, hi_expr))
+
+    c0_sh = mul(c0, two20)
+    c1_sh = mul(c1, two20)
+    # ADD: a + b = res + 2^20 c0 (lo); a_hi + b_hi + c0 = res_hi + 2^20 c1.
+    pin(sel_by[0x00],
+        sub(add(a_lo, b_lo), add(res_lo, c0_sh)),
+        sub(add(add(a_hi, b_hi), c0), add(res_hi, c1_sh)))
+    # SUB: a - b = res - 2^20 c0 (borrow).
+    pin(sel_by[0x01],
+        sub(add(a_lo, c0_sh), add(b_lo, res_lo)),
+        sub(add(a_hi, c1_sh), add(add(b_hi, c0), res_hi)))
+    # ADDI: b = sext17(imm) with limbs (imm + s*(2^20-2^17), s*(2^20-1)).
+    i_lo = add(col(COL_IMM_LO), mulc(s_imm, two17))
+    i_hi = mulc(s_imm, (1 << 20) - 1)
+    pin(sel_by[0x08],
+        sub(add(a_lo, i_lo), add(res_lo, c0_sh)),
+        sub(add(add(a_hi, i_hi), c0), add(res_hi, c1_sh)))
+    # JAL/JALR: rd = pc + 4 mod 2^40.
+    sel_jump = add(sel_by[0x48], sel_by[0x49])
+    pin(sel_jump,
+        sub(add(col(COL_PC_LO), four), add(res_lo, c0_sh)),
+        sub(add(col(COL_PC_HI), c0), add(res_hi, c1_sh)))
+
+    # Control-flow witness booleans; the target lo carry c2 is in
+    # {0, 1, 2} (JAL's 21-bit offset can carry 2 out of the low limb).
+    taken = col(COL_TAKEN)
+    c2 = col(COL_CARRY2)
+    c3 = col(COL_CARRY3)
+    b_lsb = col(COL_BLSB)
+    for bcol in (taken, c3, b_lsb):
+        singles.append(boolean(bcol))
+    singles.append(mul(boolean(c2), sub(c2, K(2))))
+
+    # --- Memory-op binding ---
+    # flags = is_mem + 2*is_store + 4*width, all selector-derived.
+    def selsum(ops):
+        acc = None
+        for v in ops:
+            acc = sel_by[v] if acc is None else add(acc, sel_by[v])
+        return acc
+
+    sel_loads = selsum(LOAD_OPS)
+    sel_stores = selsum(STORE_OPS)
+    flags_expr = add(sel_loads, mulc(sel_stores, 3))
+    for v, width in MEM_WIDTHS.items():
+        flags_expr = add(flags_expr, mulc(sel_by[v], 4 * width))
+    singles.append(sub(col(COL_MEM_FLAGS), flags_expr))
+
+    # Address-limb decomposition (unique encoding below 2^20).
+    maddr_lo = col(COL_MEM_ADDR_LO)
+    maddr_hi = col(COL_MEM_ADDR_HI)
+    for limb, c_base in ((maddr_lo, COL_MADDR_CH0),
+                         (maddr_hi, COL_MADDR_CH0 + 2)):
+        singles.append(sub(
+            limb, add(col(c_base), mulc(col(c_base + 1), 1 << 10))))
+
+    # Address pin: maddr = base + sext17(imm) mod 2^40.  Loads (I-type)
+    # read the base through rs1; stores (S-type) through the rd bitfield.
+    g_lo, g_hi = operand(e, COL_REG_LO), operand(e, COL_REG_HI)
+    c2_sh = mul(c2, two20)
+    c3_sh = mul(c3, two20)
+    for sel_m, base_lo, base_hi in ((sel_loads, a_lo, a_hi),
+                                    (sel_stores, g_lo, g_hi)):
+        singles.append(mul(sel_m, add(
+            sub(sub(maddr_lo, base_lo), i_lo), c2_sh)))
+        singles.append(mul(sel_m, add(
+            sub(sub(sub(maddr_hi, base_hi), i_hi), c2), c3_sh)))
+
+    # Value pins.  Zero-extending loads: res == mval.  SD stores the full
+    # 40-bit a operand; SW stores a mod 2^32 (truncation witness tw).
+    mval_lo = col(COL_MEM_VAL_LO)
+    mval_hi = col(COL_MEM_VAL_HI)
+    sel_zl = selsum(ZEXT_LOAD_OPS)
+    singles.append(mul(sel_zl, sub(res_lo, mval_lo)))
+    singles.append(mul(sel_zl, sub(res_hi, mval_hi)))
+    singles.append(mul(sel_by[0x3B], sub(a_lo, mval_lo)))
+    singles.append(mul(sel_by[0x3B], sub(a_hi, mval_hi)))
+    singles.append(mul(sel_by[0x3A], sub(a_lo, mval_lo)))
+    singles.append(mul(sel_by[0x3A], sub(
+        a_hi, add(mval_hi, mulc(col(COL_SW_TW), 1 << 12)))))
+    # mval_hi < 2^12 (chunk channels) makes the tw decomposition unique.
+    singles.append(mul(sel_by[0x3A], sub(
+        mval_hi, add(col(COL_SW_MH0), mulc(col(COL_SW_MH1), 1 << 10)))))
+
+    # --- Compare / branch-condition / cmov block ---
+    # Committed operand views (degree-1 handles on the inner products).
+    va_lo, va_hi = col(COL_VA_LO), col(COL_VA_HI)
+    vb_lo, vb_hi = col(COL_VB_LO), col(COL_VB_HI)
+    vg_lo, vg_hi = col(COL_VG_LO), col(COL_VG_HI)
+    for vcol, expr in ((va_lo, a_lo), (va_hi, a_hi), (vb_lo, b_lo),
+                       (vb_hi, b_hi), (vg_lo, g_lo), (vg_hi, g_hi)):
+        singles.append(sub(vcol, expr))
+    cu_lo, cu_hi = col(COL_CU_LO), col(COL_CU_HI)
+    cb0, cb1 = col(COL_CB0), col(COL_CB1)
+    cinv, ceq = col(COL_CINV), col(COL_CEQ)
+    sa, sb = col(COL_SA), col(COL_SB)
+    x1 = col(COL_X1)
+    for bcol in (cb0, cb1, sa, sb):
+        singles.append(boolean(bcol))
+    # cu chunk decomposition (unique below 2^20).
+    for limb, c_base in ((cu_lo, COL_CCH0), (cu_hi, COL_CCH0 + 2)):
+        singles.append(sub(
+            limb, add(col(c_base), mulc(col(c_base + 1), 1 << 10))))
+    # Equality gadget on s = cu_lo + cu_hi (< 2^21 < p, so s = 0 iff both
+    # limbs are 0 iff the 40-bit difference is 0): ceq = 1 - s*cinv and
+    # ceq*s = 0 force ceq = [cu == 0].
+    s_eq = add(cu_lo, cu_hi)
+    singles.append(sub(add(ceq, mul(s_eq, cinv)), one))
+    singles.append(mul(ceq, s_eq))
+    # x1 = cb1 XOR sa; lt_signed = x1 XOR sb (sign-XOR trick,
+    # value.rs:710-716: flip the unsigned borrow when the signs differ).
+    def bxor(p_b, q_b):
+        return sub(add(p_b, q_b), mulc(mul(p_b, q_b), 2))
+
+    singles.append(sub(x1, bxor(cb1, sa)))
+    lts = bxor(x1, sb)
+    # cu pins: cu = x - y mod 2^40 in borrow form, where the compare
+    # operands (x, y) are (a, b) for the compare family and
+    # (rd-field, rs1-field) for branches (B-type bitfield quirk,
+    # encoding.rs:142-159); cmov rows pin cu = b (so ceq = [b == 0], the
+    # cmov condition).  Sign decompositions x_hi/y_hi = r0 + 2^10 r1 +
+    # 2^19 s (chunk ranges by the lookup channels) extract bit 39.
+    sel_cmp = selsum(COMPARE_OPS)
+    sel_brf = selsum(BRANCH_OPS)
+    sel_cmovf = selsum(CMOV_OPS)
+    cb0_sh = mul(cb0, two20)
+    cb1_sh = mul(cb1, two20)
+    sign_dec_a = add(add(col(COL_AR0), mulc(col(COL_AR1), 1 << 10)),
+                     mulc(sa, 1 << 19))
+    sign_dec_b = add(add(col(COL_BR0), mulc(col(COL_BR1), 1 << 10)),
+                     mulc(sb, 1 << 19))
+    for sel_f, x_lo, x_hi, y_lo, y_hi in (
+            (sel_cmp, va_lo, va_hi, vb_lo, vb_hi),
+            (sel_brf, vg_lo, vg_hi, va_lo, va_hi)):
+        singles.append(mul(sel_f, add(
+            sub(sub(x_lo, y_lo), cu_lo), cb0_sh)))
+        singles.append(mul(sel_f, add(
+            sub(sub(sub(x_hi, y_hi), cb0), cu_hi), cb1_sh)))
+        singles.append(mul(sel_f, sub(x_hi, sign_dec_a)))
+        singles.append(mul(sel_f, sub(y_hi, sign_dec_b)))
+    singles.append(mul(sel_cmovf, sub(cu_lo, vb_lo)))
+    singles.append(mul(sel_cmovf, sub(cu_hi, vb_hi)))
+    # Compare-family result pins: res in {0,1} per the op's predicate
+    # (cb1 = unsigned lt, lts = signed lt, ceq = equal).
+    singles.append(mul(sel_cmp, res_hi))
+    for v, pred, neg in ((0x20, cb1, False), (0x21, cb1, True),
+                         (0x22, lts, False), (0x23, lts, True),
+                         (0x24, ceq, False), (0x25, ceq, True)):
+        want = sub(one, pred) if neg else pred
+        singles.append(mul(sel_by[v], sub(res_lo, want)))
+    # Branch taken bit DERIVED from the operands (closes control flow:
+    # the pc-target transitions consume this bit).
+    for v, pred, neg in ((0x40, ceq, False), (0x41, ceq, True),
+                         (0x42, lts, False), (0x43, lts, True),
+                         (0x44, cb1, False), (0x45, cb1, True)):
+        want = sub(one, pred) if neg else pred
+        singles.append(mul(sel_by[v], sub(taken, want)))
+    # CMOV result pins: res = cond ? a : rd_old with cond = [b != 0]
+    # (CMOV/CMOVNZ) or [b == 0] (CMOVZ).  A false condition writes
+    # rd_old, matching the no-write semantics (execute.rs:434-474).
+    sel_nz = add(sel_by[0x26], sel_by[0x28])
+    nceq = sub(one, ceq)
+    for selc, cond in ((sel_nz, nceq), (sel_by[0x27], ceq)):
+        ncond = sub(one, cond)
+        singles.append(mul(selc, sub(
+            res_lo, add(mul(cond, va_lo), mul(ncond, vg_lo)))))
+        singles.append(mul(selc, sub(
+            res_hi, add(mul(cond, va_hi), mul(ncond, vg_hi)))))
+
+    # --- Halt-chain block: exit-ECALL detection gadget ---
+    # s10 = r10_lo + r10_hi (< 2^21 < p, zero iff r10 == 0); on ECALL rows
+    # eex = [s10 == 0] via eex + s10*einv = 1 and eex*s10 = 0.
+    eex = col(COL_EEX)
+    einv = col(COL_EINV)
+    s10 = add(col(COL_REG_LO + 10), col(COL_REG_HI + 10))
+    sel_ec = sel_by[0x50]
+    sel_eb = sel_by[0x51]
+    singles.append(boolean(eex))
+    singles.append(mul(sel_ec, sub(add(eex, mul(s10, einv)), one)))
+    singles.append(mul(sel_ec, mul(eex, s10)))
 
 
-def memory_constraint_evals(ext_r, ext_i, log_blowup: int):
+    # --- Logical block (trace.py LG_BASE layout) ---
+    # One AND value c (limbs + 5-bit chunks of a, b, c); chunk triples
+    # are pinned by the challenge-compressed AND-table channels
+    # (aux_channels), so c_k = a_k & b_k with all chunks < 32.  The
+    # carry-free identities then pin all six ops limb-wise (every term
+    # < 2^22 << p, so the field identities are integer identities):
+    #   AND: res = c      OR: res = a + b - c     XOR: res = a + b - 2c
+    sel_logr = selsum((0x10, 0x11, 0x12))
+    sel_logi = selsum((0x13, 0x14, 0x15))
+    sel_log = add(sel_logr, sel_logi)
+    lgA = [col(COL_LG_A0 + k) for k in range(8)]
+    lgB = [col(COL_LG_B0 + k) for k in range(8)]
+    lgC = [col(COL_LG_C0 + k) for k in range(8)]
+    c_and = (col(COL_LG_C_LO), col(COL_LG_C_HI))
+
+    def comb5(cs):
+        acc5 = cs[0]
+        for j, cv in enumerate(cs[1:], 1):
+            acc5 = add(acc5, mulc(cv, 1 << (5 * j)))
+        return acc5
+
+    for limb, chunks in ((va_lo, lgA[:4]), (va_hi, lgA[4:]),
+                         (c_and[0], lgC[:4]), (c_and[1], lgC[4:])):
+        singles.append(mul(sel_log, sub(limb, comb5(chunks))))
+    for sel_v, blo, bhi in ((sel_logr, vb_lo, vb_hi),
+                            (sel_logi, i_lo, i_hi)):
+        singles.append(mul(sel_v, sub(blo, comb5(lgB[:4]))))
+        singles.append(mul(sel_v, sub(bhi, comb5(lgB[4:]))))
+    sel_andf = add(sel_by[0x10], sel_by[0x13])
+    singles.append(mul(sel_andf, sub(res_lo, c_and[0])))
+    singles.append(mul(sel_andf, sub(res_hi, c_and[1])))
+    for v_or, v_xor, blo, bhi in ((0x11, 0x12, vb_lo, vb_hi),
+                                  (0x14, 0x15, i_lo, i_hi)):
+        singles.append(mul(sel_by[v_or], sub(
+            res_lo, sub(add(va_lo, blo), c_and[0]))))
+        singles.append(mul(sel_by[v_or], sub(
+            res_hi, sub(add(va_hi, bhi), c_and[1]))))
+        singles.append(mul(sel_by[v_xor], sub(
+            res_lo, sub(add(va_lo, blo), mulc(c_and[0], 2)))))
+        singles.append(mul(sel_by[v_xor], sub(
+            res_hi, sub(add(va_hi, bhi), mulc(c_and[1], 2)))))
+
+    # Shift-family selectors (constraints follow the muldiv block, whose
+    # multiplier the shifts ride with y = 2^s_eff).
+    sel_shr3 = selsum((0x18, 0x19, 0x1A))
+    sel_shi3 = selsum((0x1B, 0x1C, 0x1D))
+    sel_shf = add(sel_shr3, sel_shi3)
+    sel_sllf = add(sel_by[0x18], sel_by[0x1B])
+    sel_srlf = add(sel_by[0x19], sel_by[0x1C])
+    sel_sraf = add(sel_by[0x1A], sel_by[0x1D])
+    sel_srx = add(sel_srlf, sel_sraf)
+
+    # --- Multiply/divide block (layout comment in trace.py at MD_BASE) ---
+    two10 = K(1 << 10)
+    sel_mul, sel_mulh = sel_by[0x02], sel_by[0x03]
+    sel_divf = selsum((0x04, 0x05, 0x06, 0x07))
+    sel_mulf = add(sel_mul, sel_mulh)
+    sel_md = add(sel_mulf, sel_divf)
+    xq = [col(COL_XQ0 + i) for i in range(4)]
+    yq = [col(COL_YQ0 + i) for i in range(4)]
+    pl = [col(COL_PL0 + i) for i in range(4)]
+    dr = [col(COL_DR0 + i) for i in range(4)]
+    uc = [col(COL_U0 + i) for i in range(4)]
+
+    def comb2(c0v, c1v):
+        return add(c0v, mul(c1v, two10))
+
+    xq_lo, xq_hi = comb2(xq[0], xq[1]), comb2(xq[2], xq[3])
+    yq_lo, yq_hi = comb2(yq[0], yq[1]), comb2(yq[2], yq[3])
+    dr_lo, dr_hi = comb2(dr[0], dr[1]), comb2(dr[2], dr[3])
+    pl_lo, pl_hi = comb2(pl[0], pl[1]), comb2(pl[2], pl[3])
+    u_lo, u_hi = comb2(uc[0], uc[1]), comb2(uc[2], uc[3])
+    # Operand bindings: x = a on MUL/MULH rows, x = res (the quotient) on
+    # DIV/DIVU rows (REM/REMU leave x a free 40-bit witness); y = b on
+    # every mul/div row; res = r on REM/REMU rows.
+    sel_xa = add(sel_mulf, sel_sllf)     # x = a on MUL/MULH/SLL rows
+    singles.append(mul(sel_xa, sub(va_lo, xq_lo)))
+    singles.append(mul(sel_xa, sub(va_hi, xq_hi)))
+    singles.append(mul(sel_md, sub(vb_lo, yq_lo)))
+    singles.append(mul(sel_md, sub(vb_hi, yq_hi)))
+    # res = the quotient x on DIV/DIVU and SRL rows (SRA adjusts below).
+    sel_qres = add(add(sel_by[0x04], sel_by[0x06]), sel_srlf)
+    singles.append(mul(sel_qres, sub(res_lo, xq_lo)))
+    singles.append(mul(sel_qres, sub(res_hi, xq_hi)))
+    sel_rres = add(sel_by[0x05], sel_by[0x07])
+    singles.append(mul(sel_rres, sub(res_lo, dr_lo)))
+    singles.append(mul(sel_rres, sub(res_hi, dr_hi)))
+    # Carry reconstructions (k0 a bare chunk; k1/k6 chunk + 1 bit;
+    # k2..k5 chunk + 2 bits) with bit boolean constraints.
+    kvals = [col(COL_K0)]
+    for cc, bits in ((COL_K1C, 1), (COL_K2C, 2), (COL_K3C, 2),
+                     (COL_K4C, 2), (COL_K5C, 2), (COL_K6C, 1)):
+        b0v = col(cc + 1)
+        singles.append(boolean(b0v))
+        hi_part = b0v
+        if bits == 2:
+            b1v = col(cc + 2)
+            singles.append(boolean(b1v))
+            hi_part = add(b0v, mulc(b1v, 2))
+        kvals.append(add(col(cc), mul(hi_part, two10)))
+    # Column sums s_t = sum_{i+j=t} xq_i * yq_j (degree 2).
+    s_sums = []
+    for t in range(7):
+        acc = None
+        for i in range(4):
+            j = t - i
+            if 0 <= j < 4:
+                term = mul(xq[i], yq[j])
+                acc = term if acc is None else add(acc, term)
+        s_sums.append(acc)
+    res_ch = [col(COL_RES_CH0 + i) for i in range(4)]
+    # Low chain (stages 0..3): result chunks on MUL rows; pl chunks on
+    # MULH/DIV rows.  Every term < 2^23 << p: field identity == integers.
+    sel_plchain = add(add(sel_mulh, sel_divf), sel_srx)
+    sel_mullow = add(sel_mul, sel_sllf)  # result chunks = low product
+    for t in range(4):
+        base_e = s_sums[t] if t == 0 else add(s_sums[t], kvals[t - 1])
+        k_sh = mul(kvals[t], two10)
+        singles.append(mul(sel_mullow, sub(base_e, add(res_ch[t], k_sh))))
+        singles.append(mul(sel_plchain, sub(base_e, add(pl[t], k_sh))))
+    # MULH high chain (stages 4..6 -> res chunks 0..2; chunk 7 = k6).
+    for t in range(4, 7):
+        base_e = add(s_sums[t], kvals[t - 1])
+        singles.append(mul(sel_mulh, sub(
+            base_e, add(res_ch[t - 4], mul(kvals[t], two10)))))
+    singles.append(mul(sel_mulh, sub(res_ch[3], kvals[6])))
+    # Division: q*b < 2^40 (high stages vanish), a = q*b + r exactly,
+    # and r < b via u = b - 1 - r >= 0.
+    sel_divx = add(sel_divf, sel_srx)
+    singles.append(mul(sel_divx, add(s_sums[4], kvals[3])))
+    singles.append(mul(sel_divx, s_sums[5]))
+    singles.append(mul(sel_divx, s_sums[6]))
+    cd0, e0 = col(COL_CD0), col(COL_E0)
+    singles.append(boolean(cd0))
+    singles.append(boolean(e0))
+    singles.append(mul(sel_divf, sub(
+        add(pl_lo, dr_lo), add(va_lo, mul(cd0, two20)))))
+    singles.append(mul(sel_divf, sub(
+        add(add(pl_hi, dr_hi), cd0), va_hi)))
+    singles.append(mul(sel_divf, sub(
+        add(add(u_lo, one), dr_lo), add(vb_lo, mul(e0, two20)))))
+    singles.append(mul(sel_divf, sub(
+        add(add(u_hi, dr_hi), e0), vb_hi)))
+
+    # --- Shift block (trace.py SH_BASE layout) ---
+    # The aux shift channel pins (s_eff, d, pm) to a real table row
+    # (s_eff < 64, d = chunk position, pm = chunk value of y = 2^s_eff);
+    # the constraints below bind s_eff to the instruction's shamt, y's
+    # chunks to (d, pm), and the result through the shared multiplier.
+    s_raw = col(COL_SH_S)
+    s_eff = col(COL_SH_SEFF)
+    shq = col(COL_SH_SHQ)
+    z_sh = col(COL_SH_Z)
+    zinv = col(COL_SH_ZINV)
+    d_sh = [col(COL_SH_D0 + j) for j in range(5)]
+    pm = col(COL_SH_PM)
+    xd_lo, xd_hi = col(COL_SH_XD_LO), col(COL_SH_XD_HI)
+    # z = [shq == 0] (ungated: non-shift rows default shq=0, z=1).
+    singles.append(boolean(z_sh))
+    singles.append(mul(z_sh, shq))
+    singles.append(sub(add(z_sh, mul(shq, zinv)), one))
+    # d one-hot (ungated: non-shift rows default d0 = 1).
+    dsum = d_sh[0]
+    for j in range(5):
+        singles.append(boolean(d_sh[j]))
+        if j:
+            dsum = add(dsum, d_sh[j])
+    singles.append(sub(dsum, one))
+    # shq range: shqc0/shqc1 channels force shq < 2^20, making the
+    # masking decomposition src = s + 64 shq unique (s < 64 by the table).
+    singles.append(sub(shq, add(col(COL_SH_SHQC0),
+                                mulc(col(COL_SH_SHQC1), 1 << 10))))
+    # Masking: register shifts take shamt = vb mod 64 (execute.rs shamt
+    # & 0x3F); immediate shifts decompose the sext'd immediate limb.
+    singles.append(mul(sel_shr3, sub(vb_lo, add(s_raw, mulc(shq, 64)))))
+    singles.append(mul(sel_shi3, sub(i_lo, add(s_raw, mulc(shq, 64)))))
+    # s_eff: = s on register shifts; immediates with shq != 0 (imm >= 64)
+    # behave like shift-63 (>= 40 => zero / sign fill, same as imm).
+    singles.append(mul(sel_shr3, sub(s_eff, s_raw)))
+    singles.append(mul(sel_shi3, sub(
+        s_eff, add(mul(z_sh, s_raw), mulc(sub(one, z_sh), 63)))))
+    # y = 2^s_eff: chunk d is pm, the rest are zero (d=4 => y = 0).
+    for j in range(4):
+        singles.append(mul(sel_shf, sub(yq[j], mul(d_sh[j], pm))))
+    # SRA: sign decomposition of va (reuses the compare block's sa
+    # gadget), the conditionally complemented dividend xd, and the
+    # complement-adjusted result res = sa ? ~x : x.
+    singles.append(mul(sel_sraf, sub(va_hi, sign_dec_a)))
+    m20c = (1 << 20) - 1
+    singles.append(mul(sel_sraf, sub(
+        xd_lo, add(va_lo, mul(sa, sub(K(m20c), mulc(va_lo, 2)))))))
+    singles.append(mul(sel_sraf, sub(
+        xd_hi, add(va_hi, mul(sa, sub(K(m20c), mulc(va_hi, 2)))))))
+    singles.append(mul(sel_sraf, sub(
+        res_lo, add(xq_lo, mul(sa, sub(K(m20c), mulc(xq_lo, 2)))))))
+    singles.append(mul(sel_sraf, sub(
+        res_hi, add(xq_hi, mul(sa, sub(K(m20c), mulc(xq_hi, 2)))))))
+    # SRL uses va directly as the dividend.
+    singles.append(mul(sel_srlf, sub(xd_lo, va_lo)))
+    singles.append(mul(sel_srlf, sub(xd_hi, va_hi)))
+    # Division identity xd = x*y + r with r < y, gated out on d=4 rows
+    # (y = 0); every term < 2^21 so the field identities are integral.
+    g_live = mul(sel_srx, sub(one, d_sh[4]))
+    y_lo = comb2(yq[0], yq[1])
+    y_hi = comb2(yq[2], yq[3])
+    singles.append(mul(g_live, sub(
+        add(pl_lo, dr_lo), add(xd_lo, mul(cd0, two20)))))
+    singles.append(mul(g_live, sub(
+        add(add(pl_hi, dr_hi), cd0), xd_hi)))
+    singles.append(mul(g_live, sub(
+        add(add(u_lo, one), dr_lo), add(y_lo, mul(e0, two20)))))
+    singles.append(mul(g_live, sub(
+        add(add(u_hi, dr_hi), e0), y_hi)))
+    # d=4 (shift >= 40): SLL/SRL results are 0 (SLL gets it free from the
+    # zero product through the result chain); SRA is the full sign fill.
+    sel_srl_d4 = mul(sel_srlf, d_sh[4])
+    singles.append(mul(sel_srl_d4, res_lo))
+    singles.append(mul(sel_srl_d4, res_hi))
+    sel_sra_d4 = mul(sel_sraf, d_sh[4])
+    singles.append(mul(sel_sra_d4, sub(res_lo, mulc(sa, m20c))))
+    singles.append(mul(sel_sra_d4, sub(res_hi, mulc(sa, m20c))))
+
+    # --- Transitions ---
+    pc_lo, pc_hi = col(COL_PC_LO), col(COL_PC_HI)
+    pc_lo_n, pc_hi_n = nxt(COL_PC_LO), nxt(COL_PC_HI)
+    t1_inner = add(sub(sub(pc_lo_n, pc_lo), four), mul(carry, two20))
+    t2_inner = sub(sub(pc_hi_n, pc_hi), carry)
+    transitions = [
+        mul(s_seq, t1_inner),
+        mul(s_seq, t2_inner),
+    ]
+
+    # Register-file write consistency: register r may change into the next
+    # row only if this row writes it (w * e_r, both one-hot-derived) or is
+    # an ECALL writing R10 (the syscall result register, syscall.rs:94-97).
+    w = None
+    for j, v in enumerate(OP_VALUES):
+        if v in WRITING_OPS:
+            w = sel[j] if w is None else add(w, sel[j])
+    sel_ecall = sel[OP_VALUES.index(OP_ECALL)]
+    for r in range(1, 16):
+        allow = mul(w, e[r])
+        if r == 10:
+            allow = add(allow, sel_ecall)
+        factor = sub(one, allow)
+        for base in (COL_REG_LO, COL_REG_HI):
+            delta = sub(nxt(base + r), col(base + r))
+            transitions.append(mul(factor, delta))
+
+    # Result binding: on a writing row the destination register's next-row
+    # value must equal the committed result limbs (degree 3).
+    for r in range(1, 16):
+        we = mul(w, e[r])
+        transitions.append(mul(we, sub(nxt(COL_REG_LO + r), res_lo)))
+        transitions.append(mul(we, sub(nxt(COL_REG_HI + r), res_hi)))
+
+    # Branch/jump pc-target semantics (trace.py control-flow block).
+    sel_br = selsum(BRANCH_OPS)
+    d_lo = add(mul(taken, i_lo), mul(sub(one, taken), four))
+    transitions.append(mul(sel_br, add(
+        sub(sub(nxt(COL_PC_LO), pc_lo), d_lo), c2_sh)))
+    transitions.append(mul(sel_br, add(
+        sub(sub(sub(nxt(COL_PC_HI), pc_hi), mul(taken, i_hi)), c2),
+        c3_sh)))
+    # JAL: pc' = pc + sext21(16*imm + rs1); sign bit of the 21-bit offset
+    # is word bit 31 = imm_s; (2^40 - 2^21) has limbs (0, 0xFFFFE).
+    jal_off = add(mulc(col(COL_IMM_LO), 16), col(COL_RS1))
+    transitions.append(mul(sel_by[0x48], add(
+        sub(sub(nxt(COL_PC_LO), pc_lo), jal_off), c2_sh)))
+    transitions.append(mul(sel_by[0x48], add(
+        sub(sub(sub(nxt(COL_PC_HI), pc_hi), mulc(s_imm, 0xFFFFE)), c2),
+        c3_sh)))
+    # JALR: pc' = (rs1_val + sext17(imm)) & ~1.
+    transitions.append(mul(sel_by[0x49], add(add(
+        sub(sub(nxt(COL_PC_LO), a_lo), i_lo), b_lsb), c2_sh)))
+    transitions.append(mul(sel_by[0x49], add(
+        sub(sub(sub(nxt(COL_PC_HI), a_hi), i_hi), c2), c3_sh)))
+
+    # Halt chain: a halted machine keeps halting.  An EBREAK row's
+    # successor must be an EBREAK row; an exit-ECALL row's successor
+    # likewise; a non-exit ECALL advances pc by exactly 4 (vm.rs:277-279),
+    # reusing the carry column (free on non-seq rows).
+    sel_eb_next = nxt(COL_SEL0 + OP_VALUES.index(0x51))
+    transitions.append(mul(sel_eb, sub(one, sel_eb_next)))
+    transitions.append(mul(mul(sel_ec, eex), sub(one, sel_eb_next)))
+    ec_adv = mul(sel_ec, sub(one, eex))
+    transitions.append(mul(ec_adv, t1_inner))
+    transitions.append(mul(ec_adv, t2_inner))
+
+    # Boundary: the machine starts with a zeroed register file.
+    firsts = [col(base + r)
+              for r in range(1, 16) for base in (COL_REG_LO, COL_REG_HI)]
+    return singles, transitions, firsts
+
+
+def memory_constraints(A):
     """Sorted-memory-table constraints (active in range_lookup mode; the
     prover fills the block in _build_memory_table).
 
-    Returns (singles, transitions, firsts):
-      singles: m_w/m_real/m_same/m_hieq booleans
-      firsts:  m_same = 0; exec clk = 0; a first-row read returns 0
-      transitions (next-row chunks D' = cha' + 2^10 chb' gap-check both
-      the clk-strict-increase within an address run and the
-      address-strict-increase between runs):
+    singles: m_w/m_real/m_same/m_hieq booleans.
+    firsts:  m_same = 0; exec clk = 0; a first-row read returns 0.
+    transitions (next-row chunks D' = cha' + 2^10 chb' gap-check both the
+    clk-strict-increase within an address run and the address-strict-
+    increase between runs):
         clk' = clk + 1                      (exec clk chain)
         real' => real                       (real rows first)
         same' => addr' = addr  (per limb)
@@ -891,835 +1172,314 @@ def memory_constraint_evals(ext_r, ext_i, log_blowup: int):
         same' & read' => val' = val         (reads see the last value)
         !same' & read' => val' = 0          (fresh addresses read zero)
     """
-    blowup = 1 << log_blowup
-    big = ext_r.shape[1]
-    one = _scalar_vec((1, 0), big)
+    add, sub, mul, col, nxt, K = A.add, A.sub, A.mul, A.col, A.nxt, A.const
+    one = K(1)
 
-    def col(c):
-        return (ext_r[c], ext_i[c])
-
-    def nxt(c):
-        return (jnp.roll(ext_r[c], -blowup), jnp.roll(ext_i[c], -blowup))
+    def boolean(b):
+        return mul(b, sub(b, one))
 
     m_w, m_real = col(M_W), col(M_REAL)
     m_same, m_hieq = col(M_SAME), col(M_HIEQ)
-    singles = [cm31_mul(b, cm31_sub(b, one))
-               for b in (m_w, m_real, m_same, m_hieq)]
+    singles = [boolean(b) for b in (m_w, m_real, m_same, m_hieq)]
 
-    not_w = cm31_sub(one, m_w)
+    not_w = sub(one, m_w)
     firsts = [m_same, col(COL_CLK),
-              cm31_mul(not_w, col(M_VAL_LO)),
-              cm31_mul(not_w, col(M_VAL_HI))]
+              mul(not_w, col(M_VAL_LO)),
+              mul(not_w, col(M_VAL_HI))]
 
     same_n, hieq_n = nxt(M_SAME), nxt(M_HIEQ)
     real_n, w_n = nxt(M_REAL), nxt(M_W)
-    not_same_n = cm31_sub(one, same_n)
-    not_w_n = cm31_sub(one, w_n)
-    d_gap = cm31_add(nxt(M_CHA), cm31_mul(nxt(M_CHB),
-                                          _scalar_vec((1 << 10, 0), big)))
+    not_same_n = sub(one, same_n)
+    not_w_n = sub(one, w_n)
+    d_gap = add(nxt(M_CHA), A.mulc(nxt(M_CHB), 1 << 10))
 
     def inc_gap(c):
-        return cm31_sub(cm31_sub(cm31_sub(nxt(c), col(c)), one), d_gap)
+        return sub(sub(sub(nxt(c), col(c)), one), d_gap)
 
     transitions = [
-        cm31_sub(cm31_sub(nxt(COL_CLK), col(COL_CLK)), one),
-        cm31_mul(cm31_sub(one, m_real), real_n),
-        cm31_mul(same_n, cm31_sub(nxt(M_ADDR_LO), col(M_ADDR_LO))),
-        cm31_mul(same_n, cm31_sub(nxt(M_ADDR_HI), col(M_ADDR_HI))),
-        cm31_mul(hieq_n, cm31_sub(nxt(M_ADDR_HI), col(M_ADDR_HI))),
-        cm31_mul(not_same_n, cm31_add(
-            cm31_mul(hieq_n, inc_gap(M_ADDR_LO)),
-            cm31_mul(cm31_sub(one, hieq_n), inc_gap(M_ADDR_HI)))),
-        cm31_mul(same_n, inc_gap(M_CLK)),
-        cm31_mul(cm31_mul(same_n, not_w_n),
-                 cm31_sub(nxt(M_VAL_LO), col(M_VAL_LO))),
-        cm31_mul(cm31_mul(same_n, not_w_n),
-                 cm31_sub(nxt(M_VAL_HI), col(M_VAL_HI))),
-        cm31_mul(cm31_mul(not_same_n, not_w_n), nxt(M_VAL_LO)),
-        cm31_mul(cm31_mul(not_same_n, not_w_n), nxt(M_VAL_HI)),
+        sub(sub(nxt(COL_CLK), col(COL_CLK)), one),
+        mul(sub(one, m_real), real_n),
+        mul(same_n, sub(nxt(M_ADDR_LO), col(M_ADDR_LO))),
+        mul(same_n, sub(nxt(M_ADDR_HI), col(M_ADDR_HI))),
+        mul(hieq_n, sub(nxt(M_ADDR_HI), col(M_ADDR_HI))),
+        mul(not_same_n, add(
+            mul(hieq_n, inc_gap(M_ADDR_LO)),
+            mul(sub(one, hieq_n), inc_gap(M_ADDR_HI)))),
+        mul(same_n, inc_gap(M_CLK)),
+        mul(mul(same_n, not_w_n), sub(nxt(M_VAL_LO), col(M_VAL_LO))),
+        mul(mul(same_n, not_w_n), sub(nxt(M_VAL_HI), col(M_VAL_HI))),
+        mul(mul(not_same_n, not_w_n), nxt(M_VAL_LO)),
+        mul(mul(not_same_n, not_w_n), nxt(M_VAL_HI)),
     ]
     return singles, transitions, firsts
 
 
-def memory_constraint_values_at(row, next_row, n_cols: int):
-    """Scalar mirror of memory_constraint_evals for opened rows."""
+def lookup_channels(A, beta):
+    """The cyclic LogUp constraints, one per CHANNELS entry.
 
-    def cval(cols, c):
-        return (cols[c], cols[n_cols + c])
+    Per channel k (w = the channel's affine witness, m = multiplicities,
+    t = table, S the phase-2 partial-sum column):
 
-    one = (1, 0)
-    m_w, m_real = cval(row, M_W), cval(row, M_REAL)
-    m_same, m_hieq = cval(row, M_SAME), cval(row, M_HIEQ)
-    singles = [cm31_mul_scalar(b, _sub2(b, one))
-               for b in (m_w, m_real, m_same, m_hieq)]
+        (S' - S) (beta - w) (beta - t)  -  (beta - t)  +  m (beta - w) = 0
 
-    not_w = _sub2(one, m_w)
-    firsts = [m_same, cval(row, COL_CLK),
-              cm31_mul_scalar(not_w, cval(row, M_VAL_LO)),
-              cm31_mul_scalar(not_w, cval(row, M_VAL_HI))]
+    Degree 3; divides by Z_H (holds cyclically on every row — the
+    telescoping around the cycle IS the multiset identity)."""
+    add, sub, mul, col, K = A.add, A.sub, A.mul, A.col, A.const
+    beta_v = K(beta)
+    bt = sub(beta_v, col(COL_TABLE))
+    out = []
+    for k, (_, const, terms) in enumerate(CHANNELS):
+        w = K(const)
+        for c, coef in terms:
+            w = add(w, A.mulc(col(c), coef))
+        m = col(COL_MULT0 + k)
+        bw = sub(beta_v, w)
+        lhs = mul(mul(sub(A.snxt(k), A.scol(k)), bw), bt)
+        rhs = sub(bt, mul(m, bw))
+        out.append(sub(lhs, rhs))
+    return out
 
-    same_n, hieq_n = cval(next_row, M_SAME), cval(next_row, M_HIEQ)
-    real_n, w_n = cval(next_row, M_REAL), cval(next_row, M_W)
-    not_same_n = _sub2(one, same_n)
-    not_w_n = _sub2(one, w_n)
-    d_gap = _add2(cval(next_row, M_CHA),
-                  cm31_mul_scalar(cval(next_row, M_CHB), (1 << 10, 0)))
 
-    def inc_gap(c):
-        return _sub2(_sub2(_sub2(cval(next_row, c), cval(row, c)), one),
-                     d_gap)
+def aux_channels(A, beta, eta):
+    """The challenge-compressed aux-table LogUp constraints, one per
+    AUX_CHANNELS entry: witness w = w0 + eta*w1 + eta^2*w2 vs table
+    t = t0 + eta*t1 + eta^2*t2 (preprocessed columns, aux_table.py),
+    in the same (S'-S)(b-w)(b-t) = (b-t) - m(b-w) cyclic form."""
+    add, sub, mul, col, K = A.add, A.sub, A.mul, A.col, A.const
+    beta_v = K(beta)
+    eta2 = cm31_mul_scalar(eta, eta)
+    out = []
+    for k, (_, wspecs, t_base, _idx) in enumerate(AUX_CHANNELS):
+        parts = []
+        for terms in wspecs:
+            acc = None
+            for c, coef in terms:
+                term = A.mulc(col(c), coef) if coef != 1 else col(c)
+                acc = term if acc is None else add(acc, term)
+            parts.append(acc)
+        w = add(parts[0], add(A.mulc(parts[1], eta),
+                              A.mulc(parts[2], eta2)))
+        t = add(A.acol(t_base), add(A.mulc(A.acol(t_base + 1), eta),
+                                    A.mulc(A.acol(t_base + 2), eta2)))
+        m = col(COL_AUXM0 + k)
+        bw = sub(beta_v, w)
+        bt = sub(beta_v, t)
+        lhs = mul(mul(sub(A.asnxt(k), A.ascol(k)), bw), bt)
+        rhs = sub(bt, mul(m, bw))
+        out.append(sub(lhs, rhs))
+    return out
 
-    transitions = [
-        _sub2(_sub2(cval(next_row, COL_CLK), cval(row, COL_CLK)), one),
-        cm31_mul_scalar(_sub2(one, m_real), real_n),
-        cm31_mul_scalar(same_n, _sub2(cval(next_row, M_ADDR_LO),
-                                      cval(row, M_ADDR_LO))),
-        cm31_mul_scalar(same_n, _sub2(cval(next_row, M_ADDR_HI),
-                                      cval(row, M_ADDR_HI))),
-        cm31_mul_scalar(hieq_n, _sub2(cval(next_row, M_ADDR_HI),
-                                      cval(row, M_ADDR_HI))),
-        cm31_mul_scalar(not_same_n, _add2(
-            cm31_mul_scalar(hieq_n, inc_gap(M_ADDR_LO)),
-            cm31_mul_scalar(_sub2(one, hieq_n), inc_gap(M_ADDR_HI)))),
-        cm31_mul_scalar(same_n, inc_gap(M_CLK)),
-        cm31_mul_scalar(cm31_mul_scalar(same_n, not_w_n),
-                        _sub2(cval(next_row, M_VAL_LO),
-                              cval(row, M_VAL_LO))),
-        cm31_mul_scalar(cm31_mul_scalar(same_n, not_w_n),
-                        _sub2(cval(next_row, M_VAL_HI),
-                              cval(row, M_VAL_HI))),
-        cm31_mul_scalar(cm31_mul_scalar(not_same_n, not_w_n),
-                        cval(next_row, M_VAL_LO)),
-        cm31_mul_scalar(cm31_mul_scalar(not_same_n, not_w_n),
-                        cval(next_row, M_VAL_HI)),
-    ]
-    return singles, transitions, firsts
+
+def table_pins(A):
+    """The staircase-table pins: t(first) = 0 (F divisor), increments in
+    {0,1} (T), t(last) = 1023 (L).  Start 0 + 0/1 steps + end 1023 over n
+    rows => every value of [0, 1024) appears."""
+    sub, mul, col, K = A.sub, A.mul, A.col, A.const
+    t = col(COL_TABLE)
+    dt = sub(A.nxt(COL_TABLE), t)
+    stair = mul(dt, sub(dt, K(1)))
+    return t, stair, sub(t, K(1023))
+
+
+def memory_multiset(A, beta, delta):
+    """The memory-multiset LogUp constraint: exec (maddr, clk, mval,
+    is_write) tuples of the LD/SD rows == the real sorted-table rows
+    (shared beta; delta compresses the 6-tuple)."""
+    add, sub, mul, col, K = A.add, A.sub, A.mul, A.col, A.const
+
+    def tuple6(cols, flag):
+        acc6 = col(cols[0])
+        p6 = delta
+        for c in cols[1:]:
+            acc6 = add(acc6, A.mulc(col(c), p6))
+            p6 = cm31_mul_scalar(p6, delta)
+        return add(acc6, A.mulc(flag, p6))
+
+    sel_ld = col(COL_SEL0 + OP_VALUES.index(0x35))
+    sel_sd = col(COL_SEL0 + OP_VALUES.index(0x3B))
+    v = add(sel_ld, sel_sd)
+    w = tuple6((COL_MEM_ADDR_LO, COL_MEM_ADDR_HI, COL_CLK,
+                COL_MEM_VAL_LO, COL_MEM_VAL_HI), sel_sd)
+    t_mem = tuple6((M_ADDR_LO, M_ADDR_HI, M_CLK, M_VAL_LO, M_VAL_HI),
+                   col(M_W))
+    beta_v = K(beta)
+    bw = sub(beta_v, w)
+    bt = sub(beta_v, t_mem)
+    lhs = mul(mul(sub(A.mnxt(), A.mcol()), bw), bt)
+    rhs = sub(mul(v, bt), mul(col(M_REAL), bw))
+    return sub(lhs, rhs)
+
+
+def program_channel(A, beta, gamma):
+    """The program-binding LogUp constraint: every executed row's
+    (pc, instruction-field) tuple is a member of the preprocessed program
+    table (gamma compresses the 4-tuple; see PROG_F_TERMS)."""
+    add, sub, mul, col, K = A.add, A.sub, A.mul, A.col, A.const
+    g2 = cm31_mul_scalar(gamma, gamma)
+    g3 = cm31_mul_scalar(g2, gamma)
+    f = col(PROG_F_TERMS[0][0])
+    for c, coef in PROG_F_TERMS[1:]:
+        f = add(f, A.mulc(col(c), coef))
+    w = add(add(col(COL_PC_LO), A.mulc(col(COL_PC_HI), gamma)),
+            add(A.mulc(f, g2), A.mulc(col(COL_IMM_LO), g3)))
+    t_prog = add(add(A.pcol(0), A.mulc(A.pcol(1), gamma)),
+                 add(A.mulc(A.pcol(2), g2), A.mulc(A.pcol(3), g3)))
+    beta_v = K(beta)
+    bw = sub(beta_v, w)
+    bt = sub(beta_v, t_prog)
+    lhs = mul(mul(sub(A.psnxt(), A.pscol()), bw), bt)
+    rhs = sub(bt, mul(col(COL_PROG_M), bw))
+    return sub(lhs, rhs)
+
+
+def program_boundary(A, entry):
+    """First-row pins: the trace starts at the program's entry point."""
+    e_lo = entry & ((1 << 20) - 1)
+    e_hi = (entry >> 20) & ((1 << 20) - 1)
+    return [A.sub(A.col(COL_PC_LO), A.const(e_lo)),
+            A.sub(A.col(COL_PC_HI), A.const(e_hi))]
+
+
+def quotient_terms(A, lookup=None, aux=None, memory=None, program=None):
+    """Every constraint paired with its divisor tag, in the canonical
+    alpha-power order shared by prover and verifier.
+
+    Tags: H = Z_H (all rows), T = Z_trans (all but last), F = Z_first,
+    L = Z_last.  ``lookup`` = beta; ``aux`` = (beta, eta);
+    ``memory`` = (beta, delta); ``program`` = (beta, gamma, entry)."""
+    singles, transitions, firsts = air_constraints(A)
+    terms = [("H", c) for c in singles]
+    terms += [("T", c) for c in transitions]
+    terms += [("F", c) for c in firsts]
+    if lookup is not None:
+        terms += [("H", c) for c in lookup_channels(A, lookup)]
+        t, stair, t_last = table_pins(A)
+        terms += [("F", t), ("T", stair), ("L", t_last)]
+    if aux is not None:
+        beta, eta = aux
+        terms += [("H", c) for c in aux_channels(A, beta, eta)]
+    if memory is not None:
+        beta, delta = memory
+        m_s, m_t, m_f = memory_constraints(A)
+        terms += [("H", c) for c in m_s]
+        terms += [("T", c) for c in m_t]
+        terms += [("F", c) for c in m_f]
+        terms.append(("H", memory_multiset(A, beta, delta)))
+    if program is not None:
+        beta, gamma, entry = program
+        terms.append(("H", program_channel(A, beta, gamma)))
+        terms += [("F", c) for c in program_boundary(A, entry)]
+    return terms
+
+
+# ============================================================================
+# Public entry points (prover: whole-domain; verifier: one opened point).
+# ============================================================================
 
 
 def quotient_evals(ext_r, ext_i, log_n: int, log_blowup: int,
                    shift: Tuple[int, int], alpha: Tuple[int, int],
-                   lookup=None, program=None, memory=None):
+                   lookup=None, aux=None, program=None, memory=None):
     """Q(x) = sum_j alpha^j C_j(x) / D_j(x) on the coset LDE domain.
 
     ``lookup``: optional (s_ext, beta) enabling the LogUp constraints.
-    ``program``: optional (prog_ext, s_prog_ext, gamma, entry) enabling
-    the program-binding channel (requires ``lookup`` for beta) plus the
-    entry-point boundary constraints.
+    ``aux``: optional (aux_ext, s_aux_ext, eta) enabling the aux-table
+    channels (requires ``lookup`` for beta).
+    ``program``: optional (prog_ext, s_prog_ext, gamma, entry).
+    ``memory``: optional (s_mem_ext, delta).
     """
-    singles, transitions, firsts = constraint_evals(
-        ext_r, ext_i, log_n, log_blowup)
+    chan_sums = mem_sum = prog_sum = prog_ext = None
+    aux_ext = aux_sums = None
+    lk = ak = mk = pk = None
+    if lookup is not None:
+        chan_sums, beta = lookup
+        lk = beta
+    if aux is not None:
+        aux_ext, aux_sums, eta = aux
+        ak = (beta, eta)
+    if memory is not None:
+        mem_sum, delta = memory
+        mk = (beta, delta)
+    if program is not None:
+        prog_ext, prog_sum, gamma, entry = program
+        pk = (beta, gamma, entry)
+    A = VecAlg(ext_r, ext_i, log_blowup, chan_sums=chan_sums,
+               mem_sum=mem_sum, prog_sum=prog_sum, prog_ext=prog_ext,
+               aux_ext=aux_ext, aux_sums=aux_sums)
+    terms = quotient_terms(A, lookup=lk, aux=ak, memory=mk, program=pk)
+
     (zh_inv_r, zh_inv_i, zt_inv_r, zt_inv_i,
      zf_inv_r, zf_inv_i, zl_inv_r, zl_inv_i) = _vanishing_tables(
         log_n, log_blowup, tuple(shift))
-    zh_inv = (jnp.asarray(zh_inv_r), jnp.asarray(zh_inv_i))
-    zt_inv = (jnp.asarray(zt_inv_r), jnp.asarray(zt_inv_i))
-    zf_inv = (jnp.asarray(zf_inv_r), jnp.asarray(zf_inv_i))
-
+    dinv = {
+        "H": (jnp.asarray(zh_inv_r), jnp.asarray(zh_inv_i)),
+        "T": (jnp.asarray(zt_inv_r), jnp.asarray(zt_inv_i)),
+        "F": (jnp.asarray(zf_inv_r), jnp.asarray(zf_inv_i)),
+        "L": (jnp.asarray(zl_inv_r), jnp.asarray(zl_inv_i)),
+    }
     big = ext_r.shape[1]
     acc = (jnp.zeros(big, dtype=jnp.uint32), jnp.zeros(big, dtype=jnp.uint32))
     power = (1, 0)
-    for c in singles:
-        term = cm31_mul(cm31_mul(c, zh_inv), _scalar_vec(power, big))
+    for tag, c in terms:
+        term = cm31_mul(cm31_mul(c, dinv[tag]), _scalar_vec(power, big))
         acc = cm31_add(acc, term)
         power = cm31_mul_scalar(power, alpha)
-    for c in transitions:
-        term = cm31_mul(cm31_mul(c, zt_inv), _scalar_vec(power, big))
-        acc = cm31_add(acc, term)
-        power = cm31_mul_scalar(power, alpha)
-    for c in firsts:
-        term = cm31_mul(cm31_mul(c, zf_inv), _scalar_vec(power, big))
-        acc = cm31_add(acc, term)
-        power = cm31_mul_scalar(power, alpha)
-    if lookup is not None:
-        s_ext, beta = lookup
-        for c in lookup_constraint_evals(ext_r, ext_i, s_ext, beta,
-                                         log_blowup):
-            term = cm31_mul(cm31_mul(c, zh_inv), _scalar_vec(power, big))
-            acc = cm31_add(acc, term)
-            power = cm31_mul_scalar(power, alpha)
-        # Table-pinning constraints: t is the monotone 0..1023 staircase.
-        zl_inv = (jnp.asarray(zl_inv_r), jnp.asarray(zl_inv_i))
-        blowup = 1 << log_blowup
-        one = _scalar_vec((1, 0), big)
-        t = (ext_r[COL_TABLE], ext_i[COL_TABLE])
-        t_next = (jnp.roll(ext_r[COL_TABLE], -blowup),
-                  jnp.roll(ext_i[COL_TABLE], -blowup))
-        dt = cm31_sub(t_next, t)
-        stair = cm31_mul(dt, cm31_sub(dt, one))
-        t_last_c = cm31_sub(t, _scalar_vec((1023, 0), big))
-        for c, dinv in ((t, zf_inv), (stair, zt_inv), (t_last_c, zl_inv)):
-            term = cm31_mul(cm31_mul(c, dinv), _scalar_vec(power, big))
-            acc = cm31_add(acc, term)
-            power = cm31_mul_scalar(power, alpha)
-    if memory is not None:
-        (smr, smi), delta = memory
-        _, beta = lookup
-        blowup = 1 << log_blowup
-        m_singles, m_trans, m_firsts = memory_constraint_evals(
-            ext_r, ext_i, log_blowup)
-        for cs, dinv in ((m_singles, zh_inv), (m_trans, zt_inv),
-                         (m_firsts, zf_inv)):
-            for c in cs:
-                term = cm31_mul(cm31_mul(c, dinv), _scalar_vec(power, big))
-                acc = cm31_add(acc, term)
-                power = cm31_mul_scalar(power, alpha)
-        # Multiset channel: exec (maddr, clk, mval, is_write) tuples of
-        # the LD/SD rows == the real sorted-table rows (LogUp with the
-        # shared beta; delta compresses the 6-tuple).
-        beta_vec = _scalar_vec(beta, big)
-
-        def tuple6(cols, flag):
-            acc6 = (ext_r[cols[0]], ext_i[cols[0]])
-            p6 = delta
-            for c in cols[1:]:
-                acc6 = cm31_add(acc6, cm31_mul(
-                    (ext_r[c], ext_i[c]), _scalar_vec(p6, big)))
-                p6 = cm31_mul_scalar(p6, delta)
-            return cm31_add(acc6, cm31_mul(flag, _scalar_vec(p6, big)))
-
-        sel_ld = (ext_r[COL_SEL0 + OP_VALUES.index(0x35)],
-                  ext_i[COL_SEL0 + OP_VALUES.index(0x35)])
-        sel_sd = (ext_r[COL_SEL0 + OP_VALUES.index(0x3B)],
-                  ext_i[COL_SEL0 + OP_VALUES.index(0x3B)])
-        v = cm31_add(sel_ld, sel_sd)
-        w = tuple6((COL_MEM_ADDR_LO, COL_MEM_ADDR_HI, COL_CLK,
-                    COL_MEM_VAL_LO, COL_MEM_VAL_HI), sel_sd)
-        t_mem = tuple6((M_ADDR_LO, M_ADDR_HI, M_CLK, M_VAL_LO, M_VAL_HI),
-                       (ext_r[M_W], ext_i[M_W]))
-        m_real = (ext_r[M_REAL], ext_i[M_REAL])
-        s = (smr, smi)
-        s_next = (jnp.roll(smr, -blowup), jnp.roll(smi, -blowup))
-        bw = cm31_sub(beta_vec, w)
-        bt = cm31_sub(beta_vec, t_mem)
-        lhs = cm31_mul(cm31_mul(cm31_sub(s_next, s), bw), bt)
-        rhs = cm31_sub(cm31_mul(v, bt), cm31_mul(m_real, bw))
-        term = cm31_mul(cm31_mul(cm31_sub(lhs, rhs), zh_inv),
-                        _scalar_vec(power, big))
-        acc = cm31_add(acc, term)
-        power = cm31_mul_scalar(power, alpha)
-    if program is not None:
-        (pr, pi), (spr, spi), gamma, entry = program
-        _, beta = lookup
-        blowup = 1 << log_blowup
-        one = _scalar_vec((1, 0), big)
-        beta_vec = _scalar_vec(beta, big)
-
-        def gmul(vec, g):
-            return cm31_mul(vec, _scalar_vec(g, big))
-
-        g2 = cm31_mul_scalar(gamma, gamma)
-        g3 = cm31_mul_scalar(g2, gamma)
-        f = (ext_r[COL_OPCODE], ext_i[COL_OPCODE])
-        for c, coef in PROG_F_TERMS[1:]:
-            f = cm31_add(f, cm31_mul((ext_r[c], ext_i[c]),
-                                     _scalar_vec((coef, 0), big)))
-        w = cm31_add(
-            cm31_add((ext_r[COL_PC_LO], ext_i[COL_PC_LO]),
-                     gmul((ext_r[COL_PC_HI], ext_i[COL_PC_HI]), gamma)),
-            cm31_add(gmul(f, g2),
-                     gmul((ext_r[COL_IMM_LO], ext_i[COL_IMM_LO]), g3)))
-        t_prog = cm31_add(
-            cm31_add((pr[0], pi[0]), gmul((pr[1], pi[1]), gamma)),
-            cm31_add(gmul((pr[2], pi[2]), g2), gmul((pr[3], pi[3]), g3)))
-        m = (ext_r[COL_PROG_M], ext_i[COL_PROG_M])
-        s = (spr, spi)
-        s_next = (jnp.roll(spr, -blowup), jnp.roll(spi, -blowup))
-        bw = cm31_sub(beta_vec, w)
-        bt = cm31_sub(beta_vec, t_prog)
-        lhs = cm31_mul(cm31_mul(cm31_sub(s_next, s), bw), bt)
-        rhs = cm31_sub(bt, cm31_mul(m, bw))
-        term = cm31_mul(cm31_mul(cm31_sub(lhs, rhs), zh_inv),
-                        _scalar_vec(power, big))
-        acc = cm31_add(acc, term)
-        power = cm31_mul_scalar(power, alpha)
-
-        # Entry-point boundary: the first row executes at the program's
-        # public entry point.
-        e_lo = entry & ((1 << 20) - 1)
-        e_hi = (entry >> 20) & ((1 << 20) - 1)
-        for c_idx, e_val in ((COL_PC_LO, e_lo), (COL_PC_HI, e_hi)):
-            c = cm31_sub((ext_r[c_idx], ext_i[c_idx]),
-                         _scalar_vec((e_val, 0), big))
-            term = cm31_mul(cm31_mul(c, zf_inv), _scalar_vec(power, big))
-            acc = cm31_add(acc, term)
-            power = cm31_mul_scalar(power, alpha)
     return acc
-
-
-# ============================================================================
-# Verifier-side scalar evaluation at one point
-# ============================================================================
-
-
-def constraint_value_at(row: List[int], next_row: List[int], n_cols: int):
-    """Scalar C_j values from an opened row pair (CM31 tuples: the row
-    layout is [re x n_cols, im x n_cols])."""
-
-    def cval(cols, c):
-        return (cols[c], cols[n_cols + c])
-
-    s_seq = cval(row, COL_IS_SEQ)
-    carry = cval(row, COL_PC_CARRY)
-    one = (1, 0)
-    singles = [
-        cval(row, COL_R0_LIMB0),
-        cval(row, COL_R0_LIMB1),
-        cm31_mul_scalar(s_seq, _sub2(s_seq, one)),
-        cm31_mul_scalar(carry, _sub2(carry, one)),
-    ]
-
-    sel = [cval(row, COL_SEL0 + j) for j in range(N_OPS)]
-    for s in sel:
-        singles.append(cm31_mul_scalar(s, _sub2(s, one)))
-    sel_sum, op_sum = (0, 0), (0, 0)
-    for j in range(N_OPS):
-        sel_sum = _add2(sel_sum, sel[j])
-        op_sum = _add2(op_sum, cm31_mul_scalar(sel[j], (OP_VALUES[j], 0)))
-    singles.append(_sub2(sel_sum, one))
-    singles.append(_sub2(op_sum, cval(row, COL_OPCODE)))
-
-    def onehot_block(base, field_col):
-        blk = [cval(row, base + i) for i in range(16)]
-        for bi in blk:
-            singles.append(cm31_mul_scalar(bi, _sub2(bi, one)))
-        b_sum, f_sum = (0, 0), (0, 0)
-        for i in range(16):
-            b_sum = _add2(b_sum, blk[i])
-            f_sum = _add2(f_sum, cm31_mul_scalar(blk[i], (i, 0)))
-        singles.append(_sub2(b_sum, one))
-        singles.append(_sub2(f_sum, cval(row, field_col)))
-        return blk
-
-    e = onehot_block(COL_RD1H0, COL_RD)
-    e1 = onehot_block(COL_RS1H0, COL_RS1)
-    e2 = onehot_block(COL_RS2H0, COL_RS2)
-
-    c0 = cval(row, COL_CARRY0)
-    c1 = cval(row, COL_CARRY1)
-    s_imm = cval(row, COL_IMM_S)
-    for bcol in (c0, c1, s_imm):
-        singles.append(cm31_mul_scalar(bcol, _sub2(bcol, one)))
-
-    q0 = cval(row, COL_IMM_Q0)
-    singles.append(_sub2(
-        cval(row, COL_IMM_LO),
-        _add2(_add2(q0, cm31_mul_scalar(cval(row, COL_IMM_Q1),
-                                        (1 << 10, 0))),
-              cm31_mul_scalar(s_imm, (1 << 16, 0)))))
-    singles.append(_sub2(
-        q0, _add2(cval(row, COL_RS2),
-                  cm31_mul_scalar(cval(row, COL_IMM_Q0HI), (16, 0)))))
-
-    res_lo = cval(row, COL_RES_LO)
-    res_hi = cval(row, COL_RES_HI)
-    for res, c_base in ((res_lo, COL_RES_CH0), (res_hi, COL_RES_CH0 + 2)):
-        singles.append(_sub2(
-            res, _add2(cval(row, c_base),
-                       cm31_mul_scalar(cval(row, c_base + 1),
-                                       (1 << 10, 0)))))
-
-    def operand(blk, base):
-        acc = (0, 0)
-        for i in range(16):
-            acc = _add2(acc, cm31_mul_scalar(blk[i], cval(row, base + i)))
-        return acc
-
-    a_lo, a_hi = operand(e1, COL_REG_LO), operand(e1, COL_REG_HI)
-    b_lo, b_hi = operand(e2, COL_REG_LO), operand(e2, COL_REG_HI)
-
-    sel_by = {v: sel[j] for j, v in enumerate(OP_VALUES)}
-    two17 = (1 << 20) - (1 << 17)
-    c0_sh = cm31_mul_scalar(c0, (1 << 20, 0))
-    c1_sh = cm31_mul_scalar(c1, (1 << 20, 0))
-
-    def pin(selector, lo_expr, hi_expr):
-        singles.append(cm31_mul_scalar(selector, lo_expr))
-        singles.append(cm31_mul_scalar(selector, hi_expr))
-
-    pin(sel_by[0x00],
-        _sub2(_add2(a_lo, b_lo), _add2(res_lo, c0_sh)),
-        _sub2(_add2(_add2(a_hi, b_hi), c0), _add2(res_hi, c1_sh)))
-    pin(sel_by[0x01],
-        _sub2(_add2(a_lo, c0_sh), _add2(b_lo, res_lo)),
-        _sub2(_add2(a_hi, c1_sh), _add2(_add2(b_hi, c0), res_hi)))
-    i_lo = _add2(cval(row, COL_IMM_LO), cm31_mul_scalar(s_imm, (two17, 0)))
-    i_hi = cm31_mul_scalar(s_imm, ((1 << 20) - 1, 0))
-    pin(sel_by[0x08],
-        _sub2(_add2(a_lo, i_lo), _add2(res_lo, c0_sh)),
-        _sub2(_add2(_add2(a_hi, i_hi), c0), _add2(res_hi, c1_sh)))
-    sel_jump = _add2(sel_by[0x48], sel_by[0x49])
-    pin(sel_jump,
-        _sub2(_add2(cval(row, COL_PC_LO), (4, 0)), _add2(res_lo, c0_sh)),
-        _sub2(_add2(cval(row, COL_PC_HI), c0), _add2(res_hi, c1_sh)))
-
-    taken = cval(row, COL_TAKEN)
-    c2 = cval(row, COL_CARRY2)
-    c3 = cval(row, COL_CARRY3)
-    b_lsb = cval(row, COL_BLSB)
-    for bcol in (taken, c3, b_lsb):
-        singles.append(cm31_mul_scalar(bcol, _sub2(bcol, one)))
-    singles.append(cm31_mul_scalar(
-        cm31_mul_scalar(c2, _sub2(c2, one)), _sub2(c2, (2, 0))))
-
-    def selsum(ops):
-        acc = (0, 0)
-        for v in ops:
-            acc = _add2(acc, sel_by[v])
-        return acc
-
-    sel_loads = selsum(LOAD_OPS)
-    sel_stores = selsum(STORE_OPS)
-    flags_expr = _add2(sel_loads, cm31_mul_scalar(sel_stores, (3, 0)))
-    for v, width in MEM_WIDTHS.items():
-        flags_expr = _add2(flags_expr,
-                           cm31_mul_scalar(sel_by[v], (4 * width, 0)))
-    singles.append(_sub2(cval(row, COL_MEM_FLAGS), flags_expr))
-
-    maddr_lo = cval(row, COL_MEM_ADDR_LO)
-    maddr_hi = cval(row, COL_MEM_ADDR_HI)
-    for limb, c_base in ((maddr_lo, COL_MADDR_CH0),
-                         (maddr_hi, COL_MADDR_CH0 + 2)):
-        singles.append(_sub2(
-            limb, _add2(cval(row, c_base),
-                        cm31_mul_scalar(cval(row, c_base + 1),
-                                        (1 << 10, 0)))))
-
-    g_lo, g_hi = operand(e, COL_REG_LO), operand(e, COL_REG_HI)
-    c2_sh = cm31_mul_scalar(c2, (1 << 20, 0))
-    c3_sh = cm31_mul_scalar(c3, (1 << 20, 0))
-    for sel_m, base_lo, base_hi in ((sel_loads, a_lo, a_hi),
-                                    (sel_stores, g_lo, g_hi)):
-        singles.append(cm31_mul_scalar(sel_m, _add2(
-            _sub2(_sub2(maddr_lo, base_lo), i_lo), c2_sh)))
-        singles.append(cm31_mul_scalar(sel_m, _add2(
-            _sub2(_sub2(_sub2(maddr_hi, base_hi), i_hi), c2), c3_sh)))
-
-    mval_lo = cval(row, COL_MEM_VAL_LO)
-    mval_hi = cval(row, COL_MEM_VAL_HI)
-    sel_zl = selsum(ZEXT_LOAD_OPS)
-    singles.append(cm31_mul_scalar(sel_zl, _sub2(res_lo, mval_lo)))
-    singles.append(cm31_mul_scalar(sel_zl, _sub2(res_hi, mval_hi)))
-    singles.append(cm31_mul_scalar(sel_by[0x3B], _sub2(a_lo, mval_lo)))
-    singles.append(cm31_mul_scalar(sel_by[0x3B], _sub2(a_hi, mval_hi)))
-    singles.append(cm31_mul_scalar(sel_by[0x3A], _sub2(a_lo, mval_lo)))
-    singles.append(cm31_mul_scalar(sel_by[0x3A], _sub2(
-        a_hi, _add2(mval_hi, cm31_mul_scalar(cval(row, COL_SW_TW),
-                                             (1 << 12, 0))))))
-
-    # --- Compare / branch-condition / cmov block (scalar mirror) ---
-    va_lo, va_hi = cval(row, COL_VA_LO), cval(row, COL_VA_HI)
-    vb_lo, vb_hi = cval(row, COL_VB_LO), cval(row, COL_VB_HI)
-    vg_lo, vg_hi = cval(row, COL_VG_LO), cval(row, COL_VG_HI)
-    for vcol, expr in ((va_lo, a_lo), (va_hi, a_hi), (vb_lo, b_lo),
-                       (vb_hi, b_hi), (vg_lo, g_lo), (vg_hi, g_hi)):
-        singles.append(_sub2(vcol, expr))
-    cu_lo, cu_hi = cval(row, COL_CU_LO), cval(row, COL_CU_HI)
-    cb0, cb1 = cval(row, COL_CB0), cval(row, COL_CB1)
-    cinv, ceq = cval(row, COL_CINV), cval(row, COL_CEQ)
-    sa, sb = cval(row, COL_SA), cval(row, COL_SB)
-    x1 = cval(row, COL_X1)
-    for bcol in (cb0, cb1, sa, sb):
-        singles.append(cm31_mul_scalar(bcol, _sub2(bcol, one)))
-    for limb, c_base in ((cu_lo, COL_CCH0), (cu_hi, COL_CCH0 + 2)):
-        singles.append(_sub2(
-            limb, _add2(cval(row, c_base),
-                        cm31_mul_scalar(cval(row, c_base + 1),
-                                        (1 << 10, 0)))))
-    s_eq = _add2(cu_lo, cu_hi)
-    singles.append(_sub2(_add2(ceq, cm31_mul_scalar(s_eq, cinv)), one))
-    singles.append(cm31_mul_scalar(ceq, s_eq))
-    singles.append(_sub2(
-        x1, _sub2(_add2(cb1, sa),
-                  cm31_mul_scalar(cm31_mul_scalar(cb1, sa), (2, 0)))))
-    lts = _sub2(_add2(x1, sb),
-                cm31_mul_scalar(cm31_mul_scalar(x1, sb), (2, 0)))
-    sel_cmp = selsum(COMPARE_OPS)
-    sel_brf = selsum(BRANCH_OPS)
-    sel_cmovf = selsum(CMOV_OPS)
-    cb0_sh = cm31_mul_scalar(cb0, (1 << 20, 0))
-    cb1_sh = cm31_mul_scalar(cb1, (1 << 20, 0))
-    sign_dec_a = _add2(_add2(
-        cval(row, COL_AR0),
-        cm31_mul_scalar(cval(row, COL_AR1), (1 << 10, 0))),
-        cm31_mul_scalar(sa, (1 << 19, 0)))
-    sign_dec_b = _add2(_add2(
-        cval(row, COL_BR0),
-        cm31_mul_scalar(cval(row, COL_BR1), (1 << 10, 0))),
-        cm31_mul_scalar(sb, (1 << 19, 0)))
-    for sel_f, x_lo, x_hi, y_lo, y_hi in (
-            (sel_cmp, va_lo, va_hi, vb_lo, vb_hi),
-            (sel_brf, vg_lo, vg_hi, va_lo, va_hi)):
-        singles.append(cm31_mul_scalar(sel_f, _add2(
-            _sub2(_sub2(x_lo, y_lo), cu_lo), cb0_sh)))
-        singles.append(cm31_mul_scalar(sel_f, _add2(
-            _sub2(_sub2(_sub2(x_hi, y_hi), cb0), cu_hi), cb1_sh)))
-        singles.append(cm31_mul_scalar(sel_f, _sub2(x_hi, sign_dec_a)))
-        singles.append(cm31_mul_scalar(sel_f, _sub2(y_hi, sign_dec_b)))
-    singles.append(cm31_mul_scalar(sel_cmovf, _sub2(cu_lo, vb_lo)))
-    singles.append(cm31_mul_scalar(sel_cmovf, _sub2(cu_hi, vb_hi)))
-    singles.append(cm31_mul_scalar(sel_cmp, res_hi))
-    for v, pred, neg in ((0x20, cb1, False), (0x21, cb1, True),
-                         (0x22, lts, False), (0x23, lts, True),
-                         (0x24, ceq, False), (0x25, ceq, True)):
-        want = _sub2(one, pred) if neg else pred
-        singles.append(cm31_mul_scalar(sel_by[v], _sub2(res_lo, want)))
-    for v, pred, neg in ((0x40, ceq, False), (0x41, ceq, True),
-                         (0x42, lts, False), (0x43, lts, True),
-                         (0x44, cb1, False), (0x45, cb1, True)):
-        want = _sub2(one, pred) if neg else pred
-        singles.append(cm31_mul_scalar(sel_by[v], _sub2(taken, want)))
-    sel_nz = _add2(sel_by[0x26], sel_by[0x28])
-    nceq = _sub2(one, ceq)
-    for selc, cond in ((sel_nz, nceq), (sel_by[0x27], ceq)):
-        ncond = _sub2(one, cond)
-        singles.append(cm31_mul_scalar(selc, _sub2(
-            res_lo, _add2(cm31_mul_scalar(cond, va_lo),
-                          cm31_mul_scalar(ncond, vg_lo)))))
-        singles.append(cm31_mul_scalar(selc, _sub2(
-            res_hi, _add2(cm31_mul_scalar(cond, va_hi),
-                          cm31_mul_scalar(ncond, vg_hi)))))
-
-    # --- Halt-chain block (scalar mirror) ---
-    eex = cval(row, COL_EEX)
-    einv = cval(row, COL_EINV)
-    s10 = _add2(cval(row, COL_REG_LO + 10), cval(row, COL_REG_HI + 10))
-    sel_ec = sel_by[0x50]
-    sel_eb = sel_by[0x51]
-    singles.append(cm31_mul_scalar(eex, _sub2(eex, one)))
-    singles.append(cm31_mul_scalar(sel_ec, _sub2(
-        _add2(eex, cm31_mul_scalar(s10, einv)), one)))
-    singles.append(cm31_mul_scalar(sel_ec, cm31_mul_scalar(eex, s10)))
-
-    # --- Multiply/divide block (scalar mirror) ---
-    sel_mul, sel_mulh = sel_by[0x02], sel_by[0x03]
-    sel_divf = selsum((0x04, 0x05, 0x06, 0x07))
-    sel_mulf = _add2(sel_mul, sel_mulh)
-    sel_md = _add2(sel_mulf, sel_divf)
-    xq = [cval(row, COL_XQ0 + i) for i in range(4)]
-    yq = [cval(row, COL_YQ0 + i) for i in range(4)]
-    pl = [cval(row, COL_PL0 + i) for i in range(4)]
-    dr = [cval(row, COL_DR0 + i) for i in range(4)]
-    uc = [cval(row, COL_U0 + i) for i in range(4)]
-
-    def comb2(c0v, c1v):
-        return _add2(c0v, cm31_mul_scalar(c1v, (1 << 10, 0)))
-
-    xq_lo, xq_hi = comb2(xq[0], xq[1]), comb2(xq[2], xq[3])
-    yq_lo, yq_hi = comb2(yq[0], yq[1]), comb2(yq[2], yq[3])
-    dr_lo, dr_hi = comb2(dr[0], dr[1]), comb2(dr[2], dr[3])
-    pl_lo, pl_hi = comb2(pl[0], pl[1]), comb2(pl[2], pl[3])
-    u_lo, u_hi = comb2(uc[0], uc[1]), comb2(uc[2], uc[3])
-    singles.append(cm31_mul_scalar(sel_mulf, _sub2(va_lo, xq_lo)))
-    singles.append(cm31_mul_scalar(sel_mulf, _sub2(va_hi, xq_hi)))
-    singles.append(cm31_mul_scalar(sel_md, _sub2(vb_lo, yq_lo)))
-    singles.append(cm31_mul_scalar(sel_md, _sub2(vb_hi, yq_hi)))
-    sel_qres = _add2(sel_by[0x04], sel_by[0x06])
-    singles.append(cm31_mul_scalar(sel_qres, _sub2(res_lo, xq_lo)))
-    singles.append(cm31_mul_scalar(sel_qres, _sub2(res_hi, xq_hi)))
-    sel_rres = _add2(sel_by[0x05], sel_by[0x07])
-    singles.append(cm31_mul_scalar(sel_rres, _sub2(res_lo, dr_lo)))
-    singles.append(cm31_mul_scalar(sel_rres, _sub2(res_hi, dr_hi)))
-    kvals = [cval(row, COL_K0)]
-    for cc, bits in ((COL_K1C, 1), (COL_K2C, 2), (COL_K3C, 2),
-                     (COL_K4C, 2), (COL_K5C, 2), (COL_K6C, 1)):
-        b0v = cval(row, cc + 1)
-        singles.append(cm31_mul_scalar(b0v, _sub2(b0v, one)))
-        hi_part = b0v
-        if bits == 2:
-            b1v = cval(row, cc + 2)
-            singles.append(cm31_mul_scalar(b1v, _sub2(b1v, one)))
-            hi_part = _add2(b0v, cm31_mul_scalar(b1v, (2, 0)))
-        kvals.append(_add2(cval(row, cc),
-                           cm31_mul_scalar(hi_part, (1 << 10, 0))))
-    s_sums = []
-    for t in range(7):
-        acc = (0, 0)
-        for i in range(4):
-            j = t - i
-            if 0 <= j < 4:
-                acc = _add2(acc, cm31_mul_scalar(xq[i], yq[j]))
-        s_sums.append(acc)
-    res_ch = [cval(row, COL_RES_CH0 + i) for i in range(4)]
-    sel_plchain = _add2(sel_mulh, sel_divf)
-    for t in range(4):
-        base_e = s_sums[t] if t == 0 else _add2(s_sums[t], kvals[t - 1])
-        k_sh = cm31_mul_scalar(kvals[t], (1 << 10, 0))
-        singles.append(cm31_mul_scalar(sel_mul, _sub2(
-            base_e, _add2(res_ch[t], k_sh))))
-        singles.append(cm31_mul_scalar(sel_plchain, _sub2(
-            base_e, _add2(pl[t], k_sh))))
-    for t in range(4, 7):
-        base_e = _add2(s_sums[t], kvals[t - 1])
-        singles.append(cm31_mul_scalar(sel_mulh, _sub2(
-            base_e, _add2(res_ch[t - 4],
-                          cm31_mul_scalar(kvals[t], (1 << 10, 0))))))
-    singles.append(cm31_mul_scalar(sel_mulh, _sub2(res_ch[3], kvals[6])))
-    singles.append(cm31_mul_scalar(sel_divf, _add2(s_sums[4], kvals[3])))
-    singles.append(cm31_mul_scalar(sel_divf, s_sums[5]))
-    singles.append(cm31_mul_scalar(sel_divf, s_sums[6]))
-    cd0, e0 = cval(row, COL_CD0), cval(row, COL_E0)
-    singles.append(cm31_mul_scalar(cd0, _sub2(cd0, one)))
-    singles.append(cm31_mul_scalar(e0, _sub2(e0, one)))
-    singles.append(cm31_mul_scalar(sel_divf, _sub2(
-        _add2(pl_lo, dr_lo),
-        _add2(va_lo, cm31_mul_scalar(cd0, (1 << 20, 0))))))
-    singles.append(cm31_mul_scalar(sel_divf, _sub2(
-        _add2(_add2(pl_hi, dr_hi), cd0), va_hi)))
-    singles.append(cm31_mul_scalar(sel_divf, _sub2(
-        _add2(_add2(u_lo, one), dr_lo),
-        _add2(vb_lo, cm31_mul_scalar(e0, (1 << 20, 0))))))
-    singles.append(cm31_mul_scalar(sel_divf, _sub2(
-        _add2(_add2(u_hi, dr_hi), e0), vb_hi)))
-
-    pc_lo = cval(row, COL_PC_LO)
-    pc_hi = cval(row, COL_PC_HI)
-    pc_lo_n = cval(next_row, COL_PC_LO)
-    pc_hi_n = cval(next_row, COL_PC_HI)
-    t1 = _add2(_sub2(_sub2(pc_lo_n, pc_lo), (4, 0)),
-               cm31_mul_scalar(carry, (1 << 20, 0)))
-    t2 = _sub2(_sub2(pc_hi_n, pc_hi), carry)
-    transitions = [
-        cm31_mul_scalar(s_seq, t1),
-        cm31_mul_scalar(s_seq, t2),
-    ]
-
-    w = (0, 0)
-    for j, v in enumerate(OP_VALUES):
-        if v in WRITING_OPS:
-            w = _add2(w, sel[j])
-    sel_ecall = sel[OP_VALUES.index(OP_ECALL)]
-    for r in range(1, 16):
-        allow = cm31_mul_scalar(w, e[r])
-        if r == 10:
-            allow = _add2(allow, sel_ecall)
-        factor = _sub2(one, allow)
-        for base in (COL_REG_LO, COL_REG_HI):
-            delta = _sub2(cval(next_row, base + r), cval(row, base + r))
-            transitions.append(cm31_mul_scalar(factor, delta))
-
-    for r in range(1, 16):
-        we = cm31_mul_scalar(w, e[r])
-        transitions.append(cm31_mul_scalar(
-            we, _sub2(cval(next_row, COL_REG_LO + r), res_lo)))
-        transitions.append(cm31_mul_scalar(
-            we, _sub2(cval(next_row, COL_REG_HI + r), res_hi)))
-
-    sel_br = (0, 0)
-    for v in BRANCH_OPS:
-        sel_br = _add2(sel_br, sel_by[v])
-    c2_sh = cm31_mul_scalar(c2, (1 << 20, 0))
-    c3_sh = cm31_mul_scalar(c3, (1 << 20, 0))
-    d_lo = _add2(cm31_mul_scalar(taken, i_lo),
-                 cm31_mul_scalar(_sub2(one, taken), (4, 0)))
-    transitions.append(cm31_mul_scalar(sel_br, _add2(
-        _sub2(_sub2(cval(next_row, COL_PC_LO), pc_lo), d_lo), c2_sh)))
-    transitions.append(cm31_mul_scalar(sel_br, _add2(
-        _sub2(_sub2(_sub2(cval(next_row, COL_PC_HI), pc_hi),
-                    cm31_mul_scalar(taken, i_hi)), c2), c3_sh)))
-    jal_off = _add2(cm31_mul_scalar(cval(row, COL_IMM_LO), (16, 0)),
-                    cval(row, COL_RS1))
-    transitions.append(cm31_mul_scalar(sel_by[0x48], _add2(
-        _sub2(_sub2(cval(next_row, COL_PC_LO), pc_lo), jal_off), c2_sh)))
-    transitions.append(cm31_mul_scalar(sel_by[0x48], _add2(
-        _sub2(_sub2(_sub2(cval(next_row, COL_PC_HI), pc_hi),
-                    cm31_mul_scalar(s_imm, (0xFFFFE, 0))), c2), c3_sh)))
-    transitions.append(cm31_mul_scalar(sel_by[0x49], _add2(_add2(
-        _sub2(_sub2(cval(next_row, COL_PC_LO), a_lo), i_lo), b_lsb),
-        c2_sh)))
-    transitions.append(cm31_mul_scalar(sel_by[0x49], _add2(
-        _sub2(_sub2(_sub2(cval(next_row, COL_PC_HI), a_hi), i_hi), c2),
-        c3_sh)))
-
-    # Halt chain (scalar mirror).
-    sel_eb_next = cval(next_row, COL_SEL0 + OP_VALUES.index(0x51))
-    transitions.append(cm31_mul_scalar(sel_eb, _sub2(one, sel_eb_next)))
-    transitions.append(cm31_mul_scalar(cm31_mul_scalar(sel_ec, eex),
-                                       _sub2(one, sel_eb_next)))
-    ec_adv = cm31_mul_scalar(sel_ec, _sub2(one, eex))
-    transitions.append(cm31_mul_scalar(ec_adv, t1))
-    transitions.append(cm31_mul_scalar(ec_adv, t2))
-
-    firsts = [cval(row, base + r)
-              for r in range(1, 16) for base in (COL_REG_LO, COL_REG_HI)]
-    return singles, transitions, firsts
-
-
-def lookup_constraint_values_at(row, next_row, s_row, s_next, n_cols: int,
-                                beta: Tuple[int, int],
-                                n_sums: int = NUM_LOOKUP):
-    """Scalar LogUp constraint values from opened rows.
-
-    ``s_row``/``s_next`` are the opened partial-sum rows: CM31 layout
-    [re x n_sums, im x n_sums] (n_sums > NUM_LOOKUP when the program
-    channel is present)."""
-
-    def cval(cols, c):
-        return (cols[c], cols[n_cols + c])
-
-    def sval(cols, k):
-        return (cols[k], cols[n_sums + k])
-
-    t = cval(row, COL_TABLE)
-    bt = _sub2(beta, t)
-
-    out = []
-    for k, (_, const, terms) in enumerate(CHANNELS):
-        w = (const % P, 0)
-        for c, coef in terms:
-            w = _add2(w, cm31_mul_scalar(cval(row, c), (coef % P, 0)))
-        m = cval(row, COL_MULT0 + k)
-        s = sval(s_row, k)
-        s_n = sval(s_next, k)
-        bw = _sub2(beta, w)
-        lhs = cm31_mul_scalar(cm31_mul_scalar(_sub2(s_n, s), bw), bt)
-        rhs = _sub2(bt, cm31_mul_scalar(m, bw))
-        out.append(_sub2(lhs, rhs))
-    return out
 
 
 def quotient_value_at(row, next_row, n_cols: int, index: int, log_n: int,
                       log_blowup: int, shift: Tuple[int, int],
-                      alpha: Tuple[int, int], lookup=None, program=None,
-                      memory=None):
+                      alpha: Tuple[int, int], lookup=None, aux=None,
+                      program=None, memory=None):
     """Scalar Q(x_index) recomputed from opened rows (verifier side).
 
     ``lookup``: optional (s_row, s_next, beta).
+    ``aux``: optional (aux_row, eta); its partial sums are sums columns
+    NUM_LOOKUP..NUM_LOOKUP+NUM_AUX.
     ``memory``: optional (delta,); its partial sum is sums column
-    NUM_LOOKUP.
+    NUM_LOOKUP + NUM_AUX.
     ``program``: optional (prog_row, gamma, entry); its partial sum is
     the last sums column."""
+    s_row = s_next = prog_row = aux_row = None
+    n_sums = 0
+    lk = ak = mk = pk = None
+    if lookup is not None:
+        s_row, s_next, beta = lookup
+        n_sums = (NUM_LOOKUP
+                  + (NUM_AUX if aux is not None else 0)
+                  + (1 if memory is not None else 0)
+                  + (1 if program is not None else 0))
+        lk = beta
+    if aux is not None:
+        aux_row, eta = aux
+        ak = (beta, eta)
+    if memory is not None:
+        (delta,) = memory
+        mk = (beta, delta)
+    if program is not None:
+        prog_row, gamma, entry = program
+        pk = (beta, gamma, entry)
+    A = ScalarAlg(row, next_row, n_cols, s_row=s_row, s_next=s_next,
+                  n_sums=n_sums, prog_row=prog_row, aux_row=aux_row)
+    terms = quotient_terms(A, lookup=lk, aux=ak, memory=mk, program=pk)
+
     n = 1 << log_n
-    singles, transitions, firsts = constraint_value_at(row, next_row, n_cols)
     x = cm31_mul_scalar(shift,
                         cm31_pow_scalar(root_of_unity(log_n + log_blowup),
                                         index))
-    zh = _sub2(cm31_pow_scalar(x, n), (1, 0))
+    zh = A.sub(cm31_pow_scalar(x, n), (1, 0))
     last = cm31_pow_scalar(root_of_unity(log_n), n - 1)
-    ztrans = cm31_mul_scalar(zh, cm31_inv_scalar(_sub2(x, last)))
-
-    zh_inv = cm31_inv_scalar(zh)
-    zt_inv = cm31_inv_scalar(ztrans)
-    zf_inv = cm31_inv_scalar(_sub2(x, (1, 0)))
+    x_last = A.sub(x, last)
+    dinv = {
+        "H": cm31_inv_scalar(zh),
+        "T": cm31_inv_scalar(cm31_mul_scalar(zh, cm31_inv_scalar(x_last))),
+        "F": cm31_inv_scalar(A.sub(x, (1, 0))),
+        "L": cm31_inv_scalar(x_last),
+    }
     acc = (0, 0)
     power = (1, 0)
-    for c in singles:
-        acc = _add2(acc, cm31_mul_scalar(cm31_mul_scalar(c, zh_inv), power))
+    for tag, c in terms:
+        acc = A.add(acc, cm31_mul_scalar(cm31_mul_scalar(c, dinv[tag]),
+                                         power))
         power = cm31_mul_scalar(power, alpha)
-    for c in transitions:
-        acc = _add2(acc, cm31_mul_scalar(cm31_mul_scalar(c, zt_inv), power))
-        power = cm31_mul_scalar(power, alpha)
-    for c in firsts:
-        acc = _add2(acc, cm31_mul_scalar(cm31_mul_scalar(c, zf_inv), power))
-        power = cm31_mul_scalar(power, alpha)
-    if lookup is not None:
-        s_row, s_next, beta = lookup
-        n_sums = (NUM_LOOKUP + (1 if memory is not None else 0)
-                  + (1 if program is not None else 0))
-        for c in lookup_constraint_values_at(row, next_row, s_row, s_next,
-                                             n_cols, beta, n_sums=n_sums):
-            acc = _add2(acc, cm31_mul_scalar(
-                cm31_mul_scalar(c, zh_inv), power))
-            power = cm31_mul_scalar(power, alpha)
-        # Table-pinning constraints.
-        zl_inv = cm31_inv_scalar(_sub2(x, last))
-        t = (row[COL_TABLE], row[n_cols + COL_TABLE])
-        t_n = (next_row[COL_TABLE], next_row[n_cols + COL_TABLE])
-        dt = _sub2(t_n, t)
-        stair = cm31_mul_scalar(dt, _sub2(dt, (1, 0)))
-        t_last_c = _sub2(t, (1023, 0))
-        for c, dinv in ((t, zf_inv), (stair, zt_inv), (t_last_c, zl_inv)):
-            acc = _add2(acc, cm31_mul_scalar(
-                cm31_mul_scalar(c, dinv), power))
-            power = cm31_mul_scalar(power, alpha)
-    if memory is not None:
-        (delta,) = memory
-        s_row, s_next, beta = lookup
-        n_sums = (NUM_LOOKUP + 1 + (1 if program is not None else 0))
-        m_singles, m_trans, m_firsts = memory_constraint_values_at(
-            row, next_row, n_cols)
-        for cs, dinv in ((m_singles, zh_inv), (m_trans, zt_inv),
-                         (m_firsts, zf_inv)):
-            for c in cs:
-                acc = _add2(acc, cm31_mul_scalar(
-                    cm31_mul_scalar(c, dinv), power))
-                power = cm31_mul_scalar(power, alpha)
-
-        def cval(cols, c):
-            return (cols[c], cols[n_cols + c])
-
-        def tuple6(cols, flag):
-            acc6 = cval(row, cols[0])
-            p6 = delta
-            for c in cols[1:]:
-                acc6 = _add2(acc6, cm31_mul_scalar(cval(row, c), p6))
-                p6 = cm31_mul_scalar(p6, delta)
-            return _add2(acc6, cm31_mul_scalar(flag, p6))
-
-        sel_ld = cval(row, COL_SEL0 + OP_VALUES.index(0x35))
-        sel_sd = cval(row, COL_SEL0 + OP_VALUES.index(0x3B))
-        v = _add2(sel_ld, sel_sd)
-        w = tuple6((COL_MEM_ADDR_LO, COL_MEM_ADDR_HI, COL_CLK,
-                    COL_MEM_VAL_LO, COL_MEM_VAL_HI), sel_sd)
-        t_mem = tuple6((M_ADDR_LO, M_ADDR_HI, M_CLK, M_VAL_LO, M_VAL_HI),
-                       cval(row, M_W))
-        m_real = cval(row, M_REAL)
-        s = (s_row[NUM_LOOKUP], s_row[n_sums + NUM_LOOKUP])
-        s_n = (s_next[NUM_LOOKUP], s_next[n_sums + NUM_LOOKUP])
-        bw = _sub2(beta, w)
-        bt = _sub2(beta, t_mem)
-        lhs = cm31_mul_scalar(cm31_mul_scalar(_sub2(s_n, s), bw), bt)
-        rhs = _sub2(cm31_mul_scalar(v, bt), cm31_mul_scalar(m_real, bw))
-        acc = _add2(acc, cm31_mul_scalar(
-            cm31_mul_scalar(_sub2(lhs, rhs), zh_inv), power))
-        power = cm31_mul_scalar(power, alpha)
-    if program is not None:
-        prog_row, gamma, entry = program
-        s_row, s_next, beta = lookup
-        n_sums = (NUM_LOOKUP + 1 + (1 if memory is not None else 0))
-
-        def cval(cols, c):
-            return (cols[c], cols[n_cols + c])
-
-        def pval(c):
-            return (prog_row[c], prog_row[4 + c])
-
-        g2 = cm31_mul_scalar(gamma, gamma)
-        g3 = cm31_mul_scalar(g2, gamma)
-        f = (0, 0)
-        for c, coef in PROG_F_TERMS:
-            f = _add2(f, cm31_mul_scalar(cval(row, c), (coef, 0)))
-        w = _add2(_add2(cval(row, COL_PC_LO),
-                        cm31_mul_scalar(cval(row, COL_PC_HI), gamma)),
-                  _add2(cm31_mul_scalar(f, g2),
-                        cm31_mul_scalar(cval(row, COL_IMM_LO), g3)))
-        t_prog = _add2(_add2(pval(0), cm31_mul_scalar(pval(1), gamma)),
-                       _add2(cm31_mul_scalar(pval(2), g2),
-                             cm31_mul_scalar(pval(3), g3)))
-        m = cval(row, COL_PROG_M)
-        idx_prog = n_sums - 1
-        s = (s_row[idx_prog], s_row[n_sums + idx_prog])
-        s_n = (s_next[idx_prog], s_next[n_sums + idx_prog])
-        bw = _sub2(beta, w)
-        bt = _sub2(beta, t_prog)
-        lhs = cm31_mul_scalar(cm31_mul_scalar(_sub2(s_n, s), bw), bt)
-        rhs = _sub2(bt, cm31_mul_scalar(m, bw))
-        acc = _add2(acc, cm31_mul_scalar(
-            cm31_mul_scalar(_sub2(lhs, rhs), zh_inv), power))
-        power = cm31_mul_scalar(power, alpha)
-
-        e_lo = entry & ((1 << 20) - 1)
-        e_hi = (entry >> 20) & ((1 << 20) - 1)
-        for c_idx, e_val in ((COL_PC_LO, e_lo), (COL_PC_HI, e_hi)):
-            c = _sub2(cval(row, c_idx), (e_val, 0))
-            acc = _add2(acc, cm31_mul_scalar(
-                cm31_mul_scalar(c, zf_inv), power))
-            power = cm31_mul_scalar(power, alpha)
     return acc
-
-
-def _add2(a, b):
-    return ((a[0] + b[0]) % P, (a[1] + b[1]) % P)
-
-
-def _sub2(a, b):
-    return ((a[0] - b[0]) % P, (a[1] - b[1]) % P)

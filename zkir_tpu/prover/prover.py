@@ -43,7 +43,9 @@ from ..ops.ntt import (
 )
 from ..spec.field import M31_PRIME
 from .challenger import Challenger
-from .constraints import NUM_LOOKUP, quotient_evals, quotient_value_at
+from .aux_table import N_AUX_COLS, preprocess_aux
+from .constraints import (NUM_AUX, NUM_LOOKUP, quotient_evals,
+                          quotient_value_at)
 from .fri import FriConfig, fri_prove, fri_verify
 
 P = M31_PRIME
@@ -67,7 +69,7 @@ def _pad_rows(matrix: np.ndarray, min_log: int = 2):
     honest trace's result-binding / pc-target constraints."""
     from .constraints import (
         COL_CEQ, COL_CLK, COL_OPCODE, COL_RD1H0, COL_REG_LO, COL_RS1H0,
-        COL_RS2H0, COL_SEL0, OP_VALUES)
+        COL_RS2H0, COL_SEL0, COL_SH_D0, COL_SH_PM, COL_SH_Z, OP_VALUES)
 
     n_rows = matrix.shape[0]
     if n_rows > 0 and int(matrix[-1, COL_OPCODE]) not in (0x50, 0x51):
@@ -98,6 +100,9 @@ def _pad_rows(matrix: np.ndarray, min_log: int = 2):
         padded[n_rows:, COL_CLK] = np.arange(n_rows, 1 << log_n,
                                              dtype=np.uint32)
         padded[n_rows:, COL_CEQ] = 1    # eq gadget: cu = 0 on padding
+        padded[n_rows:, COL_SH_Z] = 1   # shq = 0 on padding
+        padded[n_rows:, COL_SH_D0] = 1  # shift-table row 0: (0, 0, 1)
+        padded[n_rows:, COL_SH_PM] = 1
     return padded, log_n
 
 
@@ -149,7 +154,15 @@ def _build_memory_table(padded: np.ndarray, n_real: int) -> None:
         np.where(hieq[1:] == 1, t_al[1:] - t_al[:-1] - 1,
                  t_ah[1:] - t_ah[:-1] - 1))
     if k and not ((gap[1:] >= 0).all() and (gap[1:] < 1 << 20).all()):
-        raise ValueError("memory-table gap outside the 20-bit chunk range")
+        at = int(np.nonzero((gap[1:] < 0) | (gap[1:] >= 1 << 20))[0][0]) + 1
+        raise ValueError(
+            "memory-consistency completeness limit: the gap between "
+            f"consecutive sorted-table rows {at - 1} and {at} "
+            f"(addr {int(t_ah[at]):#x}:{int(t_al[at]):#x}, clk "
+            f"{int(t_clk[at])}) exceeds the 20-bit gap-chunk budget.  "
+            "Two accesses to the same address must be < 2^20 rows apart "
+            "(insert a refresh LD, or split the trace); address runs "
+            "must start < 2^20 above the previous run's address limb")
     padded[:, M_ADDR_LO] = t_al.astype(np.uint32)
     padded[:, M_ADDR_HI] = t_ah.astype(np.uint32)
     padded[:, M_CLK] = t_clk.astype(np.uint32)
@@ -235,8 +248,11 @@ def _channel_witnesses(padded: np.ndarray) -> np.ndarray:
 
 
 def _build_lookup_columns(padded: np.ndarray):
-    """Append the table column t_i = min(i, 1023) and one multiplicity
-    histogram per lookup channel (beta-independent -> phase 1)."""
+    """Append the table column t_i = min(i, 1023), one multiplicity
+    histogram per lookup channel, and one per aux-table channel (all
+    challenge-independent -> phase 1)."""
+    from .constraints import AUX_CHANNELS
+
     n = padded.shape[0]
     assert n >= 1024, "range lookup needs >= 1024 rows (full table)"
     t_col = np.minimum(np.arange(n), 1023).astype(np.uint32)
@@ -245,6 +261,13 @@ def _build_lookup_columns(padded: np.ndarray):
         np.bincount(w, minlength=n)[:n].astype(np.uint32)
         for w in witnesses
     ]
+    for _, _, _, idx_terms in AUX_CHANNELS:
+        idx = np.zeros(n, dtype=np.int64)
+        for c, coef in idx_terms:
+            idx += padded[:, c].astype(np.int64) * coef
+        if (idx < 0).any() or (idx >= n).any():
+            raise ValueError("aux-channel witness outside its table")
+        m_cols.append(np.bincount(idx, minlength=n)[:n].astype(np.uint32))
     return np.concatenate(
         [padded, t_col[:, None]] + [m[:, None] for m in m_cols], axis=1)
 
@@ -290,6 +313,64 @@ def _build_partial_sums(padded: np.ndarray, beta):
     cum_i = np.cumsum(term_i.astype(np.int64), axis=1) % P
     s_r = np.zeros((n_ch, n), dtype=np.uint32)
     s_i = np.zeros((n_ch, n), dtype=np.uint32)
+    s_r[:, 1:] = cum_r[:, :-1].astype(np.uint32)
+    s_i[:, 1:] = cum_i[:, :-1].astype(np.uint32)
+    return s_r, s_i
+
+
+def _build_aux_partial_sums(padded: np.ndarray, aux_cols: np.ndarray,
+                            beta, eta):
+    """The aux-table channels' LogUp partial-sum columns (CM31 pairs,
+    [NUM_AUX, n]): witness and table triples are eta-compressed
+    (aux_table.py), so both sides are CM31-valued."""
+    from ..ops.field_ops import m31_batch_inv
+
+    from .constraints import AUX_CHANNELS, COL_AUXM0
+
+    n = padded.shape[0]
+    eta2 = cm31_mul_scalar(eta, eta)
+    pows = ((1, 0), eta, eta2)
+
+    def compress(component_vals):
+        wr = np.zeros(n, dtype=np.uint64)
+        wi = np.zeros(n, dtype=np.uint64)
+        for vals, pw in zip(component_vals, pows):
+            v = vals.astype(np.uint64) % P
+            wr = (wr + v * (pw[0] % P)) % P
+            wi = (wi + v * (pw[1] % P)) % P
+        return wr, wi
+
+    w_r = np.zeros((NUM_AUX, n), dtype=np.uint64)
+    w_i = np.zeros((NUM_AUX, n), dtype=np.uint64)
+    t_r = np.zeros((NUM_AUX, n), dtype=np.uint64)
+    t_i = np.zeros((NUM_AUX, n), dtype=np.uint64)
+    m = np.zeros((NUM_AUX, n), dtype=np.uint64)
+    for k, (_, wspecs, t_base, _idx) in enumerate(AUX_CHANNELS):
+        comps = []
+        for terms in wspecs:
+            acc = np.zeros(n, dtype=np.uint64)
+            for c, coef in terms:
+                acc = (acc + padded[:, c].astype(np.uint64) * coef) % P
+            comps.append(acc)
+        w_r[k], w_i[k] = compress(comps)
+        t_r[k], t_i[k] = compress([aux_cols[t_base + j] for j in range(3)])
+        m[k] = padded[:, COL_AUXM0 + k].astype(np.uint64)
+
+    dr = np.concatenate([(beta[0] - w_r.astype(np.int64)) % P,
+                         (beta[0] - t_r.astype(np.int64)) % P], axis=0)
+    di = np.concatenate([(beta[1] - w_i.astype(np.int64)) % P,
+                         (beta[1] - t_i.astype(np.int64)) % P], axis=0)
+    norm = (dr * dr + di * di) % P
+    ninv = np.asarray(m31_batch_inv(
+        jnp.asarray(norm.astype(np.uint32)))).astype(np.uint64)
+    inv_r = (dr.astype(np.uint64) * ninv) % P
+    inv_i = ((P - di.astype(np.uint64)) % P * ninv) % P
+    term_r = (inv_r[:NUM_AUX] + (P - (m * inv_r[NUM_AUX:]) % P)) % P
+    term_i = (inv_i[:NUM_AUX] + (P - (m * inv_i[NUM_AUX:]) % P)) % P
+    cum_r = np.cumsum(term_r.astype(np.int64), axis=1) % P
+    cum_i = np.cumsum(term_i.astype(np.int64), axis=1) % P
+    s_r = np.zeros((NUM_AUX, n), dtype=np.uint32)
+    s_i = np.zeros((NUM_AUX, n), dtype=np.uint32)
     s_r[:, 1:] = cum_r[:, :-1].astype(np.uint32)
     s_i[:, 1:] = cum_i[:, :-1].astype(np.uint32)
     return s_r, s_i
@@ -467,6 +548,9 @@ def prove_trace(matrix: np.ndarray,
         _build_memory_table(padded, n_real)
     prog = None
     entry_point = 0
+    aux_pre = None
+    if range_lookup:
+        aux_pre = preprocess_aux(log_n, fri_config.log_blowup)
     if program is not None:
         code_words = list(program.code)
         entry_point = int(program.header.entry_point)
@@ -521,15 +605,19 @@ def prove_trace(matrix: np.ndarray,
     challenger.observe(log_n)
     challenger.observe(n_cols)
     challenger.observe_many(int(x) for x in root1)
+    if aux_pre is not None:
+        challenger.observe_many(int(x) for x in aux_pre["root"])
     if prog is not None:
         challenger.observe_many(int(x) for x in prog["root"])
         challenger.observe(entry_point)
         challenger.observe(len(code_words))
 
     # Phase 1.5 (lookup only): beta challenge -> partial-sum columns.
-    # Sums-column layout: NUM_LOOKUP channel sums, then the memory
-    # multiset sum, then (if program-bound) the program sum.
+    # Sums-column layout: NUM_LOOKUP channel sums, NUM_AUX aux-table
+    # channel sums, the memory multiset sum, then (if program-bound) the
+    # program sum.
     lookup = None
+    aux_args = None
     memory_args = None
     program_args = None
     levels_s = None
@@ -538,10 +626,13 @@ def prove_trace(matrix: np.ndarray,
         beta = challenger.sample_cm31()
         gamma = challenger.sample_cm31() if prog is not None else None
         delta = challenger.sample_cm31()
+        eta = challenger.sample_cm31()
         s_r, s_i = _build_partial_sums(padded, beta)
+        sa_r, sa_i = _build_aux_partial_sums(padded, aux_pre["cols"],
+                                             beta, eta)
         sm_r, sm_i = _memory_partial_sum(padded, beta, delta)
-        s_r = np.concatenate([s_r, sm_r[None, :]], axis=0)
-        s_i = np.concatenate([s_i, sm_i[None, :]], axis=0)
+        s_r = np.concatenate([s_r, sa_r, sm_r[None, :]], axis=0)
+        s_i = np.concatenate([s_i, sa_i, sm_i[None, :]], axis=0)
         if prog is not None:
             sp_r, sp_i = _program_partial_sum(padded, prog["cols"], beta,
                                               gamma)
@@ -554,11 +645,14 @@ def prove_trace(matrix: np.ndarray,
         root_s = merkle.root(levels_s)
         challenger.observe_many(int(x) for x in root_s)
         lookup = ((s_ext_r[:NUM_LOOKUP], s_ext_i[:NUM_LOOKUP]), beta)
-        memory_args = ((s_ext_r[NUM_LOOKUP], s_ext_i[NUM_LOOKUP]), delta)
+        aux_args = (aux_pre["ext"],
+                    (s_ext_r[NUM_LOOKUP:NUM_LOOKUP + NUM_AUX],
+                     s_ext_i[NUM_LOOKUP:NUM_LOOKUP + NUM_AUX]), eta)
+        i_mem = NUM_LOOKUP + NUM_AUX
+        memory_args = ((s_ext_r[i_mem], s_ext_i[i_mem]), delta)
         if prog is not None:
             program_args = (prog["ext"],
-                            (s_ext_r[NUM_LOOKUP + 1],
-                             s_ext_i[NUM_LOOKUP + 1]),
+                            (s_ext_r[i_mem + 1], s_ext_i[i_mem + 1]),
                             gamma, entry_point)
 
     alpha_c = challenger.sample_cm31()
@@ -568,8 +662,8 @@ def prove_trace(matrix: np.ndarray,
     # every committed column at the same FRI degree bound while allowing
     # constraints up to degree 3).
     q = quotient_evals(ext_r, ext_i, log_n, fri_config.log_blowup, shift,
-                       alpha_c, lookup=lookup, program=program_args,
-                       memory=memory_args)
+                       alpha_c, lookup=lookup, aux=aux_args,
+                       program=program_args, memory=memory_args)
     qc_r, qc_i = coset_intt(q[0], q[1], log_big, shift=shift)
     n_rows = 1 << log_n
     q_chunks = []
@@ -615,6 +709,8 @@ def prove_trace(matrix: np.ndarray,
         }
         if s_np is not None:
             entry["sums"] = _open_rows(s_np, levels_s, indices)
+            entry["aux"] = _open_rows(aux_pre["rows"], aux_pre["levels"],
+                                      indices)
         if prog is not None:
             entry["prog"] = _open_rows(prog["rows"], prog["levels"],
                                        indices)
@@ -671,10 +767,17 @@ def verify_trace(proof: Dict[str, Any], program=None) -> bool:
     if prog_pub is not None and not range_lookup:
         return False
 
+    aux_pre = preprocess_aux(log_n, config.log_blowup) if range_lookup \
+        else None
+
     challenger = Challenger()
     challenger.observe(log_n)
     challenger.observe(n_cols)
     challenger.observe_many(int(x) for x in proof["trace_root"])
+    if aux_pre is not None:
+        # The aux-table root is recomputed from scratch (deterministic
+        # per log_n), never read from the proof.
+        challenger.observe_many(int(x) for x in aux_pre["root"])
     if prog_pub is not None:
         challenger.observe_many(int(x) for x in prog_pub["root"])
         challenger.observe(int(prog_pub["entry"]))
@@ -682,12 +785,15 @@ def verify_trace(proof: Dict[str, Any], program=None) -> bool:
     beta = None
     gamma = None
     delta = None
-    n_sums = NUM_LOOKUP + 1 + (1 if prog_pub is not None else 0)
+    eta = None
+    n_sums = (NUM_LOOKUP + NUM_AUX + 1
+              + (1 if prog_pub is not None else 0))
     if range_lookup:
         beta = challenger.sample_cm31()
         if prog_pub is not None:
             gamma = challenger.sample_cm31()
         delta = challenger.sample_cm31()
+        eta = challenger.sample_cm31()
         challenger.observe_many(int(x) for x in proof["sums_root"])
     alpha_c = challenger.sample_cm31()
     challenger.observe_many(int(x) for x in proof["quotient_root"])
@@ -702,6 +808,8 @@ def verify_trace(proof: Dict[str, Any], program=None) -> bool:
     q_root = np.asarray(proof["quotient_root"], dtype=np.uint32)
     s_root = (np.asarray(proof["sums_root"], dtype=np.uint32)
               if range_lookup else None)
+    aux_root = (np.asarray(aux_pre["root"], dtype=np.uint32)
+                if aux_pre is not None else None)
     p_root = (np.asarray(prog_pub["root"], dtype=np.uint32)
               if prog_pub is not None else None)
 
@@ -724,6 +832,7 @@ def verify_trace(proof: Dict[str, Any], program=None) -> bool:
         rows: Dict[int, List[int]] = {}
         q_vals: Dict[int, Tuple[int, int]] = {}
         s_vals: Dict[int, List[int]] = {}
+        a_vals: Dict[int, List[int]] = {}
         p_vals: Dict[int, List[int]] = {}
         needed = {k, (k + blowup) % big, k + half, (k + half + blowup) % big}
         for j in needed:
@@ -739,6 +848,11 @@ def verify_trace(proof: Dict[str, Any], program=None) -> bool:
                 if srow is None:
                     return False
                 s_vals[j] = srow
+                arow = check_opening(opening["aux"], aux_root, j,
+                                     2 * N_AUX_COLS)
+                if arow is None:
+                    return False
+                a_vals[j] = arow
             if prog_pub is not None:
                 prow = check_opening(opening["prog"], p_root, j, 8)
                 if prow is None:
@@ -773,17 +887,19 @@ def verify_trace(proof: Dict[str, Any], program=None) -> bool:
             # recomputed combination of constraints at the opened rows.
             jn = (j + blowup) % big
             lookup_args = None
+            aux_args = None
             memory_args = None
             program_args = None
             if range_lookup:
                 lookup_args = (s_vals[j], s_vals[jn], beta)
+                aux_args = (a_vals[j], eta)
                 memory_args = (delta,)
             if prog_pub is not None:
                 program_args = (p_vals[j], gamma, int(prog_pub["entry"]))
             expected_q = quotient_value_at(
                 rows[j], rows[jn], n_cols, j, log_n, config.log_blowup,
-                shift, alpha_c, lookup=lookup_args, program=program_args,
-                memory=memory_args)
+                shift, alpha_c, lookup=lookup_args, aux=aux_args,
+                program=program_args, memory=memory_args)
             x = cm31_mul_scalar(
                 shift, cm31_pow_scalar(root_of_unity(log_big), j))
             xn = cm31_pow_scalar(x, 1 << log_n)

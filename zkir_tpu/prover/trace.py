@@ -179,7 +179,53 @@ COL_DR0 = MD_BASE + 29            # 4 remainder chunks
 COL_U0 = MD_BASE + 33             # 4 chunks of u = b - 1 - r
 COL_CD0 = MD_BASE + 37            # a = pl + r lo-limb carry bit
 COL_E0 = MD_BASE + 38             # u lo-limb borrow bit
-N_COLUMNS = MD_BASE + 39
+# Logical block (AND/OR/XOR + immediates, execute.rs:147-165 semantics on
+# the canonical 40-bit views).  One committed AND value c = a & b plus
+# 5-bit chunk decompositions of a, b, c (8 chunks each; chunks 0-3 are
+# the low limb).  Challenge-compressed LogUp against the preprocessed
+# AND table (prover/aux_table.py) pins each (a_k, b_k, c_k) triple; the
+# carry-free identities XOR = a + b - 2c and OR = a + b - c pin the
+# other two ops.  b is vb on register variants, sext17(imm) on
+# immediate variants.
+LG_BASE = MD_BASE + 39
+COL_LG_A0 = LG_BASE               # 8 a-operand 5-bit chunks
+COL_LG_B0 = LG_BASE + 8           # 8 b-operand 5-bit chunks
+COL_LG_C0 = LG_BASE + 16          # 8 AND-value 5-bit chunks
+COL_LG_C_LO = LG_BASE + 24        # AND value limbs
+COL_LG_C_HI = LG_BASE + 25
+# Shift block (SLL/SRL/SRA + immediates, execute.rs:285-322: shamt
+# masked to 6 bits; shifts >= 40 yield 0 / the sign fill).  The shift
+# power y = 2^s_eff rides the multiply/divide block as its y operand
+# (SLL = low product; SRL/SRA = division by y with remainder), with the
+# (s_eff, d, pm) triple challenge-compressed against the preprocessed
+# shift table: y's only live 10-bit chunk is chunk d = s_eff // 10 with
+# value pm = 2^(s_eff % 10) (d = 4, pm = 0 for s_eff >= 40).
+#   s      raw 6-bit amount: src = s + 64*shq (src = vb_lo or i_lo)
+#   s_eff  = s on register shifts and in-range immediates; 63 when the
+#            immediate's masking quotient shq != 0 (imm >= 64 behaves
+#            like any other shift >= 40)
+#   z      = [shq == 0] via the (z, zinv) inverse gadget
+#   d0..4  one-hot of d;  pm  the live chunk value
+#   xd     the SRL/SRA dividend: va, conditionally complemented on SRA
+#          rows (sra(a, s) = ~srl(~a, s) when the sign bit is set)
+SH_BASE = LG_BASE + 26
+COL_SH_S = SH_BASE
+COL_SH_SEFF = SH_BASE + 1
+COL_SH_SHQ = SH_BASE + 2
+COL_SH_SHQC0 = SH_BASE + 3        # shq = shqc0 + 2^10 shqc1 (range)
+COL_SH_SHQC1 = SH_BASE + 4
+COL_SH_Z = SH_BASE + 5
+COL_SH_ZINV = SH_BASE + 6
+COL_SH_D0 = SH_BASE + 7           # 5 one-hot columns
+COL_SH_PM = SH_BASE + 12
+COL_SH_XD_LO = SH_BASE + 13
+COL_SH_XD_HI = SH_BASE + 14
+# SW truncation uniqueness: mval_hi = swh0 + 2^10 swh1 with swh0 < 2^10
+# and swh1 < 4 (lookup channels), so mval_hi < 2^12 and the
+# a_hi = mval_hi + 2^12 tw pin is a unique decomposition.
+COL_SW_MH0 = SH_BASE + 15
+COL_SW_MH1 = SH_BASE + 16
+N_COLUMNS = SH_BASE + 17
 
 # Opcodes whose result value is pinned by an AIR constraint.
 _OP_ADD, _OP_SUB, _OP_ADDI = 0x00, 0x01, 0x08
@@ -425,6 +471,11 @@ def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0) -> np.ndarray:
     tw = np.where(op == 0x3A,
                   (((a >> 20) & _M20) - mval_hi) >> 12, 0)
     out[:, mb + 4] = tw.astype(np.uint32)
+    is_sw = op == 0x3A
+    out[:, COL_SW_MH0] = np.where(is_sw, mval_hi & 0x3FF, 0) \
+        .astype(np.uint32)
+    out[:, COL_SW_MH1] = np.where(is_sw, mval_hi >> np.uint64(10), 0) \
+        .astype(np.uint32)
 
     # Exec clk = row index (padding rows continue it in _pad_rows).
     out[:, COL_CLK] = np.arange(n, dtype=np.uint32)
@@ -479,18 +530,86 @@ def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0) -> np.ndarray:
     out[:, COL_EEX] = (is_ecall_row & (s10 == 0)).astype(np.uint32)
     out[:, COL_EINV] = np.where(is_ecall_row, _m31_inv_np(s10), 0)
 
-    # --- Multiply/divide block witnesses (layout comment at MD_BASE) ---
+    # --- Logical block witnesses (layout comment at LG_BASE) ---
+    is_logr = (op >= 0x10) & (op <= 0x12)
+    is_logi = (op >= 0x13) & (op <= 0x15)
+    is_log = is_logr | is_logi
+    la = np.where(is_log, a, 0)
+    lb = np.where(is_logi, sext_imm, np.where(is_logr, b, 0))
+    lc = la & lb
+    out[:, COL_LG_C_LO] = (lc & _M20).astype(np.uint32)
+    out[:, COL_LG_C_HI] = ((lc >> np.uint64(20)) & _M20).astype(np.uint32)
+    for k in range(8):
+        sh5 = np.uint64(5 * k)
+        out[:, COL_LG_A0 + k] = ((la >> sh5) & 0x1F).astype(np.uint32)
+        out[:, COL_LG_B0 + k] = ((lb >> sh5) & 0x1F).astype(np.uint32)
+        out[:, COL_LG_C0 + k] = ((lc >> sh5) & 0x1F).astype(np.uint32)
+
+    # --- Shift block witnesses (layout comment at SH_BASE) ---
+    is_shr3 = (op >= 0x18) & (op <= 0x1A)
+    is_shi3 = (op >= 0x1B) & (op <= 0x1D)
+    is_shf = is_shr3 | is_shi3
+    is_sll = (op == 0x18) | (op == 0x1B)
+    is_srl = (op == 0x19) | (op == 0x1C)
+    is_sra = (op == 0x1A) | (op == 0x1D)
+    src = np.where(is_shr3, b & _M20, np.where(is_shi3, i_lo, 0))
+    s_raw = src & np.uint64(63)
+    shq = src >> np.uint64(6)
+    z_sh = shq == 0
+    # Register shifts mask mod 64 (shq is just the discarded high bits);
+    # only immediate shifts >= 64 take the shift-63 fallback.
+    s_eff = np.where(is_shf, np.where(is_shr3 | z_sh, s_raw, 63), 0)
+    out[:, COL_SH_S] = s_raw.astype(np.uint32)
+    out[:, COL_SH_SEFF] = s_eff.astype(np.uint32)
+    out[:, COL_SH_SHQ] = shq.astype(np.uint32)
+    out[:, COL_SH_SHQC0] = (shq & 0x3FF).astype(np.uint32)
+    out[:, COL_SH_SHQC1] = (shq >> np.uint64(10)).astype(np.uint32)
+    out[:, COL_SH_Z] = z_sh.astype(np.uint32)
+    out[:, COL_SH_ZINV] = _m31_inv_np(shq.astype(np.uint32))
+    d_sh = np.where(s_eff < 40, s_eff // np.uint64(10), np.uint64(4))
+    # Non-shift rows default to the shift table's row 0: (0, d=0, pm=1).
+    for j in range(5):
+        out[:, COL_SH_D0 + j] = ((d_sh == j) & (is_shf | (j == 0))) \
+            .astype(np.uint32)
+    pm = np.where(s_eff < 40,
+                  (np.uint64(1) << (s_eff % np.uint64(10))), np.uint64(0))
+    out[:, COL_SH_PM] = np.where(is_shf, pm, 1).astype(np.uint32)
+    # SRA dividend = conditional 40-bit complement of a; SRL uses a as-is.
+    sa_sh = ((a >> np.uint64(39)) & 1).astype(np.uint64)
+    xd = np.where(is_sra & (sa_sh == 1), _M40 ^ a, a)
+    is_srx = is_srl | is_sra
+    out[:, COL_SH_XD_LO] = np.where(is_srx, xd & _M20, 0).astype(np.uint32)
+    out[:, COL_SH_XD_HI] = np.where(is_srx, (xd >> np.uint64(20)) & _M20,
+                                    0).astype(np.uint32)
+    # SRA rows reuse the compare block's sign decomposition of va.
+    a_hi20 = ((a >> np.uint64(20)) & _M20).astype(np.uint32)
+    out[:, COL_SA] = np.where(is_sra, sa_sh.astype(np.uint32),
+                              out[:, COL_SA])
+    out[:, COL_AR0] = np.where(is_sra, a_hi20 & 0x3FF, out[:, COL_AR0])
+    out[:, COL_AR1] = np.where(is_sra, (a_hi20 >> 10) & 0x1FF,
+                               out[:, COL_AR1])
+    # The ungated x1 = cb1 XOR sa pin must track the overridden sa.
+    out[:, COL_X1] = np.where(is_sra, out[:, COL_CB1] ^ out[:, COL_SA],
+                              out[:, COL_X1])
+
+    # --- Multiply/divide block witnesses (layout comment at MD_BASE; the
+    # shift family rides the same multiplier/divider with y = 2^s_eff) ---
     is_mulf = (op == 0x02) | (op == 0x03)
     is_divf = (op >= 0x04) & (op <= 0x07)
-    is_md = is_mulf | is_divf
+    is_md = is_mulf | is_divf | is_shf
     if np.any(is_md):
         res64 = (out[:, N_DECODE_COLUMNS + 32].astype(np.uint64)
                  | (out[:, N_DECODE_COLUMNS + 33].astype(np.uint64) << 20))
+        pw = np.where(is_shf & (s_eff < 40),
+                      np.uint64(1) << s_eff, np.uint64(0))
         bb = np.where(b == 0, 1, b)  # div0 rows fault before committing
-        q = np.where(is_divf, a // bb, 0)
-        r = np.where(is_divf, a % bb, 0)
-        x = np.where(is_mulf, a, q)
-        y = np.where(is_md, b, 0)
+        pw1 = np.where(pw == 0, 1, pw)
+        q = np.where(is_divf, a // bb, np.where(is_srx, xd // pw1, 0))
+        r = np.where(is_divf, a % bb,
+                     np.where(is_srx & (pw != 0), xd % pw1, 0))
+        q = np.where(is_srx & (pw == 0), 0, q)
+        x = np.where(is_mulf | is_sll, a, q)
+        y = np.where(is_mulf | is_divf, b, np.where(is_shf, pw, 0))
         x = np.where(is_md, x, 0)
         xq = [((x >> np.uint64(10 * i)) & 0x3FF) for i in range(4)]
         yq = [((y >> np.uint64(10 * i)) & 0x3FF) for i in range(4)]
@@ -519,10 +638,12 @@ def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0) -> np.ndarray:
                    | (chunk[2] << np.uint64(20)) | (chunk[3] << np.uint64(30)))
         prod_hi = (chunk[4] | (chunk[5] << np.uint64(10))
                    | (chunk[6] << np.uint64(20)) | (k[6] << np.uint64(30)))
+        sra_res = np.where(sa_sh == 1, _M40 ^ q, q)
         want = np.select(
             [op == 0x02, op == 0x03, (op == 0x04) | (op == 0x06),
-             (op == 0x05) | (op == 0x07)],
-            [prod_lo, prod_hi, q, r], default=np.uint64(0))
+             (op == 0x05) | (op == 0x07), is_sll, is_srl, is_sra],
+            [prod_lo, prod_hi, q, r, prod_lo, q, sra_res],
+            default=np.uint64(0))
         bad = is_md & (want != res64)
         if np.any(bad):
             at = int(np.nonzero(bad)[0][0])
@@ -541,20 +662,25 @@ def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0) -> np.ndarray:
             out[:, cc + 1] = (hi_bits & 1).astype(np.uint32)
             if bits == 2:
                 out[:, cc + 2] = (hi_bits >> np.uint64(1)).astype(np.uint32)
-        need_pl = (op == 0x03) | is_divf
+        need_pl = (op == 0x03) | is_divf | is_srx
         for i in range(4):
             out[:, COL_PL0 + i] = np.where(need_pl, chunk[i], 0) \
                 .astype(np.uint32)
             out[:, COL_DR0 + i] = np.where(
-                is_divf, (r >> np.uint64(10 * i)) & 0x3FF, 0).astype(np.uint32)
-        # u = b - 1 - r with lo-limb borrow e0; cd0 = (pl_lo + r_lo) >> 20.
-        u = np.where(is_divf, bb - 1 - r, 0)
+                is_divf | is_srx, (r >> np.uint64(10 * i)) & 0x3FF,
+                0).astype(np.uint32)
+        # u = y - 1 - r with lo-limb borrow e0 (y = b on the div family,
+        # 2^s_eff on SRL/SRA); cd0 = (pl_lo + r_lo) >> 20.  Both gadgets
+        # are gated out on s_eff >= 40 shift rows (y = 0).
+        live_div = is_divf | (is_srx & (pw != 0))
+        ydv = np.where(is_divf, bb, pw1)
+        u = np.where(live_div, ydv - 1 - r, 0)
         for i in range(4):
             out[:, COL_U0 + i] = ((u >> np.uint64(10 * i)) & 0x3FF) \
                 .astype(np.uint32)
-        e0 = is_divf & ((bb & _M20) < (r & _M20) + 1)
+        e0 = live_div & ((ydv & _M20) < (r & _M20) + 1)
         out[:, COL_E0] = e0.astype(np.uint32)
-        cd0 = is_divf & ((prod_lo & _M20) + (r & _M20) >= (1 << 20))
+        cd0 = live_div & ((prod_lo & _M20) + (r & _M20) >= (1 << 20))
         out[:, COL_CD0] = cd0.astype(np.uint32)
     return out
 
