@@ -12,6 +12,6 @@ TPU-first:
 """
 
 from .challenger import Challenger
-from .fri import fri_prove, fri_verify
+from .fri import FriConfig, fri_prove, fri_verify
 from .prover import preprocess_program, prove_trace, verify_trace
 from .trace import trace_to_matrix
