@@ -59,7 +59,8 @@ class TestAddExample:
         matrix = trace_to_matrix(result["trace"])
         proof = prove_trace(matrix,
                             FriConfig(log_blowup=2, log_final=3,
-                                      num_queries=6))
+                                      num_queries=6, grinding_bits=2,
+                                      min_security=0))
         assert verify_trace(proof)
 
 

@@ -22,8 +22,8 @@ from zkir_tpu.prover.fri import FriConfig
 
 from zkir_tpu.spec import Instruction, Op, Program
 
-CFG = FriConfig(log_blowup=2, log_final=1, num_queries=4)
-CFG_L = FriConfig(log_blowup=2, log_final=3, num_queries=4)
+CFG = FriConfig(log_blowup=2, log_final=1, num_queries=4, grinding_bits=2, min_security=0)
+CFG_L = FriConfig(log_blowup=2, log_final=3, num_queries=4, grinding_bits=2, min_security=0)
 
 LOGIC_OPS = (0x10, 0x11, 0x12, 0x13, 0x14, 0x15)
 SHIFT_OPS = (0x18, 0x19, 0x1A, 0x1B, 0x1C, 0x1D)

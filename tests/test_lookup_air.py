@@ -10,7 +10,7 @@ from zkir_tpu.prover.fri import FriConfig
 from zkir_tpu.spec import Instruction, Op, Program
 from zkir_tpu.spec.field import M31_PRIME
 
-CFG = FriConfig(log_blowup=2, log_final=3, num_queries=4)
+CFG = FriConfig(log_blowup=2, log_final=3, num_queries=4, grinding_bits=2, min_security=0)
 
 
 def I(op, **kw):  # noqa: E743

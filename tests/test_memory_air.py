@@ -27,7 +27,7 @@ from zkir_tpu.spec import Instruction, Op, Program
 COL_RES_LO = N_DECODE_COLUMNS + 32
 COL_RES_HI = N_DECODE_COLUMNS + 33
 
-CFG = FriConfig(log_blowup=2, log_final=1, num_queries=4)
+CFG = FriConfig(log_blowup=2, log_final=1, num_queries=4, grinding_bits=2, min_security=0)
 
 
 def I(op, **kw):  # noqa: E743

@@ -80,7 +80,7 @@ def _low_degree_evals(log_n, log_blowup, seed=0):
 
 
 class TestFri:
-    CFG = FriConfig(log_blowup=2, log_final=3, num_queries=8)
+    CFG = FriConfig(log_blowup=2, log_final=3, num_queries=8, grinding_bits=2, min_security=0)
 
     def test_accepts_low_degree(self):
         log_n = 8
@@ -117,7 +117,7 @@ class TestFri:
 
 
 class TestTraceProof:
-    CFG = FriConfig(log_blowup=2, log_final=3, num_queries=6)
+    CFG = FriConfig(log_blowup=2, log_final=3, num_queries=6, grinding_bits=2, min_security=0)
 
     def _trace_matrix(self):
         program = Program.from_instructions([

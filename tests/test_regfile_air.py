@@ -29,7 +29,7 @@ from zkir_tpu.prover.fri import FriConfig
 from zkir_tpu.prover.trace import N_OPS, OP_VALUES
 from zkir_tpu.spec import Instruction, Op, Program
 
-CFG = FriConfig(log_blowup=2, log_final=1, num_queries=4)
+CFG = FriConfig(log_blowup=2, log_final=1, num_queries=4, grinding_bits=2, min_security=0)
 
 
 def I(op, **kw):  # noqa: E743

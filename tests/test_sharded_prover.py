@@ -8,7 +8,7 @@ from zkir_tpu.prover import prove_trace, trace_to_matrix, verify_trace
 from zkir_tpu.prover.fri import FriConfig
 from zkir_tpu.spec import Instruction, Op, Program
 
-CFG = FriConfig(log_blowup=2, log_final=3, num_queries=4)
+CFG = FriConfig(log_blowup=2, log_final=3, num_queries=4, grinding_bits=2, min_security=0)
 
 
 def _matrix():

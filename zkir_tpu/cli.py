@@ -91,11 +91,8 @@ def cmd_prove(args) -> int:
         proof = prove_trace(matrix, range_lookup=True, program=program)
     else:
         proof = prove_trace(matrix)
-    proof["fri"]["config"] = {
-        "log_blowup": proof["fri"]["config"].log_blowup,
-        "log_final": proof["fri"]["config"].log_final,
-        "num_queries": proof["fri"]["config"].num_queries,
-    }
+    import dataclasses as _dc
+    proof["fri"]["config"] = _dc.asdict(proof["fri"]["config"])
     out = args.output or "proof.json"
     pathlib.Path(out).write_text(json.dumps(proof))
     print(f"proved {matrix.shape[0]} trace rows "

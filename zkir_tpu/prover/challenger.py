@@ -49,3 +49,53 @@ class Challenger:
         """Uniform integer in [0, 2^bits) (bits <= 30 per draw)."""
         assert bits <= 30
         return self.sample() & ((1 << bits) - 1)
+
+    def grind(self, bits: int) -> int:
+        """Proof-of-work grinding: find and absorb a nonce such that the
+        next ``sample_bits(bits)`` draw is zero, then consume that draw.
+
+        Forces ~2^bits Poseidon2 permutations of prover work per
+        transcript fork, adding ``bits`` to the soundness budget
+        (ethSTARK-style grinding).  The search runs as batched device
+        permutations — one trial is one row of ``poseidon2_permute_batch``
+        on a copy of the sponge state with the nonce absorbed at rate
+        position 0."""
+        if bits == 0:
+            return 0
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..ops.poseidon2 import poseidon2_permute_batch
+
+        if self._absorb_buf:
+            self._duplex()  # trials must share the post-permute state
+        base = np.asarray(self._state, dtype=np.uint32)
+        mask = (1 << bits) - 1
+        batch = min(1 << (bits + 2), 1 << 16)
+        start = 0
+        while start < (1 << 34):  # unbounded in expectation; hard stop
+            nonces = np.arange(start, start + batch, dtype=np.uint64)
+            states = np.broadcast_to(base, (batch, WIDTH)).copy()
+            states[:, 0] = ((base[0] + nonces) % M31_PRIME).astype(np.uint32)
+            out = np.asarray(poseidon2_permute_batch(jnp.asarray(states)))
+            # sample() pops the squeeze buffer from the end: the first
+            # draw after a duplex is state[RATE - 1].
+            hits = np.nonzero((out[:, RATE - 1] & mask) == 0)[0]
+            if hits.size:
+                nonce = int(nonces[hits[0]])
+                self.observe(nonce)
+                check = self.sample_bits(min(bits, 30))
+                assert check == 0, "grind/duplex mismatch"
+                return nonce
+            start += batch
+        raise RuntimeError("grinding search exhausted")  # pragma: no cover
+
+    def check_pow(self, nonce: int, bits: int) -> bool:
+        """Verifier side of ``grind``: absorb the claimed nonce and check
+        the next draw is zero."""
+        if bits == 0:
+            return True
+        if self._absorb_buf:
+            self._duplex()  # same framing as grind(): nonce absorbed alone
+        self.observe(int(nonce))
+        return self.sample_bits(min(bits, 30)) == 0

@@ -47,9 +47,55 @@ P = M31_PRIME
 
 @dataclasses.dataclass(frozen=True)
 class FriConfig:
+    """FRI parameters with an enforced soundness budget.
+
+    Soundness arithmetic (conjectured, up-to-capacity regime — the
+    standard ethSTARK/Plonky3 estimate):
+
+      * each query contributes ``log_blowup`` bits (a cheating prover's
+        per-query survival probability is the rate 2^-log_blowup), so
+        the query phase gives ``num_queries * log_blowup`` bits;
+      * proof-of-work grinding before query sampling adds
+        ``grinding_bits`` (the attacker must redo 2^grinding_bits
+        permutations per transcript fork);
+      * the commit/batching phase error is bounded by ~L·n/|CM31| with
+        challenges drawn from CM31 (|CM31| = (2^31-1)^2 ≈ 2^62): about
+        ``62 - log_n - log2(n_terms)`` bits for an n-row trace batched
+        over n_terms columns/constraints.  See ``security_bits``.
+
+    ``__post_init__`` rejects configurations whose FRI-phase budget
+    (queries + grinding) is below ``min_security``.  Pass
+    ``min_security=0`` only in tests that deliberately shrink proofs.
+
+    Known limit (documented, next-round work): for large traces the
+    CM31 batching term, not the query count, is the end-to-end ceiling
+    (~2^-36 at 2^24 rows); raising it requires sampling batching/DEEP
+    challenges from a degree-4 extension (QM31), as stwo does.
+    """
+
     log_blowup: int = 2
     log_final: int = 3     # stop folding at 2^log_final evaluations
-    num_queries: int = 24
+    num_queries: int = 32
+    grinding_bits: int = 16
+    min_security: int = 80
+
+    def __post_init__(self):
+        budget = self.num_queries * self.log_blowup + self.grinding_bits
+        if budget < self.min_security:
+            raise ValueError(
+                f"FRI soundness budget too small: {self.num_queries} "
+                f"queries x {self.log_blowup} bits + {self.grinding_bits} "
+                f"grinding = {budget} < min_security={self.min_security} "
+                "(raise num_queries/grinding_bits, or pass min_security=0 "
+                "for test-size proofs)")
+
+    def security_bits(self, log_n: int = 24, n_terms: int = 512) -> int:
+        """Conjectured end-to-end bits for an n = 2^log_n-row trace
+        batching n_terms committed terms: min(query-phase budget,
+        CM31 batching ceiling)."""
+        fri_phase = self.num_queries * self.log_blowup + self.grinding_bits
+        field_phase = 62 - log_n - max(n_terms - 1, 1).bit_length()
+        return min(fri_phase, field_phase)
 
 
 def _pair_matrix(re, im):
@@ -111,6 +157,11 @@ def fri_prove(re, im, log_n: int, challenger: Challenger,
     challenger.observe_many(int(x) for x in final_r)
     challenger.observe_many(int(x) for x in final_i)
 
+    # Proof-of-work grinding binds the query challenges (ethSTARK-style):
+    # re-forking the transcript costs the attacker 2^grinding_bits
+    # permutations per attempt.
+    pow_nonce = challenger.grind(config.grinding_bits)
+
     # Query phase.
     queries = []
     query_indices = []
@@ -138,6 +189,7 @@ def fri_prove(re, im, log_n: int, challenger: Challenger,
     return {
         "log_n": log_n,
         "config": config,
+        "pow_nonce": pow_nonce,
         "shift": tuple(shift),
         "roots": [
             [int(x) for x in merkle.root(levels)]
@@ -165,6 +217,12 @@ def fri_verify(proof: Dict[str, Any], challenger: Challenger) -> bool:
         betas.append(challenger.sample_cm31())
     challenger.observe_many(int(x) for x in proof["final_re"])
     challenger.observe_many(int(x) for x in proof["final_im"])
+
+    # Grinding check must precede query replay (same transcript order as
+    # the prover).
+    if not challenger.check_pow(proof.get("pow_nonce", 0),
+                                config.grinding_bits):
+        return False
 
     num_layers = len(proof["roots"])
     if num_layers != log_n - config.log_final:
