@@ -148,6 +148,44 @@ def bench_ntt(log_n=24, iters=8):
     return 1e3 / rate  # ms per 2^log_n NTT
 
 
+def bench_prove(log_rows=13):
+    """End-to-end prove throughput (trace rows/s): a real executed
+    2^log_rows-cycle trace, proven with the production FriConfig
+    (range lookup + memory argument + PoW grinding), verified once."""
+    import numpy as np
+
+    from zkir_tpu.interp import InterpConfig, TpuInterpreter
+    from zkir_tpu.prover import FriConfig, prove_trace, trace_to_matrix, \
+        verify_trace
+    from zkir_tpu.spec import Instruction, Op, Program
+
+    iters = ((1 << log_rows) - 4) // 4
+    program = Program.from_instructions([
+        Instruction(Op.ADDI, rd=6, rs1=0, imm=min(iters, 1 << 16)),
+        Instruction(Op.ADDI, rd=1, rs1=0, imm=0),
+        Instruction(Op.ADD, rd=3, rs1=3, rs2=2),
+        Instruction(Op.XOR, rd=4, rs1=3, rs2=1),
+        Instruction(Op.ADDI, rd=1, rs1=1, imm=1),
+        Instruction(Op.BNE, rs1=1, rs2=6, imm=-12),
+        Instruction(Op.EBREAK),
+    ])
+    interp = TpuInterpreter(program, InterpConfig(
+        lanes=1, chunk=1024, collect_trace=True))
+    result = interp.run([[]], max_cycles=(1 << (log_rows + 1)))
+    matrix = trace_to_matrix(result["trace"])
+    n = 1 << log_rows
+    if matrix.shape[0] > n:
+        matrix = np.concatenate([matrix[: n - 1], matrix[-1:]], axis=0)
+
+    cfg = FriConfig()  # production defaults: 32 queries + 16 grinding bits
+    prove_trace(matrix, cfg, range_lookup=True)  # warm the kernels
+    t0 = time.perf_counter()
+    proof = prove_trace(matrix, cfg, range_lookup=True)
+    dt = time.perf_counter() - t0
+    assert verify_trace(proof)
+    return matrix.shape[0] / dt
+
+
 def _run_isolated(which: str, timeout_s: int = 420):
     """Run one sub-benchmark in a subprocess with a hard timeout (remote-TPU
     tunnels can wedge indefinitely on readbacks; the headline JSON line must
@@ -184,7 +222,7 @@ def main():
     if "--only" in sys.argv:
         which = sys.argv[sys.argv.index("--only") + 1]
         fn = {"trace": bench_trace_gen, "poseidon2": bench_poseidon2,
-              "ntt": bench_ntt}[which]
+              "ntt": bench_ntt, "prove": bench_prove}[which]
         print(f"RESULT {fn()}")
         return
 
@@ -199,6 +237,12 @@ def main():
         extra["ntt_2e24_ms"] = round(val, 3)
     else:
         extra["ntt_error"] = err
+
+    val, err = _run_isolated("prove", timeout_s=600)
+    if val is not None:
+        extra["trace_rows_proved_per_s"] = round(val)
+    else:
+        extra["prove_error"] = err
 
     # The native C++ VM rate is always reported as its own metric — it is
     # a CPU number and must never masquerade as the TPU headline.

@@ -1,0 +1,113 @@
+"""Weak-scaling harness for the sharded prover.
+
+Measures end-to-end prove_trace throughput (trace rows/s) at mesh sizes
+1, 2, 4, 8 with the per-device trace size held constant (weak scaling):
+mesh n proves a 2^(log_base + log2 n)-row trace.  Efficiency at n is
+rate_n / (n * rate_1); the north-star target is > 80%.
+
+On the dev machine the mesh is 8 virtual CPU devices
+(xla_force_host_platform_device_count) — the standard JAX technique for
+validating pjit/shard_map layouts without hardware; absolute rates are
+CPU numbers, the *efficiency* column is the result.  On a real slice the
+same script runs unchanged.
+
+Usage:  python tools/weak_scaling.py [--log-base 11] [--trials 2]
+Writes one JSON line per mesh size and a summary table to stdout.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+if not os.environ.get("WEAK_SCALING_REAL_DEVICES"):
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/zkir_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np  # noqa: E402
+
+from zkir_tpu.interp import InterpConfig, TpuInterpreter  # noqa: E402
+from zkir_tpu.parallel import make_mesh  # noqa: E402
+from zkir_tpu.prover import FriConfig, prove_trace, trace_to_matrix  # noqa: E402
+from zkir_tpu.spec import Instruction, Op, Program  # noqa: E402
+
+CFG = FriConfig(log_blowup=2, log_final=3, num_queries=4,
+                grinding_bits=2, min_security=0)
+
+
+def make_matrix(log_rows: int) -> np.ndarray:
+    """A real executed trace of ~2^log_rows cycles (counted loop)."""
+    iters = ((1 << log_rows) - 4) // 4
+    program = Program.from_instructions([
+        Instruction(Op.ADDI, rd=6, rs1=0, imm=min(iters, 1 << 16)),
+        Instruction(Op.ADDI, rd=1, rs1=0, imm=0),
+        Instruction(Op.ADD, rd=3, rs1=3, rs2=2),
+        Instruction(Op.XOR, rd=4, rs1=3, rs2=1),
+        Instruction(Op.ADDI, rd=1, rs1=1, imm=1),
+        Instruction(Op.BNE, rs1=1, rs2=6, imm=-12),
+        Instruction(Op.EBREAK),
+    ])
+    interp = TpuInterpreter(program, InterpConfig(
+        lanes=1, chunk=1024, collect_trace=True))
+    result = interp.run([[]], max_cycles=(1 << (log_rows + 1)))
+    m = trace_to_matrix(result["trace"])
+    # trim to exactly 2^log_rows rows, keeping the halt row last
+    n = 1 << log_rows
+    if m.shape[0] > n:
+        m = np.concatenate([m[: n - 1], m[-1:]], axis=0)
+    return m
+
+
+def time_prove(matrix, mesh, trials):
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        proof = prove_trace(matrix, CFG, mesh=mesh)
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+    return best, proof
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log-base", type=int, default=11,
+                    help="log2 rows per device")
+    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--sizes", type=int, nargs="*", default=[1, 2, 4, 8])
+    args = ap.parse_args()
+
+    results = []
+    rate1 = None
+    for n_dev in args.sizes:
+        log_rows = args.log_base + (n_dev - 1).bit_length()
+        matrix = make_matrix(log_rows)
+        mesh = make_mesh(n_dev)
+        dt, _ = time_prove(matrix, mesh, args.trials)
+        rate = matrix.shape[0] / dt
+        if n_dev == 1:
+            rate1 = rate
+        eff = rate / (n_dev * rate1) if rate1 else float("nan")
+        rec = {"n_devices": n_dev, "rows": matrix.shape[0],
+               "prove_s": round(dt, 3), "rows_per_s": round(rate),
+               "efficiency": round(eff, 3)}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    print("\n  n_dev   rows      prove_s   rows/s     efficiency")
+    for r in results:
+        print(f"  {r['n_devices']:5d}   {r['rows']:7d}   {r['prove_s']:7.2f}"
+              f"   {r['rows_per_s']:8d}   {r['efficiency']:.1%}")
+
+
+if __name__ == "__main__":
+    main()
