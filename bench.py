@@ -17,7 +17,21 @@ and caching artifacts of the remote-TPU tunnel.
 from __future__ import annotations
 
 import json
+import os
 import time
+
+
+def _configure_cache():
+    """Persistent XLA compilation cache: the remote-TPU tunnel's compile
+    round-trips dominate cold runs; caching makes repeat benchmark runs
+    pay compute, not compile."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/zkir_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
 
 def _timed_single_dispatch(fn, warm_arg, fresh_arg, probe):
@@ -44,8 +58,10 @@ def _slope_time(make_fn, work_small, work_big, warm_arg, fresh_arg, probe):
     return (work_big - work_small) / (t_big - t_small)
 
 
-def bench_trace_gen(lanes=65536, chunk=512):
+def bench_trace_gen(lanes=None, chunk=512):
     """One scan dispatch = lanes x chunk machine cycles."""
+    if lanes is None:
+        lanes = int(os.environ.get("BENCH_TRACE_LANES", 65536))
     import jax.numpy as jnp
 
     from zkir_tpu.interp import InterpConfig, TpuInterpreter
@@ -186,7 +202,7 @@ def bench_prove(log_rows=13):
     return matrix.shape[0] / dt
 
 
-def _run_isolated(which: str, timeout_s: int = 420):
+def _run_isolated(which: str, timeout_s: int = 420, env=None):
     """Run one sub-benchmark in a subprocess with a hard timeout (remote-TPU
     tunnels can wedge indefinitely on readbacks; the headline JSON line must
     still be printed)."""
@@ -194,10 +210,14 @@ def _run_isolated(which: str, timeout_s: int = 420):
     import subprocess
     import sys
 
+    sub_env = dict(os.environ)
+    if env:
+        sub_env.update(env)
     proc = subprocess.Popen(
         [sys.executable, str(pathlib.Path(__file__).resolve()),
          "--only", which],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=sub_env,
     )
     try:
         stdout, stderr = proc.communicate(timeout=timeout_s)
@@ -223,6 +243,7 @@ def main():
         which = sys.argv[sys.argv.index("--only") + 1]
         fn = {"trace": bench_trace_gen, "poseidon2": bench_poseidon2,
               "ntt": bench_ntt, "prove": bench_prove}[which]
+        _configure_cache()
         print(f"RESULT {fn()}")
         return
 
@@ -251,7 +272,17 @@ def main():
     except Exception as exc:  # pragma: no cover
         extra["native_vm_error"] = str(exc)[-120:]
 
-    value, err = _run_isolated("trace", timeout_s=600)
+    # Lanes ladder: the remote tunnel's compile time scales with the
+    # program; when the big config can't compile inside the timeout, a
+    # smaller lane count still yields an honest TPU number (labeled).
+    value = None
+    for lanes in (65536, 8192):
+        value, err = _run_isolated(
+            "trace", timeout_s=900,
+            env={"BENCH_TRACE_LANES": str(lanes)})
+        if value is not None:
+            extra["trace_lanes"] = lanes
+            break
     if value is None:
         # Headline stays honest: report 0 with the error rather than
         # substituting the CPU engine's rate.

@@ -49,8 +49,10 @@ class TestProgramBinding:
         proof = prove_trace(matrix, CFG, range_lookup=True, program=program)
         assert proof["program"]["entry"] == program.header.entry_point
         assert verify_trace(proof, program=program)
-        # Internal consistency also holds without the public program.
-        assert verify_trace(proof)
+        # A bound proof REQUIRES the public program at verify time: the
+        # memory argument's init demand (code/data cells) is recomputed
+        # from it, so verification without the program fails closed.
+        assert not verify_trace(proof)
 
     def test_wrong_program_rejected(self, bound_case):
         program, matrix = bound_case

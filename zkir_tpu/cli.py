@@ -86,7 +86,7 @@ def cmd_prove(args) -> int:
     interp = TpuInterpreter(program, InterpConfig(
         lanes=1, chunk=256, collect_trace=True))
     result = interp.run([inputs], max_cycles=args.max_cycles)
-    matrix = trace_to_matrix(result["trace"])
+    matrix = trace_to_matrix(result["trace"], program=program)
     if args.bind:
         proof = prove_trace(matrix, range_lookup=True, program=program)
     else:
@@ -108,8 +108,10 @@ def cmd_verify(args) -> int:
     proof["fri"]["config"] = FriConfig(**proof["fri"]["config"])
     program = _load_program(args.binary) if args.binary else None
     if proof.get("program") and program is None:
-        print("note: program-bound proof verified without the public "
-              "program (pass --binary to pin it)")
+        print("error: program-bound proof requires the public program "
+              "(pass --binary); the memory argument's init demand is "
+              "recomputed from its code/data segments")
+        return 1
     ok = verify_trace(proof, program=program)
     print("VALID" if ok else "INVALID")
     return 0 if ok else 1

@@ -67,9 +67,12 @@ AND/OR/XOR(+I) via the challenge-compressed AND-chunk table
 (aux_table.py) with OR/XOR as carry-free linear identities; SLL/SRL/SRA
 (+I) via the shift-power table riding the same multiplier (SLL = low
 product, SRL/SRA = division by 2^s, SRA through the complement trick);
-LD/SD plus the sorted-table memory-consistency argument; halt chaining.
-Remaining gaps (see IMPLEMENTATION_STATUS.md): sub-word memory
-cross-row consistency, data-segment initial values, I/O tape binding.
+memory via the byte-level 8-cell UPDATE argument covering EVERY
+load/store width (sub-word RMW preservation, sign/zero extension,
+code/data-segment initial values as verifier-demanded init rows); halt
+chaining.  Remaining gaps (see IMPLEMENTATION_STATUS.md): I/O tape
+binding (ECALL R10 results as public inputs), crypto-syscall memory
+writes.
 
 Constraints are written ONCE against the algebra interface (VecAlg /
 ScalarAlg below) and evaluated both vectorized over the LDE domain
@@ -155,10 +158,14 @@ STORE_OPS = tuple(range(0x38, 0x3C))
 ZEXT_LOAD_OPS = (0x31, 0x33, 0x34, 0x35)   # LBU, LHU, LW, LD: res == mval
 MEM_WIDTHS = {0x30: 1, 0x31: 1, 0x32: 2, 0x33: 2, 0x34: 4, 0x35: 8,
               0x38: 1, 0x39: 2, 0x3A: 4, 0x3B: 8}
-# Memory-consistency block (prover/trace.py): exec clk + sorted table.
-# v1 scope: the native-width LD/SD ops (sub-word ops keep their register
-# pins above; cross-row consistency for them needs byte decomposition).
+# Memory-consistency block (prover/trace.py): exec clk + the
+# (cell, clk)-sorted 8-byte-cell UPDATE table covering every load/store
+# width; data/code initial values enter as verifier-demanded clk-0 rows.
 from .trace import COL_CLK, M_BASE  # noqa: E402
+from .trace import (COL_MO0, COL_MQA, COL_MQB, COL_OB0, COL_NB0,  # noqa: E402
+                    COL_SB0, COL_SB1, COL_SNL, COL_SNH, COL_SB3,
+                    COL_SB4, COL_MCB, COL_MCH0, COL_MCH1, COL_MS,
+                    COL_MLNIB, COL_MHNIB)
 # Compare / branch-condition / cmov block (prover/trace.py).
 from .trace import (COL_AR0, COL_AR1, COL_BR0, COL_BR1, COL_CB0,  # noqa: E402
                     COL_CB1, COL_CCH0, COL_CD0, COL_CEQ, COL_CINV,
@@ -175,18 +182,17 @@ from .trace import (COL_LG_A0, COL_LG_B0, COL_LG_C0, COL_LG_C_HI,  # noqa: E402
 from .aux_table import AUX_AND_BASE, AUX_SHIFT_BASE  # noqa: E402
 COMPARE_OPS = tuple(range(0x20, 0x26))   # SLTU SGEU SLT SGE SEQ SNE
 CMOV_OPS = (0x26, 0x27, 0x28)            # CMOV CMOVZ CMOVNZ
-M_ADDR_LO = M_BASE
-M_ADDR_HI = M_BASE + 1
-M_CLK = M_BASE + 2
-M_VAL_LO = M_BASE + 3
-M_VAL_HI = M_BASE + 4
-M_W = M_BASE + 5
-M_REAL = M_BASE + 6
-M_SAME = M_BASE + 7
-M_HIEQ = M_BASE + 8
-M_CHA = M_BASE + 9
-M_CHB = M_BASE + 10
-MEMARG_OPS = (0x35, 0x3B)                  # LD, SD
+M_QA = M_BASE                              # cell key: q = qa + 2^10 qb
+M_QB = M_BASE + 1
+M_AHI = M_BASE + 2
+M_CLK = M_BASE + 3                         # clk+1 (exec rows); 0 = init
+M_OB0 = M_BASE + 4                         # 8 old cell bytes
+M_NB0 = M_BASE + 12                        # 8 new cell bytes
+M_REAL = M_BASE + 20
+M_SAME = M_BASE + 21
+M_HIEQ = M_BASE + 22
+M_CHA = M_BASE + 23
+M_CHB = M_BASE + 24
 # Lookup columns appended by the prover when range_lookup is enabled:
 COL_TABLE = N_COLUMNS                 # table values t_i
 COL_MULT0 = N_COLUMNS + 1             # NUM_LOOKUP multiplicity columns
@@ -278,6 +284,40 @@ CHANNELS = (
     # SW truncation: mval_hi = swh0 + 2^10 swh1 < 2^12.
     ("sw_mh0", 0, ((COL_SW_MH0, 1),)),
     ("sw_mh1", 0, ((COL_SW_MH1, 256),)),
+    # Memory byte block: cell-offset quotient q = qa + 2^10 qb < 2^17,
+    # old/new cell bytes < 2^8 (coefficient 4), store-value bytes < 2^8,
+    # limb-boundary nibbles < 2^4 (coefficient 64), LB low part < 2^7
+    # (coefficient 8), LH low part mch0 + 2^10 mch1 < 2^15 (mch1 < 2^5
+    # via coefficient 32).
+    ("mqa", 0, ((COL_MQA, 1),)),
+    ("mqb", 0, ((COL_MQB, 8),)),
+    ("ob0", 0, ((COL_OB0 + 0, 4),)),
+    ("ob1", 0, ((COL_OB0 + 1, 4),)),
+    ("ob2", 0, ((COL_OB0 + 2, 4),)),
+    ("ob3", 0, ((COL_OB0 + 3, 4),)),
+    ("ob4", 0, ((COL_OB0 + 4, 4),)),
+    ("ob5", 0, ((COL_OB0 + 5, 4),)),
+    ("ob6", 0, ((COL_OB0 + 6, 4),)),
+    ("ob7", 0, ((COL_OB0 + 7, 4),)),
+    ("nb0", 0, ((COL_NB0 + 0, 4),)),
+    ("nb1", 0, ((COL_NB0 + 1, 4),)),
+    ("nb2", 0, ((COL_NB0 + 2, 4),)),
+    ("nb3", 0, ((COL_NB0 + 3, 4),)),
+    ("nb4", 0, ((COL_NB0 + 4, 4),)),
+    ("nb5", 0, ((COL_NB0 + 5, 4),)),
+    ("nb6", 0, ((COL_NB0 + 6, 4),)),
+    ("nb7", 0, ((COL_NB0 + 7, 4),)),
+    ("sb0", 0, ((COL_SB0, 4),)),
+    ("sb1", 0, ((COL_SB1, 4),)),
+    ("sb3", 0, ((COL_SB3, 4),)),
+    ("sb4", 0, ((COL_SB4, 4),)),
+    ("snl", 0, ((COL_SNL, 64),)),
+    ("snh", 0, ((COL_SNH, 64),)),
+    ("mcb", 0, ((COL_MCB, 8),)),
+    ("mch0", 0, ((COL_MCH0, 1),)),
+    ("mch1", 0, ((COL_MCH1, 32),)),
+    ("mlnib", 0, ((COL_MLNIB, 64),)),
+    ("mhnib", 0, ((COL_MHNIB, 64),)),
 )
 NUM_LOOKUP = len(CHANNELS)
 COL_AUXM0 = COL_MULT0 + NUM_LOOKUP
@@ -421,7 +461,7 @@ class VecAlg:
         self.big = ext_r.shape[1]
         self.blowup = 1 << log_blowup
         self._chan_sums = chan_sums      # (sr, si): [NUM_LOOKUP, N]
-        self._mem_sum = mem_sum          # (sr, si): [N]
+        self._mem_sum = mem_sum          # ((sr, si), (fr, fi)): [N] each
         self._prog_sum = prog_sum        # (sr, si): [N]
         self._prog_ext = prog_ext        # (pr, pi): [4, N]
         self._aux_ext = aux_ext          # (ar, ai): [N_AUX_COLS, N]
@@ -450,10 +490,13 @@ class VecAlg:
         return self._pair_nxt((sr[k], si[k]))
 
     def mcol(self):
-        return self._mem_sum
+        return self._mem_sum[0]
 
     def mnxt(self):
-        return self._pair_nxt(self._mem_sum)
+        return self._pair_nxt(self._mem_sum[0])
+
+    def mfcol(self):
+        return self._mem_sum[1]
 
     def pscol(self):
         return self._prog_sum
@@ -532,6 +575,9 @@ class ScalarAlg:
 
     def mnxt(self):
         return self.snxt(NUM_LOOKUP + NUM_AUX)
+
+    def mfcol(self):
+        return self.scol(NUM_LOOKUP + NUM_AUX + 1)
 
     def acol(self, c):
         from .aux_table import N_AUX_COLS
@@ -760,6 +806,128 @@ def air_constraints(A):
     # mval_hi < 2^12 (chunk channels) makes the tw decomposition unique.
     singles.append(mul(sel_by[0x3A], sub(
         mval_hi, add(col(COL_SW_MH0), mulc(col(COL_SW_MH1), 1 << 10)))))
+
+    # --- Memory byte-level block (all load/store widths) ---
+    # Memory is 8-byte cells.  Offset one-hot + cell-quotient
+    # decomposition: maddr_lo = 8(qa + 2^10 qb) + sum(i * o_i); the cell
+    # key is (q, maddr_hi).
+    is_mem_sel = add(sel_loads, sel_stores)
+    o = [col(COL_MO0 + i) for i in range(8)]
+    for oi in o:
+        singles.append(boolean(oi))
+    osum = o[0]
+    ooff = None
+    for i in range(1, 8):
+        osum = add(osum, o[i])
+        ooff = mulc(o[i], i) if ooff is None else add(ooff, mulc(o[i], i))
+    singles.append(sub(osum, is_mem_sel))
+    q_expr = add(mulc(col(COL_MQA), 8), mulc(col(COL_MQB), 8 << 10))
+    singles.append(sub(maddr_lo, add(q_expr, ooff)))
+    singles.append(boolean(col(COL_MS)))
+
+    ob = [col(COL_OB0 + j) for j in range(8)]
+    nb = [col(COL_NB0 + j) for j in range(8)]
+
+    # Alignment per width family (misaligned access halts the machine,
+    # memory.rs:297-487, so honest traces never contain it).
+    sel_w2 = add(sel_by[0x32], add(sel_by[0x33], sel_by[0x39]))  # LH LHU SH
+    sel_w4 = add(sel_by[0x34], sel_by[0x3A])                     # LW SW
+    sel_w8 = add(sel_by[0x35], sel_by[0x3B])                     # LD SD
+    for i in (1, 3, 5, 7):
+        singles.append(mul(sel_w2, o[i]))
+    for i in (1, 2, 3, 5, 6, 7):
+        singles.append(mul(sel_w4, o[i]))
+    for i in range(1, 8):
+        singles.append(mul(sel_w8, o[i]))
+
+    # Loads leave the cell unchanged.
+    for j in range(8):
+        singles.append(mul(sel_loads, sub(nb[j], ob[j])))
+
+    # Selected-byte aggregates (degree 2).
+    def agg(idxs, f):
+        acc = None
+        for i in idxs:
+            term = mul(o[i], f(i))
+            acc = term if acc is None else add(acc, term)
+        return acc
+
+    b_sel = agg(range(8), lambda i: ob[i])
+    h_sel = agg((0, 2, 4, 6), lambda i: add(ob[i], mulc(ob[i + 1], 256)))
+    ms = col(COL_MS)
+    mcb = col(COL_MCB)
+    # LBU: res = selected byte, zero-extended.
+    singles.append(mul(sel_by[0x31], sub(res_lo, b_sel)))
+    singles.append(mul(sel_by[0x31], res_hi))
+    # LB: b = mcb + 128 ms (mcb < 128 forces ms = the sign bit);
+    # res = sign-extend to 40 bits.
+    singles.append(mul(sel_by[0x30], sub(b_sel, add(mcb, mulc(ms, 128)))))
+    singles.append(mul(sel_by[0x30], sub(
+        res_lo, add(add(mcb, mulc(ms, 128)), mulc(ms, (1 << 20) - 256)))))
+    singles.append(mul(sel_by[0x30], sub(res_hi, mulc(ms, (1 << 20) - 1))))
+    # LHU / LH (h = mch0 + 2^10 mch1 + 2^15 ms, low part < 2^15).
+    singles.append(mul(sel_by[0x33], sub(res_lo, h_sel)))
+    singles.append(mul(sel_by[0x33], res_hi))
+    h_low = add(col(COL_MCH0), mulc(col(COL_MCH1), 1 << 10))
+    singles.append(mul(sel_by[0x32], sub(
+        h_sel, add(h_low, mulc(ms, 1 << 15)))))
+    singles.append(mul(sel_by[0x32], sub(
+        res_lo, add(add(h_low, mulc(ms, 1 << 15)),
+                    mulc(ms, (1 << 20) - (1 << 16))))))
+    singles.append(mul(sel_by[0x32], sub(res_hi, mulc(ms, (1 << 20) - 1))))
+    # LW: limbs from the 4 selected bytes, nibble-split at bit 20.
+    lnib, hnib = col(COL_MLNIB), col(COL_MHNIB)
+    w_lo = agg((0, 4), lambda i: add(ob[i], mulc(ob[i + 1], 256)))
+    w_b2 = agg((0, 4), lambda i: ob[i + 2])
+    w_b3 = agg((0, 4), lambda i: ob[i + 3])
+    singles.append(mul(sel_by[0x34], sub(
+        res_lo, add(w_lo, mulc(lnib, 1 << 16)))))
+    singles.append(mul(sel_by[0x34], sub(w_b2, add(lnib, mulc(hnib, 16)))))
+    singles.append(mul(sel_by[0x34], sub(
+        res_hi, add(hnib, mulc(w_b3, 16)))))
+    # LD: bytes 0-4 (the register keeps the low 40 bits; bytes 5-7 are
+    # read but truncated, execute.rs:477-546 wrapping).
+    singles.append(mul(sel_by[0x35], sub(
+        res_lo, add(add(ob[0], mulc(ob[1], 256)), mulc(lnib, 1 << 16)))))
+    singles.append(mul(sel_by[0x35], sub(ob[2], add(lnib, mulc(hnib, 16)))))
+    singles.append(mul(sel_by[0x35], sub(
+        res_hi, add(add(hnib, mulc(ob[3], 16)), mulc(ob[4], 1 << 12)))))
+
+    # Store-value byte decomposition of the 40-bit va operand (the value
+    # register rides the rs1 bitfield on S-type rows).
+    va_lo_c, va_hi_c = col(COL_VA_LO), col(COL_VA_HI)
+    sb = [col(COL_SB0), col(COL_SB1),
+          add(col(COL_SNL), mulc(col(COL_SNH), 16)),
+          col(COL_SB3), col(COL_SB4), None, None, None]
+    singles.append(mul(sel_stores, sub(
+        va_lo_c, add(add(col(COL_SB0), mulc(col(COL_SB1), 256)),
+                     mulc(col(COL_SNL), 1 << 16)))))
+    singles.append(mul(sel_stores, sub(
+        va_hi_c, add(add(col(COL_SNH), mulc(col(COL_SB3), 16)),
+                     mulc(col(COL_SB4), 1 << 12)))))
+
+    # New-cell construction per store family: byte j is replaced when
+    # j - off < width, else kept.
+    def store_pin(sel_st, width, offsets):
+        for j in range(8):
+            repl = None
+            for i in offsets:
+                k = j - i
+                if 0 <= k < width:
+                    v = sb[k] if sb[k] is not None else None
+                    diff = sub(v, ob[j]) if v is not None \
+                        else sub(K(0), ob[j])
+                    term = mul(o[i], diff)
+                    repl = term if repl is None else add(repl, term)
+            expr = sub(nb[j], ob[j])
+            if repl is not None:
+                expr = sub(expr, repl)
+            singles.append(mul(sel_st, expr))
+
+    store_pin(sel_by[0x38], 1, range(8))          # SB
+    store_pin(sel_by[0x39], 2, (0, 2, 4, 6))      # SH
+    store_pin(sel_by[0x3A], 4, (0, 4))            # SW
+    store_pin(sel_by[0x3B], 8, (0,))              # SD
 
     # --- Compare / branch-condition / cmov block ---
     # Committed operand views (degree-1 handles on the inner products).
@@ -1155,22 +1323,33 @@ def air_constraints(A):
 
 
 def memory_constraints(A):
-    """Sorted-memory-table constraints (active in range_lookup mode; the
-    prover fills the block in _build_memory_table).
+    """(cell, clk)-sorted memory UPDATE-table constraints (active in
+    range_lookup mode; the prover fills the block in _build_memory_table).
 
-    singles: m_w/m_real/m_same/m_hieq booleans.
-    firsts:  m_same = 0; exec clk = 0; a first-row read returns 0.
-    transitions (next-row chunks D' = cha' + 2^10 chb' gap-check both the
-    clk-strict-increase within an address run and the address-strict-
-    increase between runs):
+    A table row is one cell update (old bytes -> new bytes at clk); the
+    chain encodes read-modify-write consistency for every access width:
+
+    singles: m_real/m_same/m_hieq booleans.
+    firsts:  m_same = 0; exec clk = 0; a run-opening real row starts
+             from the zero cell (real * ob_j = 0).
+    transitions (next-row chunks D' = cha' + 2^10 chb' gap-check both
+    the clk-strict-increase within a cell run and the cell-key
+    strict-increase between runs):
         clk' = clk + 1                      (exec clk chain)
         real' => real                       (real rows first)
-        same' => addr' = addr  (per limb)
-        hieq' => addr_hi' = addr_hi
-        !same' => addr' = addr + 1 + D' on the lexicographic limb
+        same' => q' = q and ahi' = ahi      (run continues the cell)
+        hieq' => ahi' = ahi
+        !same' => key' = key + 1 + D' on the lexicographic limb (q|ahi)
         same' => clk_m' = clk_m + 1 + D'
-        same' & read' => val' = val         (reads see the last value)
-        !same' & read' => val' = 0          (fresh addresses read zero)
+        same' => ob'_j = nb_j               (updates chain: the next
+                                             update's pre-state is this
+                                             update's post-state)
+        !same' & real' => ob'_j = 0         (fresh cells start zeroed;
+                                             code/data initial values
+                                             arrive as clk-0 init rows
+                                             whose multiset demand the
+                                             verifier computes from the
+                                             public program)
     """
     add, sub, mul, col, nxt, K = A.add, A.sub, A.mul, A.col, A.nxt, A.const
     one = K(1)
@@ -1178,39 +1357,41 @@ def memory_constraints(A):
     def boolean(b):
         return mul(b, sub(b, one))
 
-    m_w, m_real = col(M_W), col(M_REAL)
+    m_real = col(M_REAL)
     m_same, m_hieq = col(M_SAME), col(M_HIEQ)
-    singles = [boolean(b) for b in (m_w, m_real, m_same, m_hieq)]
+    singles = [boolean(b) for b in (m_real, m_same, m_hieq)]
 
-    not_w = sub(one, m_w)
-    firsts = [m_same, col(COL_CLK),
-              mul(not_w, col(M_VAL_LO)),
-              mul(not_w, col(M_VAL_HI))]
+    firsts = [m_same, col(COL_CLK)]
+    firsts += [mul(m_real, col(M_OB0 + j)) for j in range(8)]
 
     same_n, hieq_n = nxt(M_SAME), nxt(M_HIEQ)
-    real_n, w_n = nxt(M_REAL), nxt(M_W)
+    real_n = nxt(M_REAL)
     not_same_n = sub(one, same_n)
-    not_w_n = sub(one, w_n)
     d_gap = add(nxt(M_CHA), A.mulc(nxt(M_CHB), 1 << 10))
 
-    def inc_gap(c):
-        return sub(sub(sub(nxt(c), col(c)), one), d_gap)
+    def q_at(get):
+        return add(get(M_QA), A.mulc(get(M_QB), 1 << 10))
+
+    def inc_gap_expr(nxt_e, cur_e):
+        return sub(sub(sub(nxt_e, cur_e), one), d_gap)
 
     transitions = [
         sub(sub(nxt(COL_CLK), col(COL_CLK)), one),
         mul(sub(one, m_real), real_n),
-        mul(same_n, sub(nxt(M_ADDR_LO), col(M_ADDR_LO))),
-        mul(same_n, sub(nxt(M_ADDR_HI), col(M_ADDR_HI))),
-        mul(hieq_n, sub(nxt(M_ADDR_HI), col(M_ADDR_HI))),
+        mul(same_n, sub(q_at(nxt), q_at(col))),
+        mul(same_n, sub(nxt(M_AHI), col(M_AHI))),
+        mul(hieq_n, sub(nxt(M_AHI), col(M_AHI))),
         mul(not_same_n, add(
-            mul(hieq_n, inc_gap(M_ADDR_LO)),
-            mul(sub(one, hieq_n), inc_gap(M_ADDR_HI)))),
-        mul(same_n, inc_gap(M_CLK)),
-        mul(mul(same_n, not_w_n), sub(nxt(M_VAL_LO), col(M_VAL_LO))),
-        mul(mul(same_n, not_w_n), sub(nxt(M_VAL_HI), col(M_VAL_HI))),
-        mul(mul(not_same_n, not_w_n), nxt(M_VAL_LO)),
-        mul(mul(not_same_n, not_w_n), nxt(M_VAL_HI)),
+            mul(hieq_n, inc_gap_expr(q_at(nxt), q_at(col))),
+            mul(sub(one, hieq_n),
+                inc_gap_expr(nxt(M_AHI), col(M_AHI))))),
+        mul(same_n, inc_gap_expr(nxt(M_CLK), col(M_CLK))),
     ]
+    for j in range(8):
+        transitions.append(
+            mul(same_n, sub(nxt(M_OB0 + j), col(M_NB0 + j))))
+        transitions.append(
+            mul(mul(not_same_n, real_n), nxt(M_OB0 + j)))
     return singles, transitions, firsts
 
 
@@ -1281,33 +1462,70 @@ def table_pins(A):
     return t, stair, sub(t, K(1023))
 
 
-def memory_multiset(A, beta, delta):
-    """The memory-multiset LogUp constraint: exec (maddr, clk, mval,
-    is_write) tuples of the LD/SD rows == the real sorted-table rows
-    (shared beta; delta compresses the 6-tuple)."""
+def memory_multiset(A, beta, delta, d_init):
+    """The memory-update multiset LogUp constraints.
+
+    Exec tuples (cell q, addr_hi, clk+1, ob0-7, nb0-7) of EVERY
+    load/store row, plus the verifier-computed init demand ``d_init``
+    (one tuple (cell, 0, zeros, initial bytes) per code/data cell of the
+    public program), must equal the real table rows:
+
+        sum_rows v/(beta - w)  +  d_init  =  sum_rows real/(beta - t)
+
+    Because the total is a nonzero public constant, the cyclic LogUp
+    form cannot close this channel; instead the per-row term
+    F = v/(beta-w) - real/(beta-t) is its own committed column (so the
+    boundary constraints stay degree <= 1 and the L-divisor quotient
+    stays in budget):
+
+        H: F (beta-w)(beta-t) - v (beta-t) + real (beta-w) = 0
+        T: S' - S - F = 0
+        F: S = 0
+        L: S + F + d_init = 0
+
+    Returns (pin, transition, first, last) constraint expressions."""
     add, sub, mul, col, K = A.add, A.sub, A.mul, A.col, A.const
 
-    def tuple6(cols, flag):
-        acc6 = col(cols[0])
-        p6 = delta
-        for c in cols[1:]:
-            acc6 = add(acc6, A.mulc(col(c), p6))
-            p6 = cm31_mul_scalar(p6, delta)
-        return add(acc6, A.mulc(flag, p6))
+    def compress(components):
+        acc = components[0]
+        pw = delta
+        for c in components[1:]:
+            acc = add(acc, A.mulc(c, pw))
+            pw = cm31_mul_scalar(pw, delta)
+        return acc
 
-    sel_ld = col(COL_SEL0 + OP_VALUES.index(0x35))
-    sel_sd = col(COL_SEL0 + OP_VALUES.index(0x3B))
-    v = add(sel_ld, sel_sd)
-    w = tuple6((COL_MEM_ADDR_LO, COL_MEM_ADDR_HI, COL_CLK,
-                COL_MEM_VAL_LO, COL_MEM_VAL_HI), sel_sd)
-    t_mem = tuple6((M_ADDR_LO, M_ADDR_HI, M_CLK, M_VAL_LO, M_VAL_HI),
-                   col(M_W))
+    sel_loads = None
+    for vop in LOAD_OPS:
+        s = col(COL_SEL0 + OP_VALUES.index(vop))
+        sel_loads = s if sel_loads is None else add(sel_loads, s)
+    sel_stores = None
+    for vop in STORE_OPS:
+        s = col(COL_SEL0 + OP_VALUES.index(vop))
+        sel_stores = s if sel_stores is None else add(sel_stores, s)
+    v = add(sel_loads, sel_stores)
+
+    q_exec = add(col(COL_MQA), A.mulc(col(COL_MQB), 1 << 10))
+    w_comp = [q_exec, col(COL_MEM_ADDR_HI), add(col(COL_CLK), K(1))]
+    w_comp += [col(COL_OB0 + j) for j in range(8)]
+    w_comp += [col(COL_NB0 + j) for j in range(8)]
+    w = compress(w_comp)
+
+    q_tab = add(col(M_QA), A.mulc(col(M_QB), 1 << 10))
+    t_comp = [q_tab, col(M_AHI), col(M_CLK)]
+    t_comp += [col(M_OB0 + j) for j in range(8)]
+    t_comp += [col(M_NB0 + j) for j in range(8)]
+    t_mem = compress(t_comp)
+
     beta_v = K(beta)
     bw = sub(beta_v, w)
     bt = sub(beta_v, t_mem)
-    lhs = mul(mul(sub(A.mnxt(), A.mcol()), bw), bt)
-    rhs = sub(mul(v, bt), mul(col(M_REAL), bw))
-    return sub(lhs, rhs)
+    f = A.mfcol()
+    pin = sub(mul(mul(f, bw), bt),
+              sub(mul(v, bt), mul(col(M_REAL), bw)))
+    trans = sub(sub(A.mnxt(), A.mcol()), f)
+    first = A.mcol()
+    last = add(add(A.mcol(), f), K(d_init))
+    return pin, trans, first, last
 
 
 def program_channel(A, beta, gamma):
@@ -1359,12 +1577,13 @@ def quotient_terms(A, lookup=None, aux=None, memory=None, program=None):
         beta, eta = aux
         terms += [("H", c) for c in aux_channels(A, beta, eta)]
     if memory is not None:
-        beta, delta = memory
+        beta, delta, d_init = memory
         m_s, m_t, m_f = memory_constraints(A)
         terms += [("H", c) for c in m_s]
         terms += [("T", c) for c in m_t]
         terms += [("F", c) for c in m_f]
-        terms.append(("H", memory_multiset(A, beta, delta)))
+        ms_h, ms_t, ms_f, ms_l = memory_multiset(A, beta, delta, d_init)
+        terms += [("H", ms_h), ("T", ms_t), ("F", ms_f), ("L", ms_l)]
     if program is not None:
         beta, gamma, entry = program
         terms.append(("H", program_channel(A, beta, gamma)))
@@ -1398,8 +1617,8 @@ def quotient_evals(ext_r, ext_i, log_n: int, log_blowup: int,
         aux_ext, aux_sums, eta = aux
         ak = (beta, eta)
     if memory is not None:
-        mem_sum, delta = memory
-        mk = (beta, delta)
+        mem_sum, delta, d_init = memory
+        mk = (beta, delta, d_init)
     if program is not None:
         prog_ext, prog_sum, gamma, entry = program
         pk = (beta, gamma, entry)
@@ -1447,15 +1666,15 @@ def quotient_value_at(row, next_row, n_cols: int, index: int, log_n: int,
         s_row, s_next, beta = lookup
         n_sums = (NUM_LOOKUP
                   + (NUM_AUX if aux is not None else 0)
-                  + (1 if memory is not None else 0)
+                  + (2 if memory is not None else 0)
                   + (1 if program is not None else 0))
         lk = beta
     if aux is not None:
         aux_row, eta = aux
         ak = (beta, eta)
     if memory is not None:
-        (delta,) = memory
-        mk = (beta, delta)
+        delta, d_init = memory
+        mk = (beta, delta, d_init)
     if program is not None:
         prog_row, gamma, entry = program
         pk = (beta, gamma, entry)

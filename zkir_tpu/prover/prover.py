@@ -106,110 +106,203 @@ def _pad_rows(matrix: np.ndarray, min_log: int = 2):
     return padded, log_n
 
 
-def _build_memory_table(padded: np.ndarray, n_real: int) -> None:
-    """Fill the sorted-memory-table block (trace.py M_BASE..M_BASE+10) in
-    place: the LD/SD exec rows sorted by (addr_hi, addr_lo, clk), then
-    padding rows that replicate the final entry's address/value as
-    clk-advancing reads (so the same-run read-consistency transitions
-    hold trivially).  Gap chunks cha/chb witness the strict increase of
-    clk within an address run and of the address between runs."""
-    from .constraints import (COL_CLK, COL_MEM_ADDR_HI, COL_MEM_ADDR_LO,
-                              COL_MEM_VAL_HI, COL_MEM_VAL_LO, COL_OPCODE,
-                              M_ADDR_HI, M_ADDR_LO, M_CHA, M_CHB, M_CLK,
-                              M_HIEQ, M_REAL, M_SAME, M_VAL_HI, M_VAL_LO,
-                              M_W, MEMARG_OPS)
+def _initial_cells(program):
+    """{cell_index: 64-bit LE value} of the public program's code+data
+    segments (the machine's nonzero initial memory)."""
+    from ..spec.memlayout import CODE_BASE
+
+    if program is None:
+        return {}
+    image = bytearray()
+    for w in program.code:
+        image += int(w).to_bytes(4, "little")
+    image += bytes(program.data)
+    cells = {}
+    for cell_base in range(CODE_BASE & ~7, CODE_BASE + len(image), 8):
+        value = 0
+        for j in range(8):
+            a = cell_base + j - CODE_BASE
+            if 0 <= a < len(image):
+                value |= image[a] << (8 * j)
+        if value:
+            cells[cell_base >> 3] = value
+    return cells
+
+
+def _build_memory_table(padded: np.ndarray, n_real: int,
+                        program=None) -> None:
+    """Fill the (cell, clk)-sorted memory UPDATE table (trace.py
+    M_BASE..M_BASE+24) in place: one row per load/store exec row (any
+    width) carrying (cell key, clk+1, old cell bytes, new cell bytes),
+    plus one clk-0 init row per nonzero code/data cell of the public
+    program, sorted by (addr_hi, q, clk); padding rows continue the last
+    cell's run as no-op updates (old = new = last bytes, clk advancing).
+    Gap chunks cha/chb witness the strict increase of clk within a run
+    and of the cell key between runs."""
+    from .constraints import (COL_CLK, COL_MEM_ADDR_HI, COL_MQA, COL_MQB,
+                              COL_NB0, COL_OB0, COL_OPCODE, LOAD_OPS,
+                              M_AHI, M_CHA, M_CHB, M_CLK, M_HIEQ, M_NB0,
+                              M_OB0, M_QA, M_QB, M_REAL, M_SAME, STORE_OPS)
 
     n = padded.shape[0]
     op = padded[:n_real, COL_OPCODE]
-    rows = np.nonzero(np.isin(op, MEMARG_OPS))[0]
-    k = len(rows)
-    t_al = np.zeros(n, dtype=np.int64)
+    rows = np.nonzero(np.isin(op, LOAD_OPS + STORE_OPS))[0]
+    init = _initial_cells(program)
+    k = len(rows) + len(init)
+    if k > n:
+        raise ValueError(
+            f"memory table needs {k} rows (exec memory ops + program "
+            f"init cells) but the padded trace has only {n}; re-prove "
+            "with a larger padding size")
+
+    t_q = np.zeros(n, dtype=np.int64)
     t_ah = np.zeros(n, dtype=np.int64)
     t_clk = np.zeros(n, dtype=np.int64)
-    t_vl = np.zeros(n, dtype=np.uint32)
-    t_vh = np.zeros(n, dtype=np.uint32)
-    t_w = np.zeros(n, dtype=np.uint32)
+    t_ob = np.zeros((n, 8), dtype=np.uint32)
+    t_nb = np.zeros((n, 8), dtype=np.uint32)
+    ke = len(rows)
+    if ke:
+        t_q[:ke] = (padded[rows, COL_MQA].astype(np.int64)
+                    + (padded[rows, COL_MQB].astype(np.int64) << 10))
+        t_ah[:ke] = padded[rows, COL_MEM_ADDR_HI].astype(np.int64)
+        t_clk[:ke] = padded[rows, COL_CLK].astype(np.int64) + 1
+        for j in range(8):
+            t_ob[:ke, j] = padded[rows, COL_OB0 + j]
+            t_nb[:ke, j] = padded[rows, COL_NB0 + j]
+    for i, (cell, value) in enumerate(sorted(init.items())):
+        r = ke + i
+        t_q[r] = cell & 0x1FFFF
+        t_ah[r] = cell >> 17
+        t_clk[r] = 0
+        for j in range(8):
+            t_nb[r, j] = (value >> (8 * j)) & 0xFF
     if k:
-        al = padded[rows, COL_MEM_ADDR_LO].astype(np.int64)
-        ah = padded[rows, COL_MEM_ADDR_HI].astype(np.int64)
-        clk = padded[rows, COL_CLK].astype(np.int64)
-        order = np.lexsort((clk, al, ah))
-        t_al[:k], t_ah[:k], t_clk[:k] = al[order], ah[order], clk[order]
-        t_vl[:k] = padded[rows, COL_MEM_VAL_LO][order]
-        t_vh[:k] = padded[rows, COL_MEM_VAL_HI][order]
-        t_w[:k] = (op[rows][order] == MEMARG_OPS[1]).astype(np.uint32)
-        t_al[k:], t_ah[k:] = t_al[k - 1], t_ah[k - 1]
+        order = np.lexsort((t_clk[:k], t_q[:k], t_ah[:k]))
+        t_q[:k], t_ah[:k], t_clk[:k] = (t_q[:k][order], t_ah[:k][order],
+                                        t_clk[:k][order])
+        t_ob[:k] = t_ob[:k][order]
+        t_nb[:k] = t_nb[:k][order]
+        # padding: continue the last run with no-op updates
+        t_q[k:], t_ah[k:] = t_q[k - 1], t_ah[k - 1]
         t_clk[k:] = t_clk[k - 1] + np.arange(1, n - k + 1)
-        t_vl[k:], t_vh[k:] = t_vl[k - 1], t_vh[k - 1]
+        t_ob[k:] = t_nb[k - 1]
+        t_nb[k:] = t_nb[k - 1]
     else:
         t_clk[:] = np.arange(n)
     same = np.zeros(n, dtype=np.uint32)
     hieq = np.zeros(n, dtype=np.uint32)
-    same[1:] = ((t_al[1:] == t_al[:-1]) & (t_ah[1:] == t_ah[:-1])) \
+    same[1:] = ((t_q[1:] == t_q[:-1]) & (t_ah[1:] == t_ah[:-1])) \
         .astype(np.uint32)
     hieq[1:] = (t_ah[1:] == t_ah[:-1]).astype(np.uint32)
     gap = np.zeros(n, dtype=np.int64)
     gap[1:] = np.where(
         same[1:] == 1, t_clk[1:] - t_clk[:-1] - 1,
-        np.where(hieq[1:] == 1, t_al[1:] - t_al[:-1] - 1,
+        np.where(hieq[1:] == 1, t_q[1:] - t_q[:-1] - 1,
                  t_ah[1:] - t_ah[:-1] - 1))
     if k and not ((gap[1:] >= 0).all() and (gap[1:] < 1 << 20).all()):
         at = int(np.nonzero((gap[1:] < 0) | (gap[1:] >= 1 << 20))[0][0]) + 1
         raise ValueError(
             "memory-consistency completeness limit: the gap between "
             f"consecutive sorted-table rows {at - 1} and {at} "
-            f"(addr {int(t_ah[at]):#x}:{int(t_al[at]):#x}, clk "
+            f"(cell {int(t_ah[at]):#x}:{int(t_q[at]):#x}, clk "
             f"{int(t_clk[at])}) exceeds the 20-bit gap-chunk budget.  "
-            "Two accesses to the same address must be < 2^20 rows apart "
-            "(insert a refresh LD, or split the trace); address runs "
-            "must start < 2^20 above the previous run's address limb")
-    padded[:, M_ADDR_LO] = t_al.astype(np.uint32)
-    padded[:, M_ADDR_HI] = t_ah.astype(np.uint32)
+            "Two accesses to the same cell must be < 2^20 rows apart "
+            "(insert a refresh load, or split the trace); cell runs "
+            "must start < 2^20 above the previous run's key limb")
+    padded[:, M_QA] = (t_q & 1023).astype(np.uint32)
+    padded[:, M_QB] = (t_q >> 10).astype(np.uint32)
+    padded[:, M_AHI] = t_ah.astype(np.uint32)
     padded[:, M_CLK] = t_clk.astype(np.uint32)
-    padded[:, M_VAL_LO], padded[:, M_VAL_HI] = t_vl, t_vh
-    padded[:, M_W] = t_w
+    for j in range(8):
+        padded[:, M_OB0 + j] = t_ob[:, j]
+        padded[:, M_NB0 + j] = t_nb[:, j]
     padded[:, M_REAL] = (np.arange(n) < k).astype(np.uint32)
     padded[:, M_SAME], padded[:, M_HIEQ] = same, hieq
     padded[:, M_CHA] = (gap & 1023).astype(np.uint32)
     padded[:, M_CHB] = (gap >> 10).astype(np.uint32)
 
 
+def _mem_tuple_components(padded: np.ndarray):
+    """(exec components [19, n], table components [19, n]) of the memory
+    update tuples: (q, addr_hi, clk(+1), ob0-7, nb0-7)."""
+    from .constraints import (COL_CLK, COL_MEM_ADDR_HI, COL_MQA, COL_MQB,
+                              COL_NB0, COL_OB0, M_AHI, M_CLK, M_NB0,
+                              M_OB0, M_QA, M_QB)
+
+    q_e = (padded[:, COL_MQA].astype(np.uint64)
+           + (padded[:, COL_MQB].astype(np.uint64) << 10))
+    w = [q_e, padded[:, COL_MEM_ADDR_HI].astype(np.uint64),
+         padded[:, COL_CLK].astype(np.uint64) + 1]
+    w += [padded[:, COL_OB0 + j].astype(np.uint64) for j in range(8)]
+    w += [padded[:, COL_NB0 + j].astype(np.uint64) for j in range(8)]
+    q_t = (padded[:, M_QA].astype(np.uint64)
+           + (padded[:, M_QB].astype(np.uint64) << 10))
+    t = [q_t, padded[:, M_AHI].astype(np.uint64),
+         padded[:, M_CLK].astype(np.uint64)]
+    t += [padded[:, M_OB0 + j].astype(np.uint64) for j in range(8)]
+    t += [padded[:, M_NB0 + j].astype(np.uint64) for j in range(8)]
+    return w, t
+
+
+def _delta_compress_np(components, delta):
+    """CM31 delta-compression of a component list (uint64 arrays)."""
+    wr = components[0] % P
+    wi = np.zeros_like(wr)
+    pw = delta
+    for c in components[1:]:
+        wr = (wr + (c % P) * (pw[0] % P)) % P
+        wi = (wi + (c % P) * (pw[1] % P)) % P
+        pw = cm31_mul_scalar(pw, delta)
+    return wr, wi
+
+
+def memory_init_demand(program, beta, delta):
+    """The verifier-computable init-demand scalar: sum over the public
+    program's nonzero code/data cells of 1/(beta - compress(cell tuple))
+    where the tuple is (q, addr_hi, clk=0, old bytes=0, new bytes=cell
+    bytes) — the clk-0 init rows the prover placed in the table.
+    Returns a CM31 pair; (0, 0) when there is no program."""
+    init = _initial_cells(program)
+    if not init:
+        return (0, 0)
+    cells = sorted(init.items())
+    m = len(cells)
+    comp = [np.zeros(m, dtype=np.uint64) for _ in range(19)]
+    for i, (cell, value) in enumerate(cells):
+        comp[0][i] = cell & 0x1FFFF
+        comp[1][i] = cell >> 17
+        for j in range(8):
+            comp[11 + j][i] = (value >> (8 * j)) & 0xFF
+    t_r, t_i = _delta_compress_np(comp, delta)
+    from ..ops.field_ops import m31_batch_inv
+    dr = (beta[0] - t_r.astype(np.int64)) % P
+    di = (beta[1] - t_i.astype(np.int64)) % P
+    norm = (dr * dr + di * di) % P
+    ninv = np.asarray(m31_batch_inv(
+        jnp.asarray(norm.astype(np.uint32)))).astype(np.uint64)
+    inv_r = (dr.astype(np.uint64) * ninv) % P
+    inv_i = ((P - di.astype(np.uint64)) % P * ninv) % P
+    return (int(inv_r.sum() % P), int(inv_i.sum() % P))
+
+
 def _memory_partial_sum(padded: np.ndarray, beta, delta):
-    """The memory-multiset LogUp partial-sum column (CM31 pair [n]):
+    """The memory-update multiset partial-sum column (CM31 pair [n]):
 
     s[0] = 0; s[i+1] = s[i] + v_i/(beta - w_i) - real_i/(beta - t_i)
 
-    where w/t delta-compress the exec-row and sorted-table 6-tuples
-    (addr_lo, addr_hi, clk, val_lo, val_hi, is_write)."""
+    where w/t delta-compress the 19-component exec-row and table update
+    tuples; the telescope closes against -d_init at the last row
+    (boundary constraint, constraints.memory_multiset)."""
     from ..ops.field_ops import m31_batch_inv
 
-    from .constraints import (COL_CLK, COL_MEM_ADDR_HI, COL_MEM_ADDR_LO,
-                              COL_MEM_VAL_HI, COL_MEM_VAL_LO, COL_OPCODE,
-                              M_ADDR_HI, M_ADDR_LO, M_CLK, M_REAL,
-                              M_VAL_HI, M_VAL_LO, M_W, MEMARG_OPS)
+    from .constraints import COL_OPCODE, LOAD_OPS, M_REAL, STORE_OPS
 
     n = padded.shape[0]
-
-    def compress(cols, flag):
-        wr = padded[:, cols[0]].astype(np.uint64) % P
-        wi = np.zeros(n, dtype=np.uint64)
-        p6 = delta
-        for c in cols[1:]:
-            v = padded[:, c].astype(np.uint64)
-            wr = (wr + v * (p6[0] % P)) % P
-            wi = (wi + v * (p6[1] % P)) % P
-            p6 = cm31_mul_scalar(p6, delta)
-        wr = (wr + flag * (p6[0] % P)) % P
-        wi = (wi + flag * (p6[1] % P)) % P
-        return wr, wi
-
+    w_comp, t_comp = _mem_tuple_components(padded)
+    w_r, w_i = _delta_compress_np(w_comp, delta)
+    t_r, t_i = _delta_compress_np(t_comp, delta)
     op = padded[:, COL_OPCODE]
-    v = np.isin(op, MEMARG_OPS).astype(np.uint64)
-    is_sd = (op == MEMARG_OPS[1]).astype(np.uint64)
-    w_r, w_i = compress((COL_MEM_ADDR_LO, COL_MEM_ADDR_HI, COL_CLK,
-                         COL_MEM_VAL_LO, COL_MEM_VAL_HI), is_sd)
-    t_r, t_i = compress((M_ADDR_LO, M_ADDR_HI, M_CLK, M_VAL_LO, M_VAL_HI),
-                        padded[:, M_W].astype(np.uint64))
+    v = np.isin(op, LOAD_OPS + STORE_OPS).astype(np.uint64)
     real = padded[:, M_REAL].astype(np.uint64)
 
     dr = np.concatenate([(beta[0] - w_r.astype(np.int64)) % P,
@@ -229,7 +322,9 @@ def _memory_partial_sum(padded: np.ndarray, beta, delta):
     s_i = np.zeros(n, dtype=np.uint32)
     s_r[1:] = cum_r[:-1].astype(np.uint32)
     s_i[1:] = cum_i[:-1].astype(np.uint32)
-    return s_r, s_i
+    # S (partial sums, exclusive) and F (the per-row terms, their own
+    # committed column so the boundary constraints stay degree <= 1).
+    return (s_r, s_i), (term_r.astype(np.uint32), term_i.astype(np.uint32))
 
 
 def _channel_witnesses(padded: np.ndarray) -> np.ndarray:
@@ -545,7 +640,7 @@ def prove_trace(matrix: np.ndarray,
     n_real = matrix.shape[0]
     padded, log_n = _pad_rows(matrix, min_log=10 if range_lookup else 2)
     if range_lookup:
-        _build_memory_table(padded, n_real)
+        _build_memory_table(padded, n_real, program=program)
     prog = None
     entry_point = 0
     aux_pre = None
@@ -630,9 +725,12 @@ def prove_trace(matrix: np.ndarray,
         s_r, s_i = _build_partial_sums(padded, beta)
         sa_r, sa_i = _build_aux_partial_sums(padded, aux_pre["cols"],
                                              beta, eta)
-        sm_r, sm_i = _memory_partial_sum(padded, beta, delta)
-        s_r = np.concatenate([s_r, sa_r, sm_r[None, :]], axis=0)
-        s_i = np.concatenate([s_i, sa_i, sm_i[None, :]], axis=0)
+        (sm_r, sm_i), (fm_r, fm_i) = _memory_partial_sum(padded, beta,
+                                                         delta)
+        s_r = np.concatenate([s_r, sa_r, sm_r[None, :], fm_r[None, :]],
+                             axis=0)
+        s_i = np.concatenate([s_i, sa_i, sm_i[None, :], fm_i[None, :]],
+                             axis=0)
         if prog is not None:
             sp_r, sp_i = _program_partial_sum(padded, prog["cols"], beta,
                                               gamma)
@@ -649,10 +747,13 @@ def prove_trace(matrix: np.ndarray,
                     (s_ext_r[NUM_LOOKUP:NUM_LOOKUP + NUM_AUX],
                      s_ext_i[NUM_LOOKUP:NUM_LOOKUP + NUM_AUX]), eta)
         i_mem = NUM_LOOKUP + NUM_AUX
-        memory_args = ((s_ext_r[i_mem], s_ext_i[i_mem]), delta)
+        d_init = memory_init_demand(program, beta, delta)
+        memory_args = (((s_ext_r[i_mem], s_ext_i[i_mem]),
+                        (s_ext_r[i_mem + 1], s_ext_i[i_mem + 1])),
+                       delta, d_init)
         if prog is not None:
             program_args = (prog["ext"],
-                            (s_ext_r[i_mem + 1], s_ext_i[i_mem + 1]),
+                            (s_ext_r[i_mem + 2], s_ext_i[i_mem + 2]),
                             gamma, entry_point)
 
     alpha_c = challenger.sample_cm31()
@@ -786,8 +887,9 @@ def verify_trace(proof: Dict[str, Any], program=None) -> bool:
     gamma = None
     delta = None
     eta = None
-    n_sums = (NUM_LOOKUP + NUM_AUX + 1
+    n_sums = (NUM_LOOKUP + NUM_AUX + 2      # channel sums + mem S + mem F
               + (1 if prog_pub is not None else 0))
+    d_init = (0, 0)
     if range_lookup:
         beta = challenger.sample_cm31()
         if prog_pub is not None:
@@ -795,6 +897,11 @@ def verify_trace(proof: Dict[str, Any], program=None) -> bool:
         delta = challenger.sample_cm31()
         eta = challenger.sample_cm31()
         challenger.observe_many(int(x) for x in proof["sums_root"])
+        # The public init demand: recomputed from the PUBLIC program when
+        # given (sound binding); absent one, a program-bound proof's
+        # memory argument cannot be anchored, so fall back to zero-init
+        # (unbound proofs prove zero-initialized memory only).
+        d_init = memory_init_demand(program, beta, delta)
     alpha_c = challenger.sample_cm31()
     challenger.observe_many(int(x) for x in proof["quotient_root"])
     alpha_b = challenger.sample_cm31()
@@ -893,7 +1000,7 @@ def verify_trace(proof: Dict[str, Any], program=None) -> bool:
             if range_lookup:
                 lookup_args = (s_vals[j], s_vals[jn], beta)
                 aux_args = (a_vals[j], eta)
-                memory_args = (delta,)
+                memory_args = (delta, d_init)
             if prog_pub is not None:
                 program_args = (p_vals[j], gamma, int(prog_pub["entry"]))
             expected_q = quotient_value_at(

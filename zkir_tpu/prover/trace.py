@@ -51,6 +51,8 @@ from typing import Dict
 
 import numpy as np
 
+from ..spec.memlayout import CODE_BASE
+
 _M20 = (1 << 20) - 1
 _M30 = (1 << 30) - 1
 _M40 = (1 << 40) - 1
@@ -87,15 +89,23 @@ N_CF_COLUMNS = N_ALU_COLUMNS + 4
 # (b_hi = mval_hi + 2^12 tw, tw < 2^8).
 N_MEM_COLUMNS = N_CF_COLUMNS + 5
 # Memory-consistency block: the exec clk column (row index; clk' = clk+1,
-# clk(0) = 0) and the address-sorted memory table for the native-width
-# (LD/SD) ops -- addr limbs, clk, value limbs, is_write, is_real, same
-# (continues the previous address run), hieq (addr_hi equal to previous),
-# and the 10+10-bit gap chunks cha/chb shared by the clk-strict-increase
-# (same run) and address-strict-increase (new run) arguments.  The block
-# is filled by the prover post-padding (prover/prover.py
-# _build_memory_table); trace_to_matrix leaves it zero.
+# clk(0) = 0) and the (cell, clk)-sorted memory UPDATE table covering
+# EVERY load/store width.  Memory is modeled as 8-byte aligned cells; a
+# table row is one update (cell key qa/qb/ahi, clk+1, old cell bytes
+# ob0-7, new cell bytes nb0-7) plus is_real, same (continues the
+# previous cell's run), hieq (addr_hi equal to previous), and the
+# 10+10-bit gap chunks cha/chb shared by the clk-strict-increase (same
+# run) and cell-strict-increase (new run) arguments.  Within a run each
+# row's old bytes must equal the previous row's new bytes; a fresh run
+# starts from the zero cell.  Data/code-segment initial values enter as
+# clk-0 update rows (0 -> initial bytes) whose multiset demand the
+# VERIFIER computes from the public program (prover.py
+# memory_init_demand).  The block is filled by the prover post-padding
+# (prover/prover.py _build_memory_table); trace_to_matrix leaves it zero.
 COL_CLK = N_MEM_COLUMNS
 M_BASE = N_MEM_COLUMNS + 1
+N_MEMTABLE_COLUMNS = 25                     # qa qb ahi clk ob0-7 nb0-7
+#                                             real same hieq cha chb
 # Compare / branch-condition / cmov block.  Committed degree-1 operand
 # views (va = rs1-field operand, vb = rs2-field, vg = rd-field, pinned to
 # the one-hot inner products), the generic difference cu = x - y mod 2^40
@@ -106,7 +116,7 @@ M_BASE = N_MEM_COLUMNS + 1
 # compare sign-XOR trick, and the XOR intermediate x1 = cb1 ^ sa
 # (lt_signed = x1 ^ sb).  Constraints derive the branch taken bit and
 # pin the compare-family and cmov results (prover/constraints.py).
-CMP_BASE = M_BASE + 11
+CMP_BASE = M_BASE + N_MEMTABLE_COLUMNS
 COL_VA_LO = CMP_BASE
 COL_VA_HI = CMP_BASE + 1
 COL_VB_LO = CMP_BASE + 2
@@ -225,7 +235,37 @@ COL_SH_XD_HI = SH_BASE + 14
 # a_hi = mval_hi + 2^12 tw pin is a unique decomposition.
 COL_SW_MH0 = SH_BASE + 15
 COL_SW_MH1 = SH_BASE + 16
-N_COLUMNS = SH_BASE + 17
+# Memory byte-level witness block (every load/store, all widths).
+# Memory is 8-byte aligned cells; maddr_lo = 8*(qa + 2^10 qb) + off with
+# off one-hot (o0-7), qa < 2^10, qb < 2^7.  The cell's pre-state bytes
+# ob0-7 and post-state bytes nb0-7 are committed (loads: nb == ob); the
+# update multiset ties them across rows (table block above).  Store
+# value bytes decompose the 40-bit va operand: va_lo = sb0 + 2^8 sb1 +
+# 2^16 snl, va_hi = snh + 16 sb3 + 2^12 sb4, byte2 = snl + 16 snh
+# (nibble split at the 20-bit limb boundary).  Sign-extending loads
+# commit the sign bit ms and the low parts: LB b = mcb + 128 ms
+# (mcb < 128); LH h = mch0 + 2^10 mch1 + 2^15 ms (mch0 < 2^10,
+# mch1 < 32).  LW/LD split the third selected byte into nibbles
+# mlnib + 16 mhnib at the res limb boundary.
+MB_BASE = SH_BASE + 17
+COL_MO0 = MB_BASE                 # 8 offset one-hot columns
+COL_MQA = MB_BASE + 8
+COL_MQB = MB_BASE + 9
+COL_OB0 = MB_BASE + 10            # 8 old cell bytes
+COL_NB0 = MB_BASE + 18            # 8 new cell bytes
+COL_SB0 = MB_BASE + 26            # store-value bytes 0, 1
+COL_SB1 = MB_BASE + 27
+COL_SNL = MB_BASE + 28            # store-value byte-2 nibbles
+COL_SNH = MB_BASE + 29
+COL_SB3 = MB_BASE + 30            # store-value bytes 3, 4
+COL_SB4 = MB_BASE + 31
+COL_MCB = MB_BASE + 32            # LB low part (< 128)
+COL_MCH0 = MB_BASE + 33           # LH low-part chunks
+COL_MCH1 = MB_BASE + 34
+COL_MS = MB_BASE + 35             # load sign bit
+COL_MLNIB = MB_BASE + 36          # LW/LD selected-byte-2 nibbles
+COL_MHNIB = MB_BASE + 37
+N_COLUMNS = MB_BASE + 38
 
 # Opcodes whose result value is pinned by an AIR constraint.
 _OP_ADD, _OP_SUB, _OP_ADDI = 0x00, 0x01, 0x08
@@ -246,7 +286,8 @@ def selector_blocks(op_col: np.ndarray, rd_col: np.ndarray):
     return sel.astype(np.uint32), rd1h.astype(np.uint32)
 
 
-def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0) -> np.ndarray:
+def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0,
+                    program=None) -> np.ndarray:
     """Convert a device trace dict (from TpuInterpreter.run with
     collect_trace=True) into a uint32 [n_valid_rows, N_COLUMNS] matrix."""
     valid = np.nonzero(trace["valid"][:, lane])[0]
@@ -475,6 +516,100 @@ def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0) -> np.ndarray:
     out[:, COL_SW_MH0] = np.where(is_sw, mval_hi & 0x3FF, 0) \
         .astype(np.uint32)
     out[:, COL_SW_MH1] = np.where(is_sw, mval_hi >> np.uint64(10), 0) \
+        .astype(np.uint32)
+
+    # --- Memory byte-level witness block (all widths) ---
+    # Offsets/cell key from the bound address; old/new cell bytes by
+    # replaying the op log against the initial memory image (zeros, or
+    # the public program's code+data when ``program`` is given — required
+    # whenever the trace reads the code/data segments).
+    mrows = np.nonzero(is_mem & (mvalid != 0))[0]
+    off = (maddr & 7).astype(np.uint64)
+    q = ((maddr >> 3) & ((1 << 17) - 1)).astype(np.uint64)
+    out[:, COL_MO0:COL_MO0 + 8] = (
+        is_mem[:, None] & (off[:, None] == np.arange(8, dtype=np.uint64)))
+    out[:, COL_MQA] = np.where(is_mem, q & 0x3FF, 0).astype(np.uint32)
+    out[:, COL_MQB] = np.where(is_mem, q >> np.uint64(10), 0) \
+        .astype(np.uint32)
+
+    cells: Dict[int, int] = {}
+
+    def initial_cell(cell_addr: int) -> int:
+        if program is None:
+            return 0
+        base = cell_addr * 8
+        code_bytes = len(program.code) * 4
+        data_base = CODE_BASE + code_bytes
+        value = 0
+        for j in range(8):
+            byte_addr = base + j
+            if CODE_BASE <= byte_addr < data_base:
+                k = byte_addr - CODE_BASE
+                byte = (program.code[k // 4] >> (8 * (k % 4))) & 0xFF
+            elif data_base <= byte_addr < data_base + len(program.data):
+                byte = program.data[byte_addr - data_base]
+            else:
+                byte = 0
+            value |= byte << (8 * j)
+        return value
+
+    widths = trace["mem_width"][valid, lane].astype(np.int64)
+    is_w = trace["mem_is_write"][valid, lane].astype(bool)
+    for i in mrows:
+        cell = int(maddr[i]) >> 3
+        o = int(off[i])
+        old = cells.get(cell)
+        if old is None:
+            old = initial_cell(cell)
+        if is_w[i]:
+            w8 = int(widths[i])
+            val = int(mval[i]) & ((1 << (8 * min(w8, 8))) - 1)
+            keep = ~((((1 << (8 * w8)) - 1)) << (8 * o)) & ((1 << 64) - 1)
+            new = (old & keep) | (val << (8 * o))
+        else:
+            new = old
+        cells[cell] = new
+        for j in range(8):
+            out[i, COL_OB0 + j] = (old >> (8 * j)) & 0xFF
+            out[i, COL_NB0 + j] = (new >> (8 * j)) & 0xFF
+
+    # Store-value byte decomposition of the 40-bit va operand.
+    a_hi_full = ((a >> 20) & _M20).astype(np.uint64)
+    st = is_store
+    out[:, COL_SB0] = np.where(st, a & 0xFF, 0).astype(np.uint32)
+    out[:, COL_SB1] = np.where(st, (a >> np.uint64(8)) & 0xFF, 0) \
+        .astype(np.uint32)
+    out[:, COL_SNL] = np.where(st, (a >> np.uint64(16)) & 0xF, 0) \
+        .astype(np.uint32)
+    out[:, COL_SNH] = np.where(st, a_hi_full & 0xF, 0).astype(np.uint32)
+    out[:, COL_SB3] = np.where(st, (a >> np.uint64(24)) & 0xFF, 0) \
+        .astype(np.uint32)
+    out[:, COL_SB4] = np.where(st, (a >> np.uint64(32)) & 0xFF, 0) \
+        .astype(np.uint32)
+
+    # Sign-extension witnesses from the SELECTED old bytes.
+    ob = out[:, COL_OB0:COL_OB0 + 8].astype(np.uint64)
+    oidx = np.minimum(off, 7).astype(np.int64)
+    b_sel = np.take_along_axis(ob, oidx[:, None], axis=1)[:, 0]
+    b_sel1 = np.take_along_axis(
+        ob, np.minimum(oidx + 1, 7)[:, None], axis=1)[:, 0]
+    b_sel2 = np.take_along_axis(
+        ob, np.minimum(oidx + 2, 7)[:, None], axis=1)[:, 0]
+    h_sel = b_sel + 256 * b_sel1
+    is_lb = op == 0x30
+    is_lh = op == 0x32
+    ms = np.where(is_lb, b_sel >> np.uint64(7),
+                  np.where(is_lh, h_sel >> np.uint64(15), 0))
+    out[:, COL_MS] = ms.astype(np.uint32)
+    out[:, COL_MCB] = np.where(is_lb, b_sel & 0x7F, 0).astype(np.uint32)
+    hc = np.where(is_lh, h_sel & 0x7FFF, 0)
+    out[:, COL_MCH0] = (hc & 0x3FF).astype(np.uint32)
+    out[:, COL_MCH1] = (hc >> np.uint64(10)).astype(np.uint32)
+    # LW/LD: nibble split of the third selected byte at the limb boundary.
+    is_lwld = (op == 0x34) | (op == 0x35)
+    out[:, COL_MLNIB] = np.where(is_lwld, b_sel2 & 0xF, 0) \
+        .astype(np.uint32)
+    out[:, COL_MHNIB] = np.where(is_lwld, b_sel2 >> np.uint64(4), 0) \
         .astype(np.uint32)
 
     # Exec clk = row index (padding rows continue it in _pad_rows).
