@@ -179,6 +179,9 @@ from .trace import (COL_LG_A0, COL_LG_B0, COL_LG_C0, COL_LG_C_HI,  # noqa: E402
                     COL_SH_SEFF, COL_SH_SHQ, COL_SH_SHQC0, COL_SH_SHQC1,
                     COL_SH_XD_HI, COL_SH_XD_LO, COL_SH_Z, COL_SH_ZINV,
                     COL_SW_MH0, COL_SW_MH1)
+# I/O-tape binding block (prover/trace.py layout comment at IO_BASE).
+from .trace import (COL_ERD, COL_EWR, COL_IO_B0, COL_IO_B1,  # noqa: E402
+                    COL_IO_B2, COL_RIDX, COL_WIDX)
 from .aux_table import AUX_AND_BASE, AUX_SHIFT_BASE  # noqa: E402
 COMPARE_OPS = tuple(range(0x20, 0x26))   # SLTU SGEU SLT SGE SEQ SNE
 CMOV_OPS = (0x26, 0x27, 0x28)            # CMOV CMOVZ CMOVNZ
@@ -456,7 +459,7 @@ class VecAlg:
 
     def __init__(self, ext_r, ext_i, log_blowup, chan_sums=None,
                  mem_sum=None, prog_sum=None, prog_ext=None,
-                 aux_ext=None, aux_sums=None):
+                 aux_ext=None, aux_sums=None, io_sum=None):
         self.ext_r, self.ext_i = ext_r, ext_i
         self.big = ext_r.shape[1]
         self.blowup = 1 << log_blowup
@@ -466,6 +469,7 @@ class VecAlg:
         self._prog_ext = prog_ext        # (pr, pi): [4, N]
         self._aux_ext = aux_ext          # (ar, ai): [N_AUX_COLS, N]
         self._aux_sums = aux_sums        # (sr, si): [NUM_AUX, N]
+        self._io_sum = io_sum            # ((sr, si), (fr, fi)): [N] each
 
     def col(self, c):
         return (self.ext_r[c], self.ext_i[c])
@@ -497,6 +501,15 @@ class VecAlg:
 
     def mfcol(self):
         return self._mem_sum[1]
+
+    def iocol(self):
+        return self._io_sum[0]
+
+    def ionxt(self):
+        return self._pair_nxt(self._io_sum[0])
+
+    def iofcol(self):
+        return self._io_sum[1]
 
     def pscol(self):
         return self._prog_sum
@@ -578,6 +591,15 @@ class ScalarAlg:
 
     def mfcol(self):
         return self.scol(NUM_LOOKUP + NUM_AUX + 1)
+
+    def iocol(self):
+        return self.scol(NUM_LOOKUP + NUM_AUX + 2)
+
+    def ionxt(self):
+        return self.snxt(NUM_LOOKUP + NUM_AUX + 2)
+
+    def iofcol(self):
+        return self.scol(NUM_LOOKUP + NUM_AUX + 3)
 
     def acol(self, c):
         from .aux_table import N_AUX_COLS
@@ -1316,9 +1338,39 @@ def air_constraints(A):
     transitions.append(mul(ec_adv, t1_inner))
     transitions.append(mul(ec_adv, t2_inner))
 
+    # --- I/O-tape block (trace.py IO_BASE): syscall-number bits,
+    # READ/WRITE flags, running tape indices (syscall.rs:18-97).
+    b0, b1, b2 = col(COL_IO_B0), col(COL_IO_B1), col(COL_IO_B2)
+    erd, ewr = col(COL_ERD), col(COL_EWR)
+    for b in (b0, b1, b2):
+        singles.append(boolean(b))
+        singles.append(mul(sub(one, sel_ec), b))  # bits live on ECALL only
+    # num = b0 + 2 b1 + 4 b2 pins R10 on ECALL rows (high limb zero) and
+    # b0 b1 b2 = 0 caps num at 6 — an InvalidSyscall number (> 6, which
+    # halts the oracle with an error) cannot appear on an accepted ECALL
+    # row at all (syscall.rs:18-24, runtime/errors.py InvalidSyscall).
+    num = add(b0, add(mulc(b1, 2), mulc(b2, 4)))
+    singles.append(mul(sel_ec, sub(col(COL_REG_LO + 10), num)))
+    singles.append(mul(sel_ec, col(COL_REG_HI + 10)))
+    singles.append(mul(mul(b0, b1), b2))
+    # erd = [num == 1], ewr = [num == 2]: exact degree-3 pins (the bits
+    # vanish off ECALL rows, so the flags do too).
+    singles.append(sub(erd, mul(mul(b0, sub(one, b1)), sub(one, b2))))
+    singles.append(sub(ewr, mul(mul(sub(one, b0), b1), sub(one, b2))))
+    # Every non-READ, non-EXIT syscall writes result 0 to R10 (WRITE and
+    # the crypto syscalls, syscall.rs:121-177); READ results are pinned
+    # to the public input tape by the io multiset channel (io_multiset).
+    res0 = mul(sel_ec, sub(sub(one, erd), eex))
+    transitions.append(mul(res0, nxt(COL_REG_LO + 10)))
+    transitions.append(mul(res0, nxt(COL_REG_HI + 10)))
+    # Tape-index chains: +1 per READ / WRITE row, from 0.
+    transitions.append(sub(sub(nxt(COL_RIDX), col(COL_RIDX)), erd))
+    transitions.append(sub(sub(nxt(COL_WIDX), col(COL_WIDX)), ewr))
+
     # Boundary: the machine starts with a zeroed register file.
     firsts = [col(base + r)
               for r in range(1, 16) for base in (COL_REG_LO, COL_REG_HI)]
+    firsts += [col(COL_RIDX), col(COL_WIDX)]
     return singles, transitions, firsts
 
 
@@ -1528,6 +1580,49 @@ def memory_multiset(A, beta, delta, d_init):
     return pin, trans, first, last
 
 
+def io_multiset(A, beta, delta, d_io):
+    """The I/O-tape multiset LogUp constraints.
+
+    READ tuples (1, ridx, next-row R10 limbs — the syscall result) and
+    WRITE tuples (2, widx, this row's R11 limbs) of every flagged ECALL
+    row must equal the public tape demand ``d_io`` the VERIFIER computes
+    from the proof's claimed tapes (prover.io_tape_demand).  Because the
+    running indices start at 0 and increment by exactly 1 per flagged
+    row (air_constraints), multiset equality forces the i-th READ to
+    return exactly inputs[i] and the WRITE sequence to be exactly the
+    outputs — an accepted proof attests the full I/O behavior
+    (syscall.rs:54-78).  Same committed-F shape as memory_multiset:
+
+        H: F (beta-wr)(beta-ww) - erd (beta-ww) - ewr (beta-wr) = 0
+        T: S' - S - F = 0
+        F: S = 0
+        L: S + F - d_io = 0
+    """
+    add, sub, mul, col, K = A.add, A.sub, A.mul, A.col, A.const
+    d2 = cm31_mul_scalar(delta, delta)
+    d3 = cm31_mul_scalar(d2, delta)
+
+    def compress(tag, idx, lo, hi):
+        return add(add(K(tag), A.mulc(idx, delta)),
+                   add(A.mulc(lo, d2), A.mulc(hi, d3)))
+
+    w_r = compress(1, col(COL_RIDX),
+                   A.nxt(COL_REG_LO + 10), A.nxt(COL_REG_HI + 10))
+    w_w = compress(2, col(COL_WIDX),
+                   col(COL_REG_LO + 11), col(COL_REG_HI + 11))
+    beta_v = K(beta)
+    bwr = sub(beta_v, w_r)
+    bww = sub(beta_v, w_w)
+    erd, ewr = col(COL_ERD), col(COL_EWR)
+    f = A.iofcol()
+    pin = sub(mul(mul(f, bwr), bww),
+              add(mul(erd, bww), mul(ewr, bwr)))
+    trans = sub(sub(A.ionxt(), A.iocol()), f)
+    first = A.iocol()
+    last = sub(add(A.iocol(), f), K(d_io))
+    return pin, trans, first, last
+
+
 def program_channel(A, beta, gamma):
     """The program-binding LogUp constraint: every executed row's
     (pc, instruction-field) tuple is a member of the preprocessed program
@@ -1558,7 +1653,8 @@ def program_boundary(A, entry):
             A.sub(A.col(COL_PC_HI), A.const(e_hi))]
 
 
-def quotient_terms(A, lookup=None, aux=None, memory=None, program=None):
+def quotient_terms(A, lookup=None, aux=None, memory=None, program=None,
+                   io=None):
     """Every constraint paired with its divisor tag, in the canonical
     alpha-power order shared by prover and verifier.
 
@@ -1584,6 +1680,10 @@ def quotient_terms(A, lookup=None, aux=None, memory=None, program=None):
         terms += [("F", c) for c in m_f]
         ms_h, ms_t, ms_f, ms_l = memory_multiset(A, beta, delta, d_init)
         terms += [("H", ms_h), ("T", ms_t), ("F", ms_f), ("L", ms_l)]
+    if io is not None:
+        beta, delta, d_io = io
+        io_h, io_t, io_f, io_l = io_multiset(A, beta, delta, d_io)
+        terms += [("H", io_h), ("T", io_t), ("F", io_f), ("L", io_l)]
     if program is not None:
         beta, gamma, entry = program
         terms.append(("H", program_channel(A, beta, gamma)))
@@ -1598,7 +1698,8 @@ def quotient_terms(A, lookup=None, aux=None, memory=None, program=None):
 
 def quotient_evals(ext_r, ext_i, log_n: int, log_blowup: int,
                    shift: Tuple[int, int], alpha: Tuple[int, int],
-                   lookup=None, aux=None, program=None, memory=None):
+                   lookup=None, aux=None, program=None, memory=None,
+                   io=None):
     """Q(x) = sum_j alpha^j C_j(x) / D_j(x) on the coset LDE domain.
 
     ``lookup``: optional (s_ext, beta) enabling the LogUp constraints.
@@ -1606,10 +1707,11 @@ def quotient_evals(ext_r, ext_i, log_n: int, log_blowup: int,
     channels (requires ``lookup`` for beta).
     ``program``: optional (prog_ext, s_prog_ext, gamma, entry).
     ``memory``: optional (s_mem_ext, delta).
+    ``io``: optional (s_io_ext, delta, d_io) — the I/O-tape channel.
     """
     chan_sums = mem_sum = prog_sum = prog_ext = None
-    aux_ext = aux_sums = None
-    lk = ak = mk = pk = None
+    aux_ext = aux_sums = io_sum = None
+    lk = ak = mk = pk = ik = None
     if lookup is not None:
         chan_sums, beta = lookup
         lk = beta
@@ -1619,13 +1721,17 @@ def quotient_evals(ext_r, ext_i, log_n: int, log_blowup: int,
     if memory is not None:
         mem_sum, delta, d_init = memory
         mk = (beta, delta, d_init)
+    if io is not None:
+        io_sum, delta_io, d_io = io
+        ik = (beta, delta_io, d_io)
     if program is not None:
         prog_ext, prog_sum, gamma, entry = program
         pk = (beta, gamma, entry)
     A = VecAlg(ext_r, ext_i, log_blowup, chan_sums=chan_sums,
                mem_sum=mem_sum, prog_sum=prog_sum, prog_ext=prog_ext,
-               aux_ext=aux_ext, aux_sums=aux_sums)
-    terms = quotient_terms(A, lookup=lk, aux=ak, memory=mk, program=pk)
+               aux_ext=aux_ext, aux_sums=aux_sums, io_sum=io_sum)
+    terms = quotient_terms(A, lookup=lk, aux=ak, memory=mk, program=pk,
+                           io=ik)
 
     (zh_inv_r, zh_inv_i, zt_inv_r, zt_inv_i,
      zf_inv_r, zf_inv_i, zl_inv_r, zl_inv_i) = _vanishing_tables(
@@ -1649,24 +1755,27 @@ def quotient_evals(ext_r, ext_i, log_n: int, log_blowup: int,
 def quotient_value_at(row, next_row, n_cols: int, index: int, log_n: int,
                       log_blowup: int, shift: Tuple[int, int],
                       alpha: Tuple[int, int], lookup=None, aux=None,
-                      program=None, memory=None):
+                      program=None, memory=None, io=None):
     """Scalar Q(x_index) recomputed from opened rows (verifier side).
 
     ``lookup``: optional (s_row, s_next, beta).
     ``aux``: optional (aux_row, eta); its partial sums are sums columns
     NUM_LOOKUP..NUM_LOOKUP+NUM_AUX.
-    ``memory``: optional (delta,); its partial sum is sums column
-    NUM_LOOKUP + NUM_AUX.
+    ``memory``: optional (delta, d_init); its partial sums are sums
+    columns NUM_LOOKUP + NUM_AUX and + 1.
+    ``io``: optional (delta, d_io); its partial sums are sums columns
+    NUM_LOOKUP + NUM_AUX + 2 and + 3.
     ``program``: optional (prog_row, gamma, entry); its partial sum is
     the last sums column."""
     s_row = s_next = prog_row = aux_row = None
     n_sums = 0
-    lk = ak = mk = pk = None
+    lk = ak = mk = pk = ik = None
     if lookup is not None:
         s_row, s_next, beta = lookup
         n_sums = (NUM_LOOKUP
                   + (NUM_AUX if aux is not None else 0)
                   + (2 if memory is not None else 0)
+                  + (2 if io is not None else 0)
                   + (1 if program is not None else 0))
         lk = beta
     if aux is not None:
@@ -1675,12 +1784,16 @@ def quotient_value_at(row, next_row, n_cols: int, index: int, log_n: int,
     if memory is not None:
         delta, d_init = memory
         mk = (beta, delta, d_init)
+    if io is not None:
+        delta_io, d_io = io
+        ik = (beta, delta_io, d_io)
     if program is not None:
         prog_row, gamma, entry = program
         pk = (beta, gamma, entry)
     A = ScalarAlg(row, next_row, n_cols, s_row=s_row, s_next=s_next,
                   n_sums=n_sums, prog_row=prog_row, aux_row=aux_row)
-    terms = quotient_terms(A, lookup=lk, aux=ak, memory=mk, program=pk)
+    terms = quotient_terms(A, lookup=lk, aux=ak, memory=mk, program=pk,
+                           io=ik)
 
     n = 1 << log_n
     x = cm31_mul_scalar(shift,

@@ -68,8 +68,9 @@ def _pad_rows(matrix: np.ndarray, min_log: int = 2):
     branch/jump row has no successor pc, so either would violate an
     honest trace's result-binding / pc-target constraints."""
     from .constraints import (
-        COL_CEQ, COL_CLK, COL_OPCODE, COL_RD1H0, COL_REG_LO, COL_RS1H0,
-        COL_RS2H0, COL_SEL0, COL_SH_D0, COL_SH_PM, COL_SH_Z, OP_VALUES)
+        COL_CEQ, COL_CLK, COL_OPCODE, COL_RD1H0, COL_REG_LO, COL_RIDX,
+        COL_RS1H0, COL_RS2H0, COL_SEL0, COL_SH_D0, COL_SH_PM, COL_SH_Z,
+        COL_WIDX, OP_VALUES)
 
     n_rows = matrix.shape[0]
     if n_rows > 0 and int(matrix[-1, COL_OPCODE]) not in (0x50, 0x51):
@@ -99,6 +100,11 @@ def _pad_rows(matrix: np.ndarray, min_log: int = 2):
         # The exec clk chain (clk' = clk + 1) runs through padding.
         padded[n_rows:, COL_CLK] = np.arange(n_rows, 1 << log_n,
                                              dtype=np.uint32)
+        # The io tape-index chains run through padding unchanged (the
+        # final real row is a halt, so erd = ewr = 0 there and on every
+        # EBREAK padding row).
+        padded[n_rows:, COL_RIDX] = matrix[-1, COL_RIDX]
+        padded[n_rows:, COL_WIDX] = matrix[-1, COL_WIDX]
         padded[n_rows:, COL_CEQ] = 1    # eq gadget: cu = 0 on padding
         padded[n_rows:, COL_SH_Z] = 1   # shq = 0 on padding
         padded[n_rows:, COL_SH_D0] = 1  # shift-table row 0: (0, 0, 1)
@@ -324,6 +330,108 @@ def _memory_partial_sum(padded: np.ndarray, beta, delta):
     s_i[1:] = cum_i[:-1].astype(np.uint32)
     # S (partial sums, exclusive) and F (the per-row terms, their own
     # committed column so the boundary constraints stay degree <= 1).
+    return (s_r, s_i), (term_r.astype(np.uint32), term_i.astype(np.uint32))
+
+
+def _observe_io(challenger, inputs, outputs) -> None:
+    """Feed the claimed I/O tapes into the Fiat-Shamir transcript
+    (identically on prover and verifier)."""
+    challenger.observe(len(inputs))
+    for v in inputs:
+        challenger.observe(v & 0xFFFFF)
+        challenger.observe((v >> 20) & 0xFFFFF)
+    challenger.observe(len(outputs))
+    for v in outputs:
+        challenger.observe(v & 0xFFFFF)
+        challenger.observe((v >> 20) & 0xFFFFF)
+
+
+def extract_io(matrix: np.ndarray):
+    """The claimed public I/O tapes read off a trace matrix: (inputs
+    consumed, outputs written), each a list of 40-bit ints in tape
+    order.  ``inputs`` is the CONSUMED read sequence — reads past the
+    provided tape's end appear as trailing zeros (syscall.rs:54-62)."""
+    op = matrix[:, 2]
+    r10 = (matrix[:, 8 + 10].astype(np.uint64)
+           + (matrix[:, 24 + 10].astype(np.uint64) << 20))
+    r11 = (matrix[:, 8 + 11].astype(np.uint64)
+           + (matrix[:, 24 + 11].astype(np.uint64) << 20))
+    is_ec = op == 0x50
+    rd_rows = np.nonzero(is_ec & (r10 == 1))[0]
+    wr_rows = np.nonzero(is_ec & (r10 == 2))[0]
+    inputs = [int(r10[i + 1]) for i in rd_rows]   # next-row R10 = result
+    outputs = [int(r11[i]) for i in wr_rows]
+    return inputs, outputs
+
+
+def io_tape_demand(inputs, outputs, beta, delta):
+    """The verifier-computable I/O demand: sum over the claimed tapes of
+    1/(beta - (tag + idx*delta + lo*delta^2 + hi*delta^3)) with tag 1
+    for inputs and 2 for outputs (matching constraints.io_multiset).
+    Returns a CM31 pair; (0, 0) for empty tapes."""
+    entries = ([(1, i, v) for i, v in enumerate(inputs)]
+               + [(2, j, v) for j, v in enumerate(outputs)])
+    if not entries:
+        return (0, 0)
+    m = len(entries)
+    comp = [np.zeros(m, dtype=np.uint64) for _ in range(4)]
+    for r, (tag, idx, v) in enumerate(entries):
+        comp[0][r] = tag
+        comp[1][r] = idx
+        comp[2][r] = v & 0xFFFFF
+        comp[3][r] = (v >> 20) & 0xFFFFF
+    t_r, t_i = _delta_compress_np(comp, delta)
+    from ..ops.field_ops import m31_batch_inv
+    dr = (beta[0] - t_r.astype(np.int64)) % P
+    di = (beta[1] - t_i.astype(np.int64)) % P
+    norm = (dr * dr + di * di) % P
+    ninv = np.asarray(m31_batch_inv(
+        jnp.asarray(norm.astype(np.uint32)))).astype(np.uint64)
+    inv_r = (dr.astype(np.uint64) * ninv) % P
+    inv_i = ((P - di.astype(np.uint64)) % P * ninv) % P
+    return (int(inv_r.sum() % P), int(inv_i.sum() % P))
+
+
+def _io_partial_sum(padded: np.ndarray, beta, delta):
+    """The I/O multiset partial-sum (S, exclusive) and per-row term (F)
+    columns (CM31 pairs, [n] each): F_i = erd_i/(beta - wr_i)
+    + ewr_i/(beta - ww_i) with wr/ww the delta-compressed READ/WRITE
+    tuples of constraints.io_multiset."""
+    from ..ops.field_ops import m31_batch_inv
+
+    from .constraints import COL_ERD, COL_EWR, COL_RIDX, COL_WIDX
+
+    n = padded.shape[0]
+    wr_comp = [np.ones(n, dtype=np.uint64),
+               padded[:, COL_RIDX].astype(np.uint64),
+               np.roll(padded[:, 8 + 10], -1).astype(np.uint64),
+               np.roll(padded[:, 24 + 10], -1).astype(np.uint64)]
+    ww_comp = [np.full(n, 2, dtype=np.uint64),
+               padded[:, COL_WIDX].astype(np.uint64),
+               padded[:, 8 + 11].astype(np.uint64),
+               padded[:, 24 + 11].astype(np.uint64)]
+    wr_r, wr_i = _delta_compress_np(wr_comp, delta)
+    ww_r, ww_i = _delta_compress_np(ww_comp, delta)
+    erd = padded[:, COL_ERD].astype(np.uint64)
+    ewr = padded[:, COL_EWR].astype(np.uint64)
+
+    dr = np.concatenate([(beta[0] - wr_r.astype(np.int64)) % P,
+                         (beta[0] - ww_r.astype(np.int64)) % P])
+    di = np.concatenate([(beta[1] - wr_i.astype(np.int64)) % P,
+                         (beta[1] - ww_i.astype(np.int64)) % P])
+    norm = (dr * dr + di * di) % P
+    ninv = np.asarray(m31_batch_inv(
+        jnp.asarray(norm.astype(np.uint32)))).astype(np.uint64)
+    inv_r = (dr.astype(np.uint64) * ninv) % P
+    inv_i = ((P - di.astype(np.uint64)) % P * ninv) % P
+    term_r = ((erd * inv_r[:n]) % P + (ewr * inv_r[n:]) % P) % P
+    term_i = ((erd * inv_i[:n]) % P + (ewr * inv_i[n:]) % P) % P
+    cum_r = np.cumsum(term_r.astype(np.int64)) % P
+    cum_i = np.cumsum(term_i.astype(np.int64)) % P
+    s_r = np.zeros(n, dtype=np.uint32)
+    s_i = np.zeros(n, dtype=np.uint32)
+    s_r[1:] = cum_r[:-1].astype(np.uint32)
+    s_i[1:] = cum_i[:-1].astype(np.uint32)
     return (s_r, s_i), (term_r.astype(np.uint32), term_i.astype(np.uint32))
 
 
@@ -706,6 +814,12 @@ def prove_trace(matrix: np.ndarray,
         challenger.observe_many(int(x) for x in prog["root"])
         challenger.observe(entry_point)
         challenger.observe(len(code_words))
+    io_inputs = io_outputs = None
+    if range_lookup:
+        # The claimed public I/O tapes enter the transcript before the
+        # beta/delta draws (Fiat-Shamir binding of the io channel).
+        io_inputs, io_outputs = extract_io(padded)
+        _observe_io(challenger, io_inputs, io_outputs)
 
     # Phase 1.5 (lookup only): beta challenge -> partial-sum columns.
     # Sums-column layout: NUM_LOOKUP channel sums, NUM_AUX aux-table
@@ -714,6 +828,7 @@ def prove_trace(matrix: np.ndarray,
     lookup = None
     aux_args = None
     memory_args = None
+    io_args = None
     program_args = None
     levels_s = None
     s_rows = None
@@ -727,10 +842,11 @@ def prove_trace(matrix: np.ndarray,
                                              beta, eta)
         (sm_r, sm_i), (fm_r, fm_i) = _memory_partial_sum(padded, beta,
                                                          delta)
-        s_r = np.concatenate([s_r, sa_r, sm_r[None, :], fm_r[None, :]],
-                             axis=0)
-        s_i = np.concatenate([s_i, sa_i, sm_i[None, :], fm_i[None, :]],
-                             axis=0)
+        (si_r, si_i), (fi_r, fi_i) = _io_partial_sum(padded, beta, delta)
+        s_r = np.concatenate([s_r, sa_r, sm_r[None, :], fm_r[None, :],
+                              si_r[None, :], fi_r[None, :]], axis=0)
+        s_i = np.concatenate([s_i, sa_i, sm_i[None, :], fm_i[None, :],
+                              si_i[None, :], fi_i[None, :]], axis=0)
         if prog is not None:
             sp_r, sp_i = _program_partial_sum(padded, prog["cols"], beta,
                                               gamma)
@@ -751,9 +867,13 @@ def prove_trace(matrix: np.ndarray,
         memory_args = (((s_ext_r[i_mem], s_ext_i[i_mem]),
                         (s_ext_r[i_mem + 1], s_ext_i[i_mem + 1])),
                        delta, d_init)
+        d_io = io_tape_demand(io_inputs, io_outputs, beta, delta)
+        io_args = (((s_ext_r[i_mem + 2], s_ext_i[i_mem + 2]),
+                    (s_ext_r[i_mem + 3], s_ext_i[i_mem + 3])),
+                   delta, d_io)
         if prog is not None:
             program_args = (prog["ext"],
-                            (s_ext_r[i_mem + 2], s_ext_i[i_mem + 2]),
+                            (s_ext_r[i_mem + 4], s_ext_i[i_mem + 4]),
                             gamma, entry_point)
 
     alpha_c = challenger.sample_cm31()
@@ -764,7 +884,8 @@ def prove_trace(matrix: np.ndarray,
     # constraints up to degree 3).
     q = quotient_evals(ext_r, ext_i, log_n, fri_config.log_blowup, shift,
                        alpha_c, lookup=lookup, aux=aux_args,
-                       program=program_args, memory=memory_args)
+                       program=program_args, memory=memory_args,
+                       io=io_args)
     qc_r, qc_i = coset_intt(q[0], q[1], log_big, shift=shift)
     n_rows = 1 << log_n
     q_chunks = []
@@ -828,6 +949,7 @@ def prove_trace(matrix: np.ndarray,
     }
     if range_lookup:
         out["sums_root"] = [int(x) for x in merkle.root(levels_s)]
+        out["io"] = {"inputs": io_inputs, "outputs": io_outputs}
     if prog is not None:
         out["program"] = {
             "root": prog["root"],
@@ -887,10 +1009,18 @@ def verify_trace(proof: Dict[str, Any], program=None) -> bool:
     gamma = None
     delta = None
     eta = None
-    n_sums = (NUM_LOOKUP + NUM_AUX + 2      # channel sums + mem S + mem F
+    n_sums = (NUM_LOOKUP + NUM_AUX + 4      # channels + mem S/F + io S/F
               + (1 if prog_pub is not None else 0))
     d_init = (0, 0)
+    d_io = (0, 0)
+    io_pub = proof.get("io")
     if range_lookup:
+        if (not isinstance(io_pub, dict) or "inputs" not in io_pub
+                or "outputs" not in io_pub):
+            return False
+        io_inputs = [int(v) for v in io_pub["inputs"]]
+        io_outputs = [int(v) for v in io_pub["outputs"]]
+        _observe_io(challenger, io_inputs, io_outputs)
         beta = challenger.sample_cm31()
         if prog_pub is not None:
             gamma = challenger.sample_cm31()
@@ -902,6 +1032,9 @@ def verify_trace(proof: Dict[str, Any], program=None) -> bool:
         # memory argument cannot be anchored, so fall back to zero-init
         # (unbound proofs prove zero-initialized memory only).
         d_init = memory_init_demand(program, beta, delta)
+        # The public I/O demand: recomputed from the proof's CLAIMED
+        # tapes — an accepted proof attests exactly these tapes.
+        d_io = io_tape_demand(io_inputs, io_outputs, beta, delta)
     alpha_c = challenger.sample_cm31()
     challenger.observe_many(int(x) for x in proof["quotient_root"])
     alpha_b = challenger.sample_cm31()
@@ -996,17 +1129,19 @@ def verify_trace(proof: Dict[str, Any], program=None) -> bool:
             lookup_args = None
             aux_args = None
             memory_args = None
+            io_args = None
             program_args = None
             if range_lookup:
                 lookup_args = (s_vals[j], s_vals[jn], beta)
                 aux_args = (a_vals[j], eta)
                 memory_args = (delta, d_init)
+                io_args = (delta, d_io)
             if prog_pub is not None:
                 program_args = (p_vals[j], gamma, int(prog_pub["entry"]))
             expected_q = quotient_value_at(
                 rows[j], rows[jn], n_cols, j, log_n, config.log_blowup,
                 shift, alpha_c, lookup=lookup_args, aux=aux_args,
-                program=program_args, memory=memory_args)
+                program=program_args, memory=memory_args, io=io_args)
             x = cm31_mul_scalar(
                 shift, cm31_pow_scalar(root_of_unity(log_big), j))
             xn = cm31_pow_scalar(x, 1 << log_n)

@@ -265,7 +265,28 @@ COL_MCH1 = MB_BASE + 34
 COL_MS = MB_BASE + 35             # load sign bit
 COL_MLNIB = MB_BASE + 36          # LW/LD selected-byte-2 nibbles
 COL_MHNIB = MB_BASE + 37
-N_COLUMNS = MB_BASE + 38
+# I/O-tape binding block: on ECALL rows the syscall number (the R10
+# pre-state, syscall.rs:94-97) is decomposed into three bits
+# (num = b0 + 2 b1 + 4 b2, with b0 b1 b2 = 0 capping num at 6 and the
+# high R10 limb pinned to zero — so an InvalidSyscall number cannot
+# appear on an accepted ECALL row); erd/ewr flag READ (num = 1) and
+# WRITE (num = 2) rows; ridx/widx are the running tape indices
+# (exclusive prefix counts, +erd/+ewr per row from 0).  The io multiset
+# channel (constraints.io_multiset) binds the (idx, value) tuple of
+# every READ (value = the next row's R10 = the syscall result) and
+# WRITE (value = this row's R11) to the PUBLIC tape demand the verifier
+# recomputes from the proof's claimed tapes (prover.io_tape_demand) —
+# so an accepted proof attests the exact input/output tape contents
+# (syscall.rs:18-24, 54-78).
+IO_BASE = MB_BASE + 38
+COL_IO_B0 = IO_BASE
+COL_IO_B1 = IO_BASE + 1
+COL_IO_B2 = IO_BASE + 2
+COL_ERD = IO_BASE + 3
+COL_EWR = IO_BASE + 4
+COL_RIDX = IO_BASE + 5
+COL_WIDX = IO_BASE + 6
+N_COLUMNS = IO_BASE + 7
 
 # Opcodes whose result value is pinned by an AIR constraint.
 _OP_ADD, _OP_SUB, _OP_ADDI = 0x00, 0x01, 0x08
@@ -284,6 +305,27 @@ def selector_blocks(op_col: np.ndarray, rd_col: np.ndarray):
     sel = (op_col[:, None] == np.asarray(OP_VALUES, dtype=np.uint32)[None, :])
     rd1h = (rd_col[:, None] == np.arange(16, dtype=np.uint32)[None, :])
     return sel.astype(np.uint32), rd1h.astype(np.uint32)
+
+
+def fill_io_block(out: np.ndarray) -> np.ndarray:
+    """Fill the I/O-tape binding block (layout comment at IO_BASE) from
+    the opcode and R10 columns, in place.  Honest traces have syscall
+    numbers <= 6 (InvalidSyscall raises before a trace row is emitted),
+    so the low R10 limb is the full number."""
+    is_ec = out[:, 2] == 0x50
+    num = np.where(is_ec & (out[:, 24 + 10] == 0), out[:, 8 + 10], 0)
+    out[:, COL_IO_B0] = num & 1
+    out[:, COL_IO_B1] = (num >> 1) & 1
+    out[:, COL_IO_B2] = (num >> 2) & 1
+    erd = (is_ec & (num == 1)).astype(np.uint32)
+    ewr = (is_ec & (num == 2)).astype(np.uint32)
+    out[:, COL_ERD] = erd
+    out[:, COL_EWR] = ewr
+    out[:, COL_RIDX] = (np.cumsum(erd, dtype=np.uint64) - erd).astype(
+        np.uint32)
+    out[:, COL_WIDX] = (np.cumsum(ewr, dtype=np.uint64) - ewr).astype(
+        np.uint32)
+    return out
 
 
 def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0,
@@ -817,7 +859,7 @@ def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0,
         out[:, COL_E0] = e0.astype(np.uint32)
         cd0 = live_div & ((prod_lo & _M20) + (r & _M20) >= (1 << 20))
         out[:, COL_CD0] = cd0.astype(np.uint32)
-    return out
+    return fill_io_block(out)
 
 
 def _m31_inv_np(x: np.ndarray) -> np.ndarray:
