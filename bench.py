@@ -90,8 +90,12 @@ def bench_trace_gen(lanes=None, chunk=512):
             return state
         return run
 
+    # Work unit = machine cycles; make_fn takes a CHUNK COUNT, so divide
+    # (1 chunk vs 3 chunks — r2 passed per_chunk itself here, dispatching
+    # 4.2M chunks and timing out the whole benchmark).
     per_chunk = lanes * chunk
-    rate = _slope_time(make_fn, per_chunk, 3 * per_chunk,
+    rate = _slope_time(lambda w: make_fn(w // per_chunk),
+                       per_chunk, 3 * per_chunk,
                        state_warm, state_fresh, lambda s: int(s.cycles[0]))
     if rate is None:
         elapsed = _timed_single_dispatch(
@@ -247,23 +251,64 @@ def main():
         print(f"RESULT {fn()}")
         return
 
-    extra = {}
-    val, err = _run_isolated("poseidon2")
-    if val is not None:
-        extra["poseidon2_perms_per_s"] = round(val)
-    else:
-        extra["poseidon2_error"] = err
-    val, err = _run_isolated("ntt")
-    if val is not None:
-        extra["ntt_2e24_ms"] = round(val, 3)
-    else:
-        extra["ntt_error"] = err
+    # Global wall-clock budget: the driver kills the whole benchmark at
+    # its window; r2 burned it all on sub-benches and printed nothing.
+    # Every sub-bench gets min(its own cap, time left - reserve) and the
+    # JSON line always prints.
+    start = time.perf_counter()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    reserve = 30.0  # native bench + JSON print
 
-    val, err = _run_isolated("prove", timeout_s=600)
-    if val is not None:
-        extra["trace_rows_proved_per_s"] = round(val)
-    else:
-        extra["prove_error"] = err
+    def time_left():
+        return budget - (time.perf_counter() - start) - reserve
+
+    def note(msg):
+        import sys
+        print(f"[bench {time.perf_counter() - start:7.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    extra = {}
+
+    # Headline FIRST: the TPU trace-generation rate.  Lanes ladder — the
+    # tunnel's compile time scales with the program; when the big config
+    # can't compile inside its cap, a smaller lane count still yields an
+    # honest TPU number (labeled).  Throughput is not monotone in lane
+    # count (546M/s at 8192 vs 429M/s at 65536 measured on v5e), so take
+    # the best config that fits the budget.
+    value = None
+    err = "budget exhausted"
+    for lanes, cap in ((8192, 300), (65536, 480)):
+        t = min(cap, time_left())
+        if t < 60:
+            break
+        v, e = _run_isolated("trace", timeout_s=int(t),
+                             env={"BENCH_TRACE_LANES": str(lanes)})
+        note(f"trace lanes={lanes}: {v} ({e})")
+        if v is not None and (value is None or v > value):
+            value, err = v, None
+            extra["trace_lanes"] = lanes
+        elif v is None and value is None:
+            err = e
+    if value is None:
+        # Headline stays honest: report 0 with the error rather than
+        # substituting the CPU engine's rate.
+        value = 0.0
+        extra["trace_note"] = f"tpu path unavailable ({err})"
+
+    for which, key, cap, digits in (
+            ("poseidon2", "poseidon2_perms_per_s", 180, 0),
+            ("ntt", "ntt_2e24_ms", 180, 3),
+            ("prove", "trace_rows_proved_per_s", 420, 0)):
+        t = min(cap, time_left())
+        if t < 60:
+            extra[f"{which}_error"] = "budget exhausted"
+            continue
+        val, err = _run_isolated(which, timeout_s=int(t))
+        note(f"{which}: {val} ({err})")
+        if val is not None:
+            extra[key] = round(val, digits) if digits else round(val)
+        else:
+            extra[f"{which}_error"] = err
 
     # The native C++ VM rate is always reported as its own metric — it is
     # a CPU number and must never masquerade as the TPU headline.
@@ -271,23 +316,6 @@ def main():
         extra["native_vm_cycles_per_sec"] = round(_native_fallback())
     except Exception as exc:  # pragma: no cover
         extra["native_vm_error"] = str(exc)[-120:]
-
-    # Lanes ladder: the remote tunnel's compile time scales with the
-    # program; when the big config can't compile inside the timeout, a
-    # smaller lane count still yields an honest TPU number (labeled).
-    value = None
-    for lanes in (65536, 8192):
-        value, err = _run_isolated(
-            "trace", timeout_s=900,
-            env={"BENCH_TRACE_LANES": str(lanes)})
-        if value is not None:
-            extra["trace_lanes"] = lanes
-            break
-    if value is None:
-        # Headline stays honest: report 0 with the error rather than
-        # substituting the CPU engine's rate.
-        value = 0.0
-        extra["trace_note"] = f"tpu path unavailable ({err})"
     baseline = 10e6  # reference's own stated target (README.md:279)
     print(json.dumps({
         "metric": "tpu_trace_gen_cycles_per_sec",

@@ -95,7 +95,7 @@ class TestCompareAir:
         bad = cmp_matrix.copy()
         row = _rows_of(bad, op)[idx]
         bad[row, COL_TAKEN] ^= 1
-        assert not verify_trace(prove_trace(bad, CFG))
+        assert not verify_trace(prove_trace(bad, CFG, selfcheck=False))
 
     @pytest.mark.parametrize("op", [Op.SLT, Op.SLTU, Op.SEQ, Op.SGEU])
     def test_forged_compare_result_rejected(self, cmp_matrix, op):
@@ -106,7 +106,7 @@ class TestCompareAir:
         bad[row, COL_RES_LO] = nv
         bad[row, COL_RES_CH0] = nv
         bad[row + 1:, 8 + rd] = nv
-        assert not verify_trace(prove_trace(bad, CFG))
+        assert not verify_trace(prove_trace(bad, CFG, selfcheck=False))
 
     def test_forged_cmov_rejected(self, cmp_matrix):
         # CMOVNZ with b == 0 writes nothing; claiming it moved a (and
@@ -120,4 +120,4 @@ class TestCompareAir:
         bad[row, COL_RES_LO] = 5
         bad[row, COL_RES_CH0] = 5
         bad[row + 1:, 8 + rd] = 5
-        assert not verify_trace(prove_trace(bad, CFG))
+        assert not verify_trace(prove_trace(bad, CFG, selfcheck=False))

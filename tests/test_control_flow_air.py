@@ -64,7 +64,7 @@ class TestControlFlowTargets:
         row = int(np.nonzero(m[:, COL_OPCODE] == int(Op.BNE))[0][0])
         bad = m.copy()
         bad[row + 1, 0] += 4
-        proof = prove_trace(bad, CFG)
+        proof = prove_trace(bad, CFG, selfcheck=False)
         assert not verify_trace(proof)
 
     def test_forged_taken_bit_rejected(self, cf_matrix):
@@ -72,7 +72,7 @@ class TestControlFlowTargets:
         row = int(np.nonzero(m[:, COL_OPCODE] == int(Op.BNE))[0][0])
         bad = m.copy()
         bad[row, COL_TAKEN] = 1 - bad[row, COL_TAKEN]
-        proof = prove_trace(bad, CFG)
+        proof = prove_trace(bad, CFG, selfcheck=False)
         assert not verify_trace(proof)
 
     def test_forged_jal_target_rejected(self, cf_matrix):
@@ -80,7 +80,7 @@ class TestControlFlowTargets:
         row = int(np.nonzero(m[:, COL_OPCODE] == int(Op.JAL))[0][0])
         bad = m.copy()
         bad[row + 1, 0] -= 4          # land on the "skipped" instruction
-        proof = prove_trace(bad, CFG)
+        proof = prove_trace(bad, CFG, selfcheck=False)
         assert not verify_trace(proof)
 
     def test_forged_jalr_target_rejected(self, cf_matrix):
@@ -88,7 +88,7 @@ class TestControlFlowTargets:
         row = int(np.nonzero(m[:, COL_OPCODE] == int(Op.JALR))[0][0])
         bad = m.copy()
         bad[row + 1, 0] += 8
-        proof = prove_trace(bad, CFG)
+        proof = prove_trace(bad, CFG, selfcheck=False)
         assert not verify_trace(proof)
 
     def test_branch_final_row_rejected_at_prove(self, cf_matrix):
@@ -133,7 +133,7 @@ class TestHaltChain:
         row[COL_SEL0 + OP_VALUES.index(0x51)] = 0
         row[COL_SEL0 + OP_VALUES.index(0x08)] = 1
         padded[n] = row
-        proof = prove_trace(padded, CFG)
+        proof = prove_trace(padded, CFG, selfcheck=False)
         assert not verify_trace(proof)
 
     def test_nonexit_ecall_pc_teleport_rejected(self, ecall_matrix):
@@ -142,7 +142,7 @@ class TestHaltChain:
         row = int(np.nonzero(m[:, COL_OPCODE] == 0x50)[0][0])
         bad = m.copy()
         bad[row + 1, 0] += 8
-        proof = prove_trace(bad, CFG)
+        proof = prove_trace(bad, CFG, selfcheck=False)
         assert not verify_trace(proof)
 
     def test_forged_exit_flag_rejected(self, ecall_matrix):
@@ -156,7 +156,7 @@ class TestHaltChain:
         bad[row, COL_EEX] = 1
         bad[row, COL_EINV] = 0
         bad[row + 1, 0] += 8     # the teleport eex=1 would permit
-        proof = prove_trace(bad, CFG)
+        proof = prove_trace(bad, CFG, selfcheck=False)
         assert not verify_trace(proof)
 
     def test_nonexit_ecall_final_row_rejected_at_prove(self, ecall_matrix):

@@ -15,7 +15,7 @@ from zkir_tpu.prover import FriConfig, prove_trace, trace_to_matrix, \
     verify_trace
 from zkir_tpu.prover.prover import extract_io
 from zkir_tpu.prover.trace import (COL_ERD, COL_IO_B0, COL_IO_B1,
-                                   COL_RIDX, COL_WIDX)
+                                   COL_IO_B2, COL_RIDX, COL_WIDX)
 from zkir_tpu.spec import Instruction, Op, Program
 
 CFG = FriConfig(log_blowup=2, log_final=3, num_queries=4,
@@ -118,7 +118,7 @@ class TestForgedTraces:
         # the register file carries it until the next R10 write.
         forged[ec + 1, 8 + 10] = 99
         with np.errstate(all="ignore"):
-            proof = prove_trace(forged, CFG, range_lookup=True)
+            proof = prove_trace(forged, CFG, range_lookup=True, selfcheck=False)
         # The claimed input is now 99 -- the proof verifies only as
         # "input was 99", never as "input was 37".
         assert proof["io"]["inputs"][0] == 99
@@ -128,8 +128,8 @@ class TestForgedTraces:
         assert not verify_trace(as37)
 
     def test_forged_write_result_rejected(self):
-        """WRITE syscalls must leave R10 = 0 (syscall.rs:121-177); a
-        trace where R10' != 0 after a WRITE ECALL is rejected."""
+        """WRITE syscalls leave R10 untouched (syscall.rs:114-119); a
+        trace where R10 changes across a WRITE ECALL is rejected."""
         matrix, _ = _run_matrix(IO_PROGRAM, [37])
         wr = np.nonzero(matrix[:, 2] == 0x50)[0][1]
         forged = matrix.copy()
@@ -137,7 +137,7 @@ class TestForgedTraces:
         # keep later rows consistent: row wr+1 is ADDI rd=10 imm=1, so
         # only the single row after the WRITE ECALL actually changes.
         forged[wr + 2:, 8 + 10] = matrix[wr + 2:, 8 + 10]
-        proof = prove_trace(forged, CFG, range_lookup=True)
+        proof = prove_trace(forged, CFG, range_lookup=True, selfcheck=False)
         assert not verify_trace(proof)
 
     def test_forged_erd_flag_rejected(self):
@@ -149,7 +149,7 @@ class TestForgedTraces:
         forged[ec, COL_ERD] = 0
         # ridx chain must match the forged flag or it fails trivially.
         forged[ec + 1:, COL_RIDX] = matrix[ec + 1:, COL_RIDX] - 1
-        proof = prove_trace(forged, CFG, range_lookup=True)
+        proof = prove_trace(forged, CFG, range_lookup=True, selfcheck=False)
         assert not verify_trace(proof)
 
     def test_invalid_syscall_number_rejected(self):
@@ -164,5 +164,5 @@ class TestForgedTraces:
         forged[ec, COL_IO_B2] = 1
         forged[ec, COL_ERD] = 0
         forged[ec + 1:, COL_RIDX] = matrix[ec + 1:, COL_RIDX] - 1
-        proof = prove_trace(forged, CFG, range_lookup=True)
+        proof = prove_trace(forged, CFG, range_lookup=True, selfcheck=False)
         assert not verify_trace(proof)

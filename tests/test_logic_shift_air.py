@@ -121,14 +121,14 @@ class TestLogicShiftAir:
     def test_forged_result_rejected(self, ls_matrix, opv):
         row = _rows(ls_matrix, opv)[-1]
         bad = _forge_res(ls_matrix, row, 1)
-        proof = prove_trace(bad, CFG)
+        proof = prove_trace(bad, CFG, selfcheck=False)
         assert not verify_trace(proof)
 
     def test_sra_signfill_forged_rejected(self, ls_matrix):
         # The shift-45 SRA row: result must be the full sign fill.
         row = _rows(ls_matrix, 0x1A)[-1]
         bad = _forge_res(ls_matrix, row, -1)
-        proof = prove_trace(bad, CFG)
+        proof = prove_trace(bad, CFG, selfcheck=False)
         assert not verify_trace(proof)
 
     def test_forged_and_chunk_rejected_by_table(self, ls_matrix):
@@ -150,7 +150,7 @@ class TestLogicShiftAir:
             bad[r, COL_REG_LO + rd] = new_clo
             if int(bad[r, 3]) == rd:
                 break
-        proof = prove_trace(bad, CFG_L, range_lookup=True)
+        proof = prove_trace(bad, CFG_L, range_lookup=True, selfcheck=False)
         assert not verify_trace(proof)
 
     def test_forged_shift_power_rejected_by_table(self, ls_matrix):
@@ -164,7 +164,7 @@ class TestLogicShiftAir:
         bad[row, COL_SH_PM] = pm * 2
         d = next(i for i in range(4) if int(bad[row, COL_YQ0 + i]))
         bad[row, COL_YQ0 + d] = int(bad[row, COL_YQ0 + d]) * 2
-        proof = prove_trace(bad, CFG_L, range_lookup=True)
+        proof = prove_trace(bad, CFG_L, range_lookup=True, selfcheck=False)
         assert not verify_trace(proof)
 
     def test_forged_srl_quotient_rejected(self, ls_matrix):
@@ -173,5 +173,5 @@ class TestLogicShiftAir:
         row = _rows(ls_matrix, 0x19)[0]
         bad = ls_matrix.copy()
         bad[row, COL_XQ0] = (int(bad[row, COL_XQ0]) + 1) % 1024
-        proof = prove_trace(bad, CFG)
+        proof = prove_trace(bad, CFG, selfcheck=False)
         assert not verify_trace(proof)

@@ -44,7 +44,7 @@ def test_out_of_range_chunk_rejected(rc_matrix):
     # Put a chunk value outside the 10-bit table on an active rc row.
     rows, cols = np.nonzero(bad[:, COL_CHUNK0:COL_CHUNK0 + 4])
     bad[rows[0], COL_CHUNK0 + cols[0]] = 1024
-    proof = prove_trace(bad, CFG, range_lookup=True)
+    proof = prove_trace(bad, CFG, range_lookup=True, selfcheck=False)
     assert not verify_trace(proof)
 
 
@@ -63,7 +63,7 @@ def test_forged_is_seq_rejected(rc_matrix):
     # fabricate: set a row's opcode to BEQ but keep is_seq = 1.
     bad[3, COL_OPCODE] = 0x40
     bad[3, COL_IS_SEQ] = 1
-    proof = prove_trace(bad, CFG, range_lookup=True)
+    proof = prove_trace(bad, CFG, range_lookup=True, selfcheck=False)
     assert not verify_trace(proof)
 
 
@@ -74,5 +74,5 @@ def test_forged_seq_flag_off_rejected(rc_matrix):
     bad = rc_matrix.copy()
     assert bad[3, COL_IS_SEQ] == 1
     bad[3, COL_IS_SEQ] = 0
-    proof = prove_trace(bad, CFG, range_lookup=True)
+    proof = prove_trace(bad, CFG, range_lookup=True, selfcheck=False)
     assert not verify_trace(proof)

@@ -70,7 +70,7 @@ class TestMemoryOpBinding:
         bad[row, COL_MEM_ADDR_LO] = na
         bad[row, COL_MADDR_CH0] = na & 0x3FF
         bad[row, COL_MADDR_CH0 + 1] = na >> 10
-        assert not verify_trace(prove_trace(bad, CFG))
+        assert not verify_trace(prove_trace(bad, CFG, selfcheck=False))
 
     def test_forged_store_address_rejected(self, mem_matrix):
         bad = mem_matrix.copy()
@@ -79,21 +79,21 @@ class TestMemoryOpBinding:
         bad[row, COL_MEM_ADDR_LO] = na
         bad[row, COL_MADDR_CH0] = na & 0x3FF
         bad[row, COL_MADDR_CH0 + 1] = na >> 10
-        assert not verify_trace(prove_trace(bad, CFG))
+        assert not verify_trace(prove_trace(bad, CFG, selfcheck=False))
 
     @pytest.mark.parametrize("op", [Op.LW, Op.LD, Op.LBU])
     def test_forged_load_value_rejected(self, mem_matrix, op):
         bad = mem_matrix.copy()
         row = _row_of(bad, op)
         bad[row, COL_MEM_VAL_LO] = (bad[row, COL_MEM_VAL_LO] + 1) % (1 << 20)
-        assert not verify_trace(prove_trace(bad, CFG))
+        assert not verify_trace(prove_trace(bad, CFG, selfcheck=False))
 
     @pytest.mark.parametrize("op", [Op.SW, Op.SD])
     def test_forged_store_value_rejected(self, mem_matrix, op):
         bad = mem_matrix.copy()
         row = _row_of(bad, op)
         bad[row, COL_MEM_VAL_LO] = (bad[row, COL_MEM_VAL_LO] + 1) % (1 << 20)
-        assert not verify_trace(prove_trace(bad, CFG))
+        assert not verify_trace(prove_trace(bad, CFG, selfcheck=False))
 
     def test_forged_flags_rejected(self, mem_matrix):
         # Claiming a store was a load (or hiding the op) breaks the
@@ -101,7 +101,7 @@ class TestMemoryOpBinding:
         bad = mem_matrix.copy()
         row = _row_of(bad, Op.SD)
         bad[row, COL_MEM_FLAGS] = 0
-        assert not verify_trace(prove_trace(bad, CFG))
+        assert not verify_trace(prove_trace(bad, CFG, selfcheck=False))
 
 
 def _run_matrix(instrs):
@@ -170,11 +170,11 @@ class TestMemoryConsistency:
         row = 7
         assert int(consistency_matrix[row, COL_OPCODE]) == int(Op.LD)
         bad = _forge_load_value(consistency_matrix, row, 1)
-        assert not verify_trace(prove_trace(bad, CFG, range_lookup=True))
+        assert not verify_trace(prove_trace(bad, CFG, range_lookup=True, selfcheck=False))
 
     def test_forged_fresh_read_rejected(self, consistency_matrix):
         # The never-written address must read 0.
         row = 8
         assert int(consistency_matrix[row, COL_OPCODE]) == int(Op.LD)
         bad = _forge_load_value(consistency_matrix, row, 99)
-        assert not verify_trace(prove_trace(bad, CFG, range_lookup=True))
+        assert not verify_trace(prove_trace(bad, CFG, range_lookup=True, selfcheck=False))

@@ -83,7 +83,7 @@ class TestMulDivAir:
     def test_forged_result_rejected(self, md_matrix, opv):
         row = _row(md_matrix, opv)
         bad = _forge_res(md_matrix, row, 1)
-        proof = prove_trace(bad, CFG)
+        proof = prove_trace(bad, CFG, selfcheck=False)
         assert not verify_trace(proof)
 
     def test_forged_quotient_witness_rejected(self, md_matrix):
@@ -92,7 +92,7 @@ class TestMulDivAir:
         row = _row(md_matrix, 0x05)
         bad = md_matrix.copy()
         bad[row, COL_XQ0] = (int(bad[row, COL_XQ0]) + 1) % 1024
-        proof = prove_trace(bad, CFG)
+        proof = prove_trace(bad, CFG, selfcheck=False)
         assert not verify_trace(proof)
 
     def test_forged_remainder_ge_divisor_rejected(self, md_matrix):
@@ -127,5 +127,5 @@ class TestMulDivAir:
         rd = int(bad[row, 3])
         bad[row + 1:, COL_REG_LO + rd] = new_lo
         bad[row + 1:, COL_REG_LO + 16 + rd] = new_hi
-        proof = prove_trace(bad, CFG)
+        proof = prove_trace(bad, CFG, selfcheck=False)
         assert not verify_trace(proof)

@@ -79,7 +79,7 @@ class TestProgramBinding:
         bad[row, COL_IMM_Q1] = (imm >> 10) & 0x3F
         bad[row, COL_IMM_Q0HI] = (imm >> 4) & 0x3F
         assert bad[row, COL_RS2] == imm & 0xF
-        proof = prove_trace(bad, CFG, range_lookup=True, program=program)
+        proof = prove_trace(bad, CFG, range_lookup=True, program=program, selfcheck=False)
         assert not verify_trace(proof, program=program)
 
     def test_forged_pc_rejected(self, bound_case):
@@ -88,7 +88,7 @@ class TestProgramBinding:
         program, matrix = bound_case
         bad = matrix.copy()
         bad[:, 0] += 4
-        proof = prove_trace(bad, CFG, range_lookup=True, program=program)
+        proof = prove_trace(bad, CFG, range_lookup=True, program=program, selfcheck=False)
         assert not verify_trace(proof, program=program)
 
     def test_preprocess_deterministic(self, bound_case):

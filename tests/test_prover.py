@@ -166,11 +166,33 @@ class TestTraceProof:
         # "quotient" a non-polynomial — FRI + the point checks reject it.
         matrix = self._trace_matrix()
         matrix[1, 0] = (matrix[1, 0] + 8) % M31_PRIME  # pc_lo of row 1
-        proof = prove_trace(matrix, self.CFG)
+        proof = prove_trace(matrix, self.CFG, selfcheck=False)
         assert not verify_trace(proof)
 
     def test_r0_violation_rejected(self):
         matrix = self._trace_matrix()
         matrix[2, 8] = 5  # r0 limb0 must be 0
-        proof = prove_trace(matrix, self.CFG)
+        proof = prove_trace(matrix, self.CFG, selfcheck=False)
         assert not verify_trace(proof)
+
+    def test_selfcheck_names_violated_constraint_at_prove_time(self):
+        # The completeness self-check (on by default) must refuse to
+        # ship a proof of a constraint-violating trace, naming the
+        # violated term and row instead of failing only at verify.
+        from zkir_tpu.prover.prover import ConstraintViolation
+
+        matrix = self._trace_matrix()
+        matrix[1, 0] = (matrix[1, 0] + 8) % M31_PRIME  # pc chain break
+        with pytest.raises(ConstraintViolation) as exc:
+            prove_trace(matrix, self.CFG)
+        msg = str(exc.value)
+        assert "term #" in msg and "rows" in msg
+
+    def test_selfcheck_names_row_zero_violation(self):
+        from zkir_tpu.prover.prover import ConstraintViolation
+
+        matrix = self._trace_matrix()
+        matrix[2, 8] = 5  # r0 limb0 must be 0 (a Z_H single, row 2)
+        with pytest.raises(ConstraintViolation) as exc:
+            prove_trace(matrix, self.CFG)
+        assert "rows [2]" in str(exc.value)

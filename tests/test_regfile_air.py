@@ -109,19 +109,19 @@ class TestRegfileProof:
         bad = mixed_matrix.copy()
         # Row 0 is ADDI rd=1: r5 must not change into row 1.
         bad[1:, COL_REG_LO + 5] = 77
-        proof = prove_trace(bad, CFG)
+        proof = prove_trace(bad, CFG, selfcheck=False)
         assert not verify_trace(proof)
 
     def test_nonzero_initial_register_rejected(self, mixed_matrix):
         bad = mixed_matrix.copy()
         bad[0, COL_REG_LO + 7] = 1
-        proof = prove_trace(bad, CFG)
+        proof = prove_trace(bad, CFG, selfcheck=False)
         assert not verify_trace(proof)
 
     def test_invalid_opcode_rejected(self, mixed_matrix):
         bad = mixed_matrix.copy()
         bad[2, COL_OPCODE] = 0x09  # not a valid opcode
-        proof = prove_trace(bad, CFG)
+        proof = prove_trace(bad, CFG, selfcheck=False)
         assert not verify_trace(proof)
 
     def test_forged_rd_field_rejected(self, mixed_matrix):
@@ -130,14 +130,14 @@ class TestRegfileProof:
         # the actually-changed register is unwritten -> rejected.
         bad = mixed_matrix.copy()
         bad[0, COL_RD] = 2
-        proof = prove_trace(bad, CFG)
+        proof = prove_trace(bad, CFG, selfcheck=False)
         assert not verify_trace(proof)
 
         bad2 = mixed_matrix.copy()
         bad2[0, COL_RD] = 2
         bad2[0, COL_RD1H0 + 1] = 0
         bad2[0, COL_RD1H0 + 2] = 1
-        proof2 = prove_trace(bad2, CFG)
+        proof2 = prove_trace(bad2, CFG, selfcheck=False)
         assert not verify_trace(proof2)
 
     def test_read_syscall_r10_change_allowed(self):
@@ -164,7 +164,7 @@ class TestRegfileProof:
         row = np.nonzero(m[:, COL_OPCODE] == 0x50)[0][0]
         bad = m.copy()
         bad[row + 1:, COL_REG_LO + 7] = 33
-        proof = prove_trace(bad, CFG)
+        proof = prove_trace(bad, CFG, selfcheck=False)
         assert not verify_trace(proof)
 
     def test_forged_selector_block_rejected(self, mixed_matrix):
@@ -174,7 +174,7 @@ class TestRegfileProof:
         row = np.nonzero(bad[:, COL_OPCODE] == int(Op.SW))[0][0]
         bad[row, COL_SEL0 + OP_VALUES.index(int(Op.SW))] = 0
         bad[row, COL_SEL0 + OP_VALUES.index(int(Op.ADD))] = 1
-        proof = prove_trace(bad, CFG)
+        proof = prove_trace(bad, CFG, selfcheck=False)
         assert not verify_trace(proof)
 
 
@@ -211,7 +211,8 @@ class TestAluResultBinding:
 
     @pytest.mark.parametrize("op", [Op.ADD, Op.SUB, Op.ADDI, Op.JAL])
     def test_forged_result_rejected(self, alu_matrix, op):
-        proof = prove_trace(self._forge_written(alu_matrix, op), CFG)
+        proof = prove_trace(self._forge_written(alu_matrix, op), CFG,
+                            selfcheck=False)
         assert not verify_trace(proof)
 
     def test_forged_result_with_res_columns_rejected(self, alu_matrix):
@@ -222,13 +223,14 @@ class TestAluResultBinding:
         rd = int(bad[row, COL_RD])
         bad[row, COL_RES_LO] = bad[row + 1, COL_REG_LO + rd]
         bad[row, COL_RES_HI] = bad[row + 1, COL_REG_HI + rd]
-        proof = prove_trace(bad, CFG)
+        proof = prove_trace(bad, CFG, selfcheck=False)
         assert not verify_trace(proof)
 
     def test_forged_unpinned_writer_rejected(self, alu_matrix):
         # MUL has no semantic pin yet, but its written value is still
         # bound to the committed res columns.
-        proof = prove_trace(self._forge_written(alu_matrix, Op.MUL), CFG)
+        proof = prove_trace(self._forge_written(alu_matrix, Op.MUL), CFG,
+                            selfcheck=False)
         assert not verify_trace(proof)
 
     def test_rs2_imm_overlap_pinned(self, alu_matrix):
@@ -237,7 +239,7 @@ class TestAluResultBinding:
         bad = alu_matrix.copy()
         row = int(np.nonzero(bad[:, COL_OPCODE] == int(Op.ADD))[0][0])
         bad[row, COL_RS2] = (bad[row, COL_RS2] + 1) % 16
-        proof = prove_trace(bad, CFG)
+        proof = prove_trace(bad, CFG, selfcheck=False)
         assert not verify_trace(proof)
 
     def test_forged_imm_rejected(self, alu_matrix):
@@ -246,7 +248,7 @@ class TestAluResultBinding:
         bad = alu_matrix.copy()
         row = int(np.nonzero(bad[:, COL_OPCODE] == int(Op.ADDI))[0][0])
         bad[row, COL_IMM_LO] = (bad[row, COL_IMM_LO] + 1) % (1 << 17)
-        proof = prove_trace(bad, CFG)
+        proof = prove_trace(bad, CFG, selfcheck=False)
         assert not verify_trace(proof)
 
     def test_writing_final_row_rejected_at_prove(self):

@@ -88,7 +88,7 @@ class TestSubwordConsistency:
         bad[row, COL_RES_CH0 + 0] = forged
         bad[row, COL_RES_CH0 + 1] = 0
         bad[row + 1:, 8 + rd] = forged
-        assert not verify_trace(prove_trace(bad, CFG, range_lookup=True))
+        assert not verify_trace(prove_trace(bad, CFG, range_lookup=True, selfcheck=False))
 
     def test_forged_sb_preservation_rejected(self, subword_matrix):
         # The SB must preserve the cell's other bytes: forge its new
@@ -97,7 +97,7 @@ class TestSubwordConsistency:
         bad = subword_matrix.copy()
         row = int(_rows_of(bad, Op.SB)[0])
         bad[row, COL_NB0 + 0] = 0
-        assert not verify_trace(prove_trace(bad, CFG, range_lookup=True))
+        assert not verify_trace(prove_trace(bad, CFG, range_lookup=True, selfcheck=False))
 
     def test_forged_sign_bit_rejected(self, subword_matrix):
         # LB of 0xAB (negative): flip the committed sign bit and
@@ -114,7 +114,7 @@ class TestSubwordConsistency:
         bad[row, COL_RES_CH0 + 3] = 0
         bad[row + 1:, 8 + rd] = 0xAB
         bad[row + 1:, 8 + 16 + rd] = 0
-        assert not verify_trace(prove_trace(bad, CFG, range_lookup=True))
+        assert not verify_trace(prove_trace(bad, CFG, range_lookup=True, selfcheck=False))
 
     def test_forged_ld_nibble_rejected(self, subword_matrix):
         # The LD limb-boundary nibble split must be consistent.
@@ -122,7 +122,7 @@ class TestSubwordConsistency:
         row = int(_rows_of(bad, Op.LD)[0])
         bad[row, COL_MLNIB] = (int(bad[row, COL_MLNIB]) + 1) % 16
         bad[row, COL_MHNIB] = (int(bad[row, COL_MHNIB]) + 15) % 16
-        assert not verify_trace(prove_trace(bad, CFG, range_lookup=True))
+        assert not verify_trace(prove_trace(bad, CFG, range_lookup=True, selfcheck=False))
 
 
 class TestDataSegmentInit:

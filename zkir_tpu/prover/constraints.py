@@ -1357,12 +1357,17 @@ def air_constraints(A):
     # vanish off ECALL rows, so the flags do too).
     singles.append(sub(erd, mul(mul(b0, sub(one, b1)), sub(one, b2))))
     singles.append(sub(ewr, mul(mul(sub(one, b0), b1), sub(one, b2))))
-    # Every non-READ, non-EXIT syscall writes result 0 to R10 (WRITE and
-    # the crypto syscalls, syscall.rs:121-177); READ results are pinned
-    # to the public input tape by the io multiset channel (io_multiset).
-    res0 = mul(sel_ec, sub(sub(one, erd), eex))
+    # Crypto syscalls (num >= 3) write result 0 to R10
+    # (syscall.rs:121-177); WRITE does NOT touch R10 (syscall.rs:114-119)
+    # so it pins persistence instead; READ results are pinned to the
+    # public input tape by the io multiset channel (io_multiset).
+    res0 = mul(sel_ec, sub(sub(sub(one, erd), ewr), eex))
     transitions.append(mul(res0, nxt(COL_REG_LO + 10)))
     transitions.append(mul(res0, nxt(COL_REG_HI + 10)))
+    transitions.append(mul(ewr, sub(nxt(COL_REG_LO + 10),
+                                    col(COL_REG_LO + 10))))
+    transitions.append(mul(ewr, sub(nxt(COL_REG_HI + 10),
+                                    col(COL_REG_HI + 10))))
     # Tape-index chains: +1 per READ / WRITE row, from 0.
     transitions.append(sub(sub(nxt(COL_RIDX), col(COL_RIDX)), erd))
     transitions.append(sub(sub(nxt(COL_WIDX), col(COL_WIDX)), ewr))
@@ -1815,3 +1820,72 @@ def quotient_value_at(row, next_row, n_cols: int, index: int, log_n: int,
                                          power))
         power = cm31_mul_scalar(power, alpha)
     return acc
+
+
+def diagnose_violations(ext_r, ext_i, log_n: int, log_blowup: int,
+                        shift: Tuple[int, int], lookup=None, aux=None,
+                        program=None, memory=None, io=None,
+                        max_report: int = 8) -> str:
+    """Name every violated constraint term and its first offending rows.
+
+    Completeness-debug path: called only after ``prove_trace``'s
+    self-check has already found nonzero high quotient coefficients, so
+    cost does not matter.  For each quotient term the numerator C_j is
+    interpolated off the coset LDE (degree <= 3(n-1) < 4n, so the 4n
+    coefficients determine it exactly) and re-evaluated on the *plain*
+    trace subgroup; nonzero values at the rows the divisor covers mean
+    the committed trace violates that constraint there."""
+    from ..ops.ntt import coset_intt as _cintt, ntt as _ntt
+
+    chan_sums = mem_sum = prog_sum = prog_ext = None
+    aux_ext = aux_sums = io_sum = None
+    lk = ak = mk = pk = ik = None
+    if lookup is not None:
+        chan_sums, beta = lookup
+        lk = beta
+    if aux is not None:
+        aux_ext, aux_sums, eta = aux
+        ak = (beta, eta)
+    if memory is not None:
+        mem_sum, delta, d_init = memory
+        mk = (beta, delta, d_init)
+    if io is not None:
+        io_sum, delta_io, d_io = io
+        ik = (beta, delta_io, d_io)
+    if program is not None:
+        prog_ext, prog_sum, gamma, entry = program
+        pk = (beta, gamma, entry)
+    A = VecAlg(ext_r, ext_i, log_blowup, chan_sums=chan_sums,
+               mem_sum=mem_sum, prog_sum=prog_sum, prog_ext=prog_ext,
+               aux_ext=aux_ext, aux_sums=aux_sums, io_sum=io_sum)
+    terms = quotient_terms(A, lookup=lk, aux=ak, memory=mk, program=pk,
+                           io=ik)
+
+    n = 1 << log_n
+    big = 1 << (log_n + log_blowup)
+    stride = 1 << log_blowup
+    reports = []
+    for j, (tag, c) in enumerate(terms):
+        # Numerator coefficients from the coset evaluations, then values
+        # on the plain subgroup (stride-blowup indices of the big group).
+        cr, ci = _cintt(c[0], c[1], log_n + log_blowup, shift=shift)
+        vr, vi = _ntt(cr, ci, log_n + log_blowup)
+        vals = (np.asarray(vr[::stride]).astype(np.int64)
+                | (np.asarray(vi[::stride]).astype(np.int64) << 32))
+        if tag == "T":
+            vals[n - 1] = 0          # transition skips the last row
+        elif tag == "F":
+            vals[1:] = 0             # first-row constraint: row 0 only
+        elif tag == "L":
+            vals[:n - 1] = 0         # last-row constraint
+        bad = np.nonzero(vals)[0]
+        if bad.size:
+            reports.append(
+                f"term #{j} (divisor {tag}) violated at rows "
+                f"{bad[:4].tolist()}{'...' if bad.size > 4 else ''}")
+        if len(reports) >= max_report:
+            reports.append("... (more)")
+            break
+    return "; ".join(reports) if reports else \
+        "(no per-term violation found on the trace subgroup -- the " \
+        "high-coefficient mass may come from a degree overflow)"

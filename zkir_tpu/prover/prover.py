@@ -51,6 +51,16 @@ from .fri import FriConfig, fri_prove, fri_verify
 P = M31_PRIME
 
 
+class ConstraintViolation(Exception):
+    """The trace fed to ``prove_trace`` violates the AIR.
+
+    Raised by the prove-time completeness self-check (the high quotient
+    coefficients that chunking would discard are nonzero), with the
+    violated constraint term(s) and row(s) named.  Without this check a
+    bad trace — or a wrong constraint — produces a "proof" that fails
+    only at the verifier."""
+
+
 def _coset_shift() -> Tuple[int, int]:
     """A point outside every 2-power subgroup: the full-group generator."""
     return _find_generator()
@@ -725,7 +735,7 @@ def _open_rows(committed_np: np.ndarray, levels, indices):
 def prove_trace(matrix: np.ndarray,
                 fri_config: FriConfig = FriConfig(),
                 mesh=None, range_lookup: bool = False,
-                program=None) -> Dict[str, Any]:
+                program=None, selfcheck: bool = True) -> Dict[str, Any]:
     """Prove the trace matrix.  With ``mesh``, the heavy stages run sharded
     (pjit style): columns are partitioned for the LDE, rows for hashing —
     the sharding annotations let XLA insert the collectives; the proof is
@@ -888,6 +898,23 @@ def prove_trace(matrix: np.ndarray,
                        io=io_args)
     qc_r, qc_i = coset_intt(q[0], q[1], log_big, shift=shift)
     n_rows = 1 << log_n
+    if selfcheck:
+        # Completeness self-check: Q is a polynomial of degree < 2n iff
+        # every constraint divides cleanly.  The chunking below silently
+        # DISCARDS coefficients [2n, 4n) — a violated constraint would
+        # otherwise ship as a "proof" that only fails at the verifier's
+        # pointwise check.  Catch it here, at prove time, with a name.
+        hi_r = np.asarray(qc_r[2 * n_rows:])
+        hi_i = np.asarray(qc_i[2 * n_rows:])
+        if hi_r.any() or hi_i.any():
+            from .constraints import diagnose_violations
+            detail = diagnose_violations(
+                ext_r, ext_i, log_n, fri_config.log_blowup, shift,
+                lookup=lookup, aux=aux_args, program=program_args,
+                memory=memory_args, io=io_args)
+            raise ConstraintViolation(
+                "trace violates the constraint system (quotient has "
+                f"degree >= 2n): {detail}")
     q_chunks = []
     for j in range(2):
         cr = jnp.zeros(big, dtype=jnp.uint32).at[:n_rows].set(
