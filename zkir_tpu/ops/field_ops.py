@@ -129,7 +129,22 @@ def m31_batch_inv(a):
     inversion for the whole batch plus 3(n-1) multiplications.
 
     Zero entries map to zero (matching projective-coordinate conventions).
+    Long 1-D inputs are reshaped to [steps, 2048] so the sequential
+    product chain runs 2048 independent lanes wide (each lane is its own
+    chain) instead of one scalar chain of n steps.
     """
+    if a.ndim == 1 and a.shape[0] > 4096:
+        m = a.shape[0]
+        lanes = 2048
+        steps = -(-m // lanes)
+        pad = steps * lanes - m
+        ap = jnp.concatenate([a, jnp.ones(pad, a.dtype)]) if pad else a
+        return _batch_inv_chain(ap.reshape(steps, lanes)).reshape(-1)[:m]
+    return _batch_inv_chain(a)
+
+
+@jax.jit
+def _batch_inv_chain(a):
     n = a.shape[0]
     safe = jnp.where(a == 0, jnp.uint32(1), a)
 

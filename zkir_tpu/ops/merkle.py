@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -21,11 +22,13 @@ from .poseidon2_ref import RATE
 DIGEST_WIDTH = RATE  # 8 field elements
 
 
+@jax.jit
 def hash_rows(matrix) -> jnp.ndarray:
     """Hash each row of a uint32 [n, w] matrix to a digest [n, 8].
 
     Rows are split into rate-8 blocks with the sponge's 1||0* padding
     (always appended, matching poseidon2_ref.poseidon2_sponge).
+    One dispatch for the whole matrix (the sponge scans over blocks).
     """
     n, w = matrix.shape
     padded_w = ((w + 1 + RATE - 1) // RATE) * RATE
@@ -39,7 +42,10 @@ def hash_rows(matrix) -> jnp.ndarray:
 def build_tree(leaves) -> List[jnp.ndarray]:
     """Build a Merkle tree from leaf digests uint32 [n, 8] (n a power of 2).
 
-    Returns levels[0] = leaves .. levels[-1] = [1, 8] root."""
+    Returns levels[0] = leaves .. levels[-1] = [1, 8] root.  One
+    dispatch per level via the jitted batched compression (jitting the
+    whole loop would inline the permutation log2(n) times — minutes of
+    XLA compile for no dispatch win worth it)."""
     n = leaves.shape[0]
     assert n & (n - 1) == 0, "leaf count must be a power of two"
     levels = [leaves]
@@ -48,6 +54,24 @@ def build_tree(leaves) -> List[jnp.ndarray]:
         cur = poseidon2_compress_batch(cur[0::2], cur[1::2])
         levels.append(cur)
     return levels
+
+
+def to_host(levels: List[jnp.ndarray]) -> List[np.ndarray]:
+    """Materialize tree levels on the host in one batch (path opening is
+    host-side random access; per-sibling device readbacks are ruinous
+    over a remote-TPU link)."""
+    import jax
+
+    return [np.asarray(l) for l in jax.device_get(levels)]
+
+
+def hash_row_host(row) -> List[int]:
+    """Host-scalar digest of one row, identical to ``hash_rows`` on a
+    [1, w] matrix (1||0* rate padding + sponge) — used by verifiers,
+    where one row per query beats a device round-trip."""
+    from .poseidon2_ref import poseidon2_sponge
+
+    return poseidon2_sponge([int(x) for x in row])
 
 
 def root(levels: List[jnp.ndarray]) -> np.ndarray:
@@ -66,13 +90,16 @@ def open_path(levels: List[jnp.ndarray], index: int) -> List[np.ndarray]:
 
 def verify_path(root_digest, index: int, leaf_digest,
                 path: List[np.ndarray]) -> bool:
-    """Recompute the root from a leaf and its sibling path."""
-    cur = jnp.asarray(leaf_digest, dtype=jnp.uint32)[None, :]
+    """Recompute the root from a leaf and its sibling path.
+
+    Host-scalar: a verifier touches one leaf per level — a Python
+    permutation per step beats a device dispatch round-trip."""
+    from .poseidon2_ref import poseidon2_compress
+
+    cur = [int(x) for x in np.asarray(leaf_digest)]
     for sibling in path:
-        sib = jnp.asarray(sibling, dtype=jnp.uint32)[None, :]
-        if index & 1:
-            cur = poseidon2_compress_batch(sib, cur)
-        else:
-            cur = poseidon2_compress_batch(cur, sib)
+        sib = [int(x) for x in np.asarray(sibling)]
+        cur = (poseidon2_compress(sib, cur) if index & 1
+               else poseidon2_compress(cur, sib))
         index >>= 1
-    return bool(np.array_equal(np.asarray(cur[0]), np.asarray(root_digest)))
+    return cur == [int(x) for x in np.asarray(root_digest)]

@@ -35,10 +35,21 @@ P = M31_PRIME
 # ============================================================================
 
 
+def _is_host_scalar(x) -> bool:
+    return isinstance(x, (int, np.integer))
+
+
 def cm31_mul_scalar(a: Tuple[int, int], b: Tuple[int, int]) -> Tuple[int, int]:
+    """CM31 product of scalar pairs.  Polymorphic: exact Python-int math
+    for host pairs; modular uint32 ops for traced 0-d values (so the same
+    challenge algebra runs inside jitted prover kernels)."""
     ar, ai = a
     br, bi = b
-    return ((ar * br - ai * bi) % P, (ar * bi + ai * br) % P)
+    if all(_is_host_scalar(x) for x in (ar, ai, br, bi)):
+        return ((ar * br - ai * bi) % P, (ar * bi + ai * br) % P)
+    ar, ai, br, bi = (jnp.asarray(x, jnp.uint32) for x in (ar, ai, br, bi))
+    return (m31_sub(m31_mul(ar, br), m31_mul(ai, bi)),
+            m31_add(m31_mul(ar, bi), m31_mul(ai, br)))
 
 
 def cm31_pow_scalar(a: Tuple[int, int], exp: int) -> Tuple[int, int]:

@@ -168,17 +168,24 @@ def poseidon2_compress_batch(left, right):
     return m31_add(out[..., :RATE], left)
 
 
+@jax.jit
 def poseidon2_sponge_batch(blocks):
     """Batched sponge over pre-padded rate blocks.
 
     blocks: uint32 [N, n_blocks, RATE] (already 1||0* padded).
     Returns uint32 [N, RATE].
+
+    One dispatch for any block count: ``lax.scan`` over the block axis
+    traces the permutation body ONCE (unrolling it n_blocks times made
+    XLA compile minutes-long for wide matrices).
     """
-    n_blocks = blocks.shape[1]
     state = jnp.zeros((blocks.shape[0], WIDTH), dtype=jnp.uint32)
-    for i in range(n_blocks):
-        state = state.at[:, :RATE].set(m31_add(state[:, :RATE], blocks[:, i]))
-        state = poseidon2_permute_batch(state)
+
+    def absorb(state, block):
+        state = state.at[:, :RATE].set(m31_add(state[:, :RATE], block))
+        return poseidon2_permute_batch(state), None
+
+    state, _ = jax.lax.scan(absorb, state, jnp.swapaxes(blocks, 0, 1))
     return state[:, :RATE]
 
 

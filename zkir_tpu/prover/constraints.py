@@ -88,6 +88,7 @@ from __future__ import annotations
 import functools
 from typing import List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -393,6 +394,7 @@ def _scalar_vec(value: Tuple[int, int], n: int):
 
 
 @functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=16)
 def _vanishing_tables(log_n: int, log_blowup: int, shift: Tuple[int, int]):
     """1/Z_H, 1/Z_trans, 1/Z_first, 1/Z_last on the coset LDE domain
     (numpy uint32 pairs).
@@ -470,13 +472,23 @@ class VecAlg:
         self._aux_ext = aux_ext          # (ar, ai): [N_AUX_COLS, N]
         self._aux_sums = aux_sums        # (sr, si): [NUM_AUX, N]
         self._io_sum = io_sum            # ((sr, si), (fr, fi)): [N] each
+        # Memoized slices/constants: constraints reuse columns heavily;
+        # sharing the traced objects keeps the jitted quotient kernel's
+        # program (and so XLA compile time) small.
+        self._col_cache = {}
+        self._nxt_cache = {}
+        self._const_cache = {}
 
     def col(self, c):
-        return (self.ext_r[c], self.ext_i[c])
+        if c not in self._col_cache:
+            self._col_cache[c] = (self.ext_r[c], self.ext_i[c])
+        return self._col_cache[c]
 
     def nxt(self, c):
-        return (jnp.roll(self.ext_r[c], -self.blowup),
-                jnp.roll(self.ext_i[c], -self.blowup))
+        if c not in self._nxt_cache:
+            self._nxt_cache[c] = (jnp.roll(self.ext_r[c], -self.blowup),
+                                  jnp.roll(self.ext_i[c], -self.blowup))
+        return self._nxt_cache[c]
 
     def _pair(self, pair):
         return pair
@@ -536,8 +548,17 @@ class VecAlg:
     def const(self, v):
         if not isinstance(v, tuple):
             v = (v, 0)
-        return (jnp.full(self.big, v[0] % P, dtype=jnp.uint32),
-                jnp.full(self.big, v[1] % P, dtype=jnp.uint32))
+        if isinstance(v[0], (int, np.integer)) and \
+                isinstance(v[1], (int, np.integer)):
+            key = (v[0] % P, v[1] % P)
+            if key not in self._const_cache:
+                self._const_cache[key] = (
+                    jnp.full(self.big, key[0], dtype=jnp.uint32),
+                    jnp.full(self.big, key[1], dtype=jnp.uint32))
+            return self._const_cache[key]
+        # Traced 0-d challenge scalar (jitted prover path): broadcast.
+        return (jnp.broadcast_to(jnp.asarray(v[0], jnp.uint32), (self.big,)),
+                jnp.broadcast_to(jnp.asarray(v[1], jnp.uint32), (self.big,)))
 
     @staticmethod
     def add(a, b):
@@ -552,6 +573,18 @@ class VecAlg:
         return cm31_mul(a, b)
 
     def mulc(self, a, v):
+        if not isinstance(v, tuple):
+            v = (v, 0)
+        if isinstance(v[0], (int, np.integer)) and \
+                isinstance(v[1], (int, np.integer)) and v[1] % P == 0:
+            # Real constant: 2 base-field muls instead of a full CM31
+            # product (4 muls + 2 adds) — the dominant saving in the
+            # jitted quotient kernel's program size.
+            c = v[0] % P
+            if c == 1:
+                return a
+            cs = jnp.uint32(c)
+            return (m31_mul(a[0], cs), m31_mul(a[1], cs))
         return cm31_mul(a, self.const(v))
 
 
@@ -1651,9 +1684,16 @@ def program_channel(A, beta, gamma):
 
 
 def program_boundary(A, entry):
-    """First-row pins: the trace starts at the program's entry point."""
-    e_lo = entry & ((1 << 20) - 1)
-    e_hi = (entry >> 20) & ((1 << 20) - 1)
+    """First-row pins: the trace starts at the program's entry point.
+
+    ``entry`` is the entry-point int, or a pre-split ``(e_lo, e_hi)``
+    tuple when the caller traces it through a jitted kernel (a 40-bit
+    value cannot ride a single uint32 scalar)."""
+    if isinstance(entry, tuple):
+        e_lo, e_hi = entry
+    else:
+        e_lo = entry & ((1 << 20) - 1)
+        e_hi = (entry >> 20) & ((1 << 20) - 1)
     return [A.sub(A.col(COL_PC_LO), A.const(e_lo)),
             A.sub(A.col(COL_PC_HI), A.const(e_hi))]
 
@@ -1732,12 +1772,6 @@ def quotient_evals(ext_r, ext_i, log_n: int, log_blowup: int,
     if program is not None:
         prog_ext, prog_sum, gamma, entry = program
         pk = (beta, gamma, entry)
-    A = VecAlg(ext_r, ext_i, log_blowup, chan_sums=chan_sums,
-               mem_sum=mem_sum, prog_sum=prog_sum, prog_ext=prog_ext,
-               aux_ext=aux_ext, aux_sums=aux_sums, io_sum=io_sum)
-    terms = quotient_terms(A, lookup=lk, aux=ak, memory=mk, program=pk,
-                           io=ik)
-
     (zh_inv_r, zh_inv_i, zt_inv_r, zt_inv_i,
      zf_inv_r, zf_inv_i, zl_inv_r, zl_inv_i) = _vanishing_tables(
         log_n, log_blowup, tuple(shift))
@@ -1747,13 +1781,103 @@ def quotient_evals(ext_r, ext_i, log_n: int, log_blowup: int,
         "F": (jnp.asarray(zf_inv_r), jnp.asarray(zf_inv_i)),
         "L": (jnp.asarray(zl_inv_r), jnp.asarray(zl_inv_i)),
     }
+
+    if not _use_quotient_jit(ext_r.shape[1]):
+        # Eager per-term path: on a local CPU backend each op dispatches
+        # in microseconds and NOTHING compiles — right for the test
+        # suite's many small, differently-shaped proofs.  The jitted
+        # kernel costs a one-time ~5 min XLA compile per shape signature
+        # (cached persistently) and pays off on TPU, where the per-op
+        # dispatch latency of ~3k eager ops dominates end-to-end prove.
+        A = VecAlg(ext_r, ext_i, log_blowup, chan_sums=chan_sums,
+                   mem_sum=mem_sum, prog_sum=prog_sum, prog_ext=prog_ext,
+                   aux_ext=aux_ext, aux_sums=aux_sums, io_sum=io_sum)
+        terms = quotient_terms(A, lookup=lk, aux=ak, memory=mk,
+                               program=pk, io=ik)
+        big = ext_r.shape[1]
+        zero = (jnp.zeros(big, dtype=jnp.uint32),
+                jnp.zeros(big, dtype=jnp.uint32))
+        accs = {t: zero for t in "HTFL"}
+        power = (1, 0)
+        for tag, c in terms:
+            accs[tag] = cm31_add(accs[tag], cm31_mul(c, _scalar_vec(
+                power, big)))
+            power = cm31_mul_scalar(power, alpha)
+        acc = zero
+        for t in "HTFL":
+            acc = cm31_add(acc, cm31_mul(accs[t], dinv[t]))
+        return acc
+
+    # Challenge scalars enter the kernel TRACED (0-d uint32 pairs), so
+    # the compiled program is reused across proofs — the XLA executable
+    # depends only on shapes + static structure, not challenge values.
+    def s(v):
+        return (jnp.asarray(v[0] % P, jnp.uint32),
+                jnp.asarray(v[1] % P, jnp.uint32))
+
+    lk_t = None if lk is None else s(lk)
+    ak_t = None if ak is None else (s(ak[0]), s(ak[1]))
+    mk_t = None if mk is None else (s(mk[0]), s(mk[1]), s(mk[2]))
+    ik_t = None if ik is None else (s(ik[0]), s(ik[1]), s(ik[2]))
+    pk_t = None
+    if pk is not None:
+        beta_p, gamma_p, entry_p = pk
+        pk_t = (s(beta_p), s(gamma_p),
+                (jnp.asarray(entry_p & ((1 << 20) - 1), jnp.uint32),
+                 jnp.asarray((entry_p >> 20) & ((1 << 20) - 1), jnp.uint32)))
+    return _quotient_kernel(
+        ext_r, ext_i, log_blowup, dinv, s(alpha), chan_sums, aux_ext,
+        aux_sums, mem_sum, io_sum, prog_ext, prog_sum, lk_t, ak_t, mk_t,
+        ik_t, pk_t)
+
+
+def _use_quotient_jit(big: int) -> bool:
+    """Whether to run the quotient as one compiled kernel.
+
+    Default: yes on accelerator backends (eager dispatch latency over a
+    remote-TPU link is the prover's bottleneck), no on local CPU (where
+    eager is fast and the one-time XLA compile of the ~135k-op kernel is
+    minutes).  Override with ZKIR_QUOTIENT_JIT=0/1."""
+    import os
+
+    env = os.environ.get("ZKIR_QUOTIENT_JIT")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return jax.default_backend() != "cpu"
+
+
+@functools.partial(jax.jit, static_argnames=("log_blowup",))
+def _quotient_kernel(ext_r, ext_i, log_blowup, dinv, alpha, chan_sums,
+                     aux_ext, aux_sums, mem_sum, io_sum, prog_ext,
+                     prog_sum, lk, ak, mk, ik, pk):
+    """The whole quotient evaluation as ONE device dispatch: every
+    constraint term, its divisor multiplication, and the alpha-power
+    batching are traced into a single XLA program (the eager per-term
+    loop was ~3k dispatches — fatal over a remote-TPU link)."""
+    if pk is not None:
+        beta_p, gamma_p, (e_lo, e_hi) = pk
+        pk = (beta_p, gamma_p, (e_lo, e_hi))
+    A = VecAlg(ext_r, ext_i, log_blowup, chan_sums=chan_sums,
+               mem_sum=mem_sum, prog_sum=prog_sum, prog_ext=prog_ext,
+               aux_ext=aux_ext, aux_sums=aux_sums, io_sum=io_sum)
+    terms = quotient_terms(A, lookup=lk, aux=ak, memory=mk, program=pk,
+                           io=ik)
     big = ext_r.shape[1]
-    acc = (jnp.zeros(big, dtype=jnp.uint32), jnp.zeros(big, dtype=jnp.uint32))
-    power = (1, 0)
+    zero = (jnp.zeros(big, dtype=jnp.uint32),
+            jnp.zeros(big, dtype=jnp.uint32))
+    # Accumulate alpha^j C_j per divisor tag, then divide each tag group
+    # ONCE: Q = sum_tags dinv_tag * sum_{j in tag} alpha^j C_j.  Same
+    # polynomial as the per-term division (the divisor is constant
+    # within a tag), ~630 fewer full CM31 vector products in the
+    # compiled program.
+    accs = {t: zero for t in "HTFL"}
+    power = (jnp.asarray(1, jnp.uint32), jnp.asarray(0, jnp.uint32))
     for tag, c in terms:
-        term = cm31_mul(cm31_mul(c, dinv[tag]), _scalar_vec(power, big))
-        acc = cm31_add(acc, term)
+        accs[tag] = cm31_add(accs[tag], cm31_mul(c, power))
         power = cm31_mul_scalar(power, alpha)
+    acc = zero
+    for t in "HTFL":
+        acc = cm31_add(acc, cm31_mul(accs[t], dinv[t]))
     return acc
 
 

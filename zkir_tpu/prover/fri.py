@@ -21,8 +21,10 @@ non-zero — which the verifier checks directly.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -106,49 +108,55 @@ def _pair_matrix(re, im):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("log",))
+def _fold_jit(cur_r, cur_i, beta_r, beta_i, sinv_r, sinv_i, log: int):
+    """One FRI fold as one dispatch: x_j = shift * w^j, so
+    1/x_j = shift^-1 * w^-j; beta and shift^-1 ride as traced scalars so
+    the compiled step is reused across proofs."""
+    h = (1 << log) // 2
+    inv2 = jnp.uint32(s_inv(2))
+    twr, twi = _twiddle_table(log, inverse=True)  # w^{-j}
+    xinv = cm31_mul((jnp.asarray(twr[:h]), jnp.asarray(twi[:h])),
+                    (jnp.broadcast_to(sinv_r, (h,)),
+                     jnp.broadcast_to(sinv_i, (h,))))
+    lo = (cur_r[:h], cur_i[:h])
+    hi = (cur_r[h:], cur_i[h:])
+    s = cm31_add(lo, hi)
+    d = cm31_sub(lo, hi)
+    half_s = (m31_mul(s[0], inv2), m31_mul(s[1], inv2))
+    half_d = (m31_mul(d[0], inv2), m31_mul(d[1], inv2))
+    odd = cm31_mul(half_d, xinv)
+    beta_arr = (jnp.broadcast_to(beta_r, (h,)),
+                jnp.broadcast_to(beta_i, (h,)))
+    return cm31_add(half_s, cm31_mul(beta_arr, odd))
+
+
 def fri_prove(re, im, log_n: int, challenger: Challenger,
               config: FriConfig = FriConfig(),
               shift=(1, 0)) -> Dict[str, Any]:
     """Prove that (re, im) are evaluations of a polynomial of degree
     < 2^(log_n - log_blowup) on the coset ``shift * <w>`` of the
     order-2^log_n subgroup."""
-    inv2 = s_inv(2)
-    layers = []          # (tree levels, re, im) per fold layer
+    layers = []          # (host tree levels, re, im) per fold layer
     betas = []
     cur_r, cur_i = jnp.asarray(re), jnp.asarray(im)
     log = log_n
     cur_shift = tuple(shift)
 
     while log > config.log_final:
-        n = 1 << log
-        h = n // 2
         leaves = merkle.hash_rows(_pair_matrix(cur_r, cur_i))
-        levels = merkle.build_tree(leaves)
+        levels = merkle.to_host(merkle.build_tree(leaves))
         layer_root = merkle.root(levels)
         challenger.observe_many(int(x) for x in layer_root)
         beta = challenger.sample_cm31()
         betas.append(beta)
         layers.append((levels, np.asarray(cur_r), np.asarray(cur_i)))
 
-        # Fold: x_j = cur_shift * w^j, so 1/x_j = cur_shift^-1 * w^-j.
-        twr, twi = _twiddle_table(log, inverse=True)  # w^{-j}
         sinv = cm31_inv_scalar(cur_shift)
-        svr = jnp.full(h, sinv[0], dtype=jnp.uint32)
-        svi = jnp.full(h, sinv[1], dtype=jnp.uint32)
-        xinv = cm31_mul(
-            (jnp.asarray(twr[:h]), jnp.asarray(twi[:h])), (svr, svi))
-        lo = (cur_r[:h], cur_i[:h])
-        hi = (cur_r[h:], cur_i[h:])
-        s = cm31_add(lo, hi)
-        d = cm31_sub(lo, hi)
-        half_s = (m31_mul(s[0], jnp.uint32(inv2)),
-                  m31_mul(s[1], jnp.uint32(inv2)))
-        half_d = (m31_mul(d[0], jnp.uint32(inv2)),
-                  m31_mul(d[1], jnp.uint32(inv2)))
-        odd = cm31_mul(half_d, xinv)
-        beta_arr = (jnp.full(h, beta[0], dtype=jnp.uint32),
-                    jnp.full(h, beta[1], dtype=jnp.uint32))
-        cur_r, cur_i = cm31_add(half_s, cm31_mul(beta_arr, odd))
+        cur_r, cur_i = _fold_jit(
+            cur_r, cur_i,
+            jnp.uint32(beta[0]), jnp.uint32(beta[1]),
+            jnp.uint32(sinv[0]), jnp.uint32(sinv[1]), log)
         cur_shift = cm31_mul_scalar(cur_shift, cur_shift)
         log -= 1
 
@@ -252,9 +260,9 @@ def fri_verify(proof: Dict[str, Any], challenger: Challenger) -> bool:
                 return False
             lo = tuple(step["lo"])
             hi = tuple(step["hi"])
-            leaf = np.asarray(
-                [[lo[0], lo[1], hi[0], hi[1]]], dtype=np.uint32)
-            leaf_digest = np.asarray(merkle.hash_rows(jnp.asarray(leaf)))[0]
+            leaf_digest = np.asarray(
+                merkle.hash_row_host([lo[0], lo[1], hi[0], hi[1]]),
+                dtype=np.uint32)
             if not merkle.verify_path(
                 np.asarray(proof["roots"][depth], dtype=np.uint32),
                 leaf_idx, leaf_digest,

@@ -624,7 +624,7 @@ def preprocess_program(code_words, log_n: int,
     ext_r, ext_i = lde(jnp.asarray(cols), jnp.zeros_like(jnp.asarray(cols)),
                        log_n, fri_config.log_blowup, shift=shift)
     rows = jnp.concatenate([ext_r.T, ext_i.T], axis=1)  # [N, 8]
-    levels = merkle.build_tree(merkle.hash_rows(rows))
+    levels = merkle.to_host(merkle.build_tree(merkle.hash_rows(rows)))
     return {
         "cols": cols,
         "ext": (ext_r, ext_i),
@@ -702,26 +702,50 @@ def _program_partial_sum(padded: np.ndarray, prog_cols: np.ndarray,
     return s_r, s_i
 
 
+@jax.jit
+def _combine_kernel(ar, ai, pw_r, pw_i):
+    """sum_c pw_c * col_c over CM31 as ONE dispatch: 4 broadcast
+    multiplies + a log-depth modular tree reduction (the eager
+    per-column loop was ~7 dispatches x ~370 columns)."""
+    from ..ops.field_ops import m31_add, m31_mul, m31_sub
+
+    tr = m31_sub(m31_mul(ar, pw_r[:, None]), m31_mul(ai, pw_i[:, None]))
+    ti = m31_add(m31_mul(ar, pw_i[:, None]), m31_mul(ai, pw_r[:, None]))
+
+    def red(x):
+        while x.shape[0] > 1:
+            if x.shape[0] & 1:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
+            x = m31_add(x[0::2], x[1::2])
+        return x[0]
+
+    return red(tr), red(ti)
+
+
 def _combine(ext_r, ext_i, extra_cols, alpha):
     """sum_i alpha^i col_i + sum_j alpha^(n_cols+j) extra_j over CM31."""
     n_cols = ext_r.shape[0]
-    acc = (jnp.zeros_like(ext_r[0]), jnp.zeros_like(ext_i[0]))
+    n_total = n_cols + len(extra_cols)
+    pw = np.zeros((n_total, 2), dtype=np.uint32)
     power = (1, 0)
-    for c in range(n_cols):
-        term = cm31_mul((ext_r[c], ext_i[c]),
-                        (jnp.full_like(ext_r[0], power[0]),
-                         jnp.full_like(ext_i[0], power[1])))
-        acc = cm31_add(acc, term)
+    for k in range(n_total):
+        pw[k] = power
         power = cm31_mul_scalar(power, alpha)
-    for col in extra_cols:
-        term = cm31_mul(col, (jnp.full_like(ext_r[0], power[0]),
-                              jnp.full_like(ext_i[0], power[1])))
-        acc = cm31_add(acc, term)
-        power = cm31_mul_scalar(power, alpha)
-    return acc
+    if extra_cols:
+        ar = jnp.concatenate(
+            [ext_r, jnp.stack([c[0] for c in extra_cols])], axis=0)
+        ai = jnp.concatenate(
+            [ext_i, jnp.stack([c[1] for c in extra_cols])], axis=0)
+    else:
+        ar, ai = ext_r, ext_i
+    return _combine_kernel(ar, ai, jnp.asarray(pw[:, 0]),
+                           jnp.asarray(pw[:, 1]))
 
 
-def _open_rows(committed_np: np.ndarray, levels, indices):
+def _open_rows(committed_np, levels, indices):
+    """``committed_np``: a full [N, w] host array OR a {row_index: row}
+    dict from ``_gather_rows`` (only the queried rows transferred)."""
     return {
         str(j): {
             "row": [int(x) for x in committed_np[j]],
@@ -730,6 +754,14 @@ def _open_rows(committed_np: np.ndarray, levels, indices):
         }
         for j in indices
     }
+
+
+def _gather_rows(matrix_dev, indices):
+    """Fetch only the needed rows of a committed device matrix to host:
+    one gather + one small transfer instead of materializing [N, w]."""
+    idx = sorted(set(int(j) for j in indices))
+    vals = np.asarray(matrix_dev[jnp.asarray(idx, dtype=jnp.int32)])
+    return {j: vals[k] for k, j in enumerate(idx)}
 
 
 def prove_trace(matrix: np.ndarray,
@@ -811,7 +843,7 @@ def prove_trace(matrix: np.ndarray,
 
     # Phase 1: commit the trace columns.
     trace_rows = jnp.concatenate([ext_r.T, ext_i.T], axis=1)  # [N, 2*cols]
-    levels1 = merkle.build_tree(merkle.hash_rows(trace_rows))
+    levels1 = merkle.to_host(merkle.build_tree(merkle.hash_rows(trace_rows)))
     root1 = merkle.root(levels1)
 
     challenger = Challenger()
@@ -865,7 +897,7 @@ def prove_trace(matrix: np.ndarray,
         s_ext_r, s_ext_i = lde(jnp.asarray(s_r), jnp.asarray(s_i), log_n,
                                fri_config.log_blowup, shift=shift)
         s_rows = jnp.concatenate([s_ext_r.T, s_ext_i.T], axis=1)
-        levels_s = merkle.build_tree(merkle.hash_rows(s_rows))
+        levels_s = merkle.to_host(merkle.build_tree(merkle.hash_rows(s_rows)))
         root_s = merkle.root(levels_s)
         challenger.observe_many(int(x) for x in root_s)
         lookup = ((s_ext_r[:NUM_LOOKUP], s_ext_i[:NUM_LOOKUP]), beta)
@@ -924,7 +956,7 @@ def prove_trace(matrix: np.ndarray,
         q_chunks.append(coset_ntt(cr, ci, log_big, shift=shift))
     q_rows = jnp.stack([q_chunks[0][0], q_chunks[0][1],
                         q_chunks[1][0], q_chunks[1][1]], axis=1)  # [N, 4]
-    levels2 = merkle.build_tree(merkle.hash_rows(q_rows))
+    levels2 = merkle.to_host(merkle.build_tree(merkle.hash_rows(q_rows)))
     root2 = merkle.root(levels2)
     challenger.observe_many(int(x) for x in root2)
     alpha_b = challenger.sample_cm31()
@@ -939,12 +971,21 @@ def prove_trace(matrix: np.ndarray,
                           shift=shift)
 
     # Phase 3: open commitment rows at the FRI query points (and their
-    # next-row rotations for the transition constraints).
-    trace_np = np.asarray(trace_rows)
-    q_np = np.asarray(q_rows)
-    s_np = np.asarray(s_rows) if s_rows is not None else None
+    # next-row rotations for the transition constraints).  Only the
+    # queried rows are transferred to host (one gather per matrix).
     half = big // 2
     blowup = 1 << fri_config.log_blowup
+    all_indices = sorted({
+        j
+        for steps in fri_proof["queries"]
+        for k in (steps[0]["leaf_idx"],)
+        for j in (k, (k + blowup) % big, k + half,
+                  (k + half + blowup) % big)
+    })
+    trace_np = _gather_rows(trace_rows, all_indices)
+    q_np = _gather_rows(q_rows, all_indices)
+    s_np = (_gather_rows(s_rows, all_indices)
+            if s_rows is not None else None)
     openings = []
     for steps in fri_proof["queries"]:
         k = steps[0]["leaf_idx"]
@@ -1084,8 +1125,8 @@ def verify_trace(proof: Dict[str, Any], program=None) -> bool:
         entry = group.get(str(j))
         if entry is None or len(entry["row"]) != expect_width:
             return None
-        digest = np.asarray(merkle.hash_rows(jnp.asarray(
-            np.asarray([entry["row"]], dtype=np.uint32))))[0]
+        digest = np.asarray(merkle.hash_row_host(entry["row"]),
+                            dtype=np.uint32)
         if not merkle.verify_path(
             root, j, digest,
             [np.asarray(s, dtype=np.uint32) for s in entry["path"]],
