@@ -197,6 +197,7 @@ M_SAME = M_BASE + 21
 M_HIEQ = M_BASE + 22
 M_CHA = M_BASE + 23
 M_CHB = M_BASE + 24
+M_CHC = M_BASE + 25     # third 10-bit gap chunk: gaps < 2^30 (clk or key)
 # Lookup columns appended by the prover when range_lookup is enabled:
 COL_TABLE = N_COLUMNS                 # table values t_i
 COL_MULT0 = N_COLUMNS + 1             # NUM_LOOKUP multiplicity columns
@@ -243,6 +244,7 @@ CHANNELS = (
     ("sw_tw", 0, ((COL_SW_TW, 4),)),           # 4*tw < 2^10 => tw < 2^8
     ("mem_cha", 0, ((M_CHA, 1),)),
     ("mem_chb", 0, ((M_CHB, 1),)),
+    ("mem_chc", 0, ((M_CHC, 1),)),
     ("cch0", 0, ((COL_CCH0 + 0, 1),)),
     ("cch1", 0, ((COL_CCH0 + 1, 1),)),
     ("cch2", 0, ((COL_CCH0 + 2, 1),)),
@@ -1457,7 +1459,8 @@ def memory_constraints(A):
     same_n, hieq_n = nxt(M_SAME), nxt(M_HIEQ)
     real_n = nxt(M_REAL)
     not_same_n = sub(one, same_n)
-    d_gap = add(nxt(M_CHA), A.mulc(nxt(M_CHB), 1 << 10))
+    d_gap = add(add(nxt(M_CHA), A.mulc(nxt(M_CHB), 1 << 10)),
+                A.mulc(nxt(M_CHC), 1 << 20))
 
     def q_at(get):
         return add(get(M_QA), A.mulc(get(M_QB), 1 << 10))

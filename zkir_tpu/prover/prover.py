@@ -148,17 +148,19 @@ def _initial_cells(program):
 def _build_memory_table(padded: np.ndarray, n_real: int,
                         program=None) -> None:
     """Fill the (cell, clk)-sorted memory UPDATE table (trace.py
-    M_BASE..M_BASE+24) in place: one row per load/store exec row (any
+    M_BASE..M_BASE+25) in place: one row per load/store exec row (any
     width) carrying (cell key, clk+1, old cell bytes, new cell bytes),
     plus one clk-0 init row per nonzero code/data cell of the public
     program, sorted by (addr_hi, q, clk); padding rows continue the last
     cell's run as no-op updates (old = new = last bytes, clk advancing).
-    Gap chunks cha/chb witness the strict increase of clk within a run
-    and of the cell key between runs."""
+    Gap chunks cha/chb/chc (3 x 10 bits -> gaps < 2^30) witness the
+    strict increase of clk within a run and of the cell key between
+    runs."""
     from .constraints import (COL_CLK, COL_MEM_ADDR_HI, COL_MQA, COL_MQB,
                               COL_NB0, COL_OB0, COL_OPCODE, LOAD_OPS,
-                              M_AHI, M_CHA, M_CHB, M_CLK, M_HIEQ, M_NB0,
-                              M_OB0, M_QA, M_QB, M_REAL, M_SAME, STORE_OPS)
+                              M_AHI, M_CHA, M_CHB, M_CHC, M_CLK, M_HIEQ,
+                              M_NB0, M_OB0, M_QA, M_QB, M_REAL, M_SAME,
+                              STORE_OPS)
 
     n = padded.shape[0]
     op = padded[:n_real, COL_OPCODE]
@@ -215,16 +217,16 @@ def _build_memory_table(padded: np.ndarray, n_real: int,
         same[1:] == 1, t_clk[1:] - t_clk[:-1] - 1,
         np.where(hieq[1:] == 1, t_q[1:] - t_q[:-1] - 1,
                  t_ah[1:] - t_ah[:-1] - 1))
-    if k and not ((gap[1:] >= 0).all() and (gap[1:] < 1 << 20).all()):
-        at = int(np.nonzero((gap[1:] < 0) | (gap[1:] >= 1 << 20))[0][0]) + 1
+    if k and not ((gap[1:] >= 0).all() and (gap[1:] < 1 << 30).all()):
+        at = int(np.nonzero((gap[1:] < 0) | (gap[1:] >= 1 << 30))[0][0]) + 1
         raise ValueError(
             "memory-consistency completeness limit: the gap between "
             f"consecutive sorted-table rows {at - 1} and {at} "
             f"(cell {int(t_ah[at]):#x}:{int(t_q[at]):#x}, clk "
-            f"{int(t_clk[at])}) exceeds the 20-bit gap-chunk budget.  "
-            "Two accesses to the same cell must be < 2^20 rows apart "
+            f"{int(t_clk[at])}) exceeds the 30-bit gap-chunk budget.  "
+            "Two accesses to the same cell must be < 2^30 rows apart "
             "(insert a refresh load, or split the trace); cell runs "
-            "must start < 2^20 above the previous run's key limb")
+            "must start < 2^30 above the previous run's key limb")
     padded[:, M_QA] = (t_q & 1023).astype(np.uint32)
     padded[:, M_QB] = (t_q >> 10).astype(np.uint32)
     padded[:, M_AHI] = t_ah.astype(np.uint32)
@@ -235,7 +237,8 @@ def _build_memory_table(padded: np.ndarray, n_real: int,
     padded[:, M_REAL] = (np.arange(n) < k).astype(np.uint32)
     padded[:, M_SAME], padded[:, M_HIEQ] = same, hieq
     padded[:, M_CHA] = (gap & 1023).astype(np.uint32)
-    padded[:, M_CHB] = (gap >> 10).astype(np.uint32)
+    padded[:, M_CHB] = ((gap >> 10) & 1023).astype(np.uint32)
+    padded[:, M_CHC] = (gap >> 20).astype(np.uint32)
 
 
 def _mem_tuple_components(padded: np.ndarray):

@@ -104,8 +104,8 @@ N_MEM_COLUMNS = N_CF_COLUMNS + 5
 # (prover/prover.py _build_memory_table); trace_to_matrix leaves it zero.
 COL_CLK = N_MEM_COLUMNS
 M_BASE = N_MEM_COLUMNS + 1
-N_MEMTABLE_COLUMNS = 25                     # qa qb ahi clk ob0-7 nb0-7
-#                                             real same hieq cha chb
+N_MEMTABLE_COLUMNS = 26                     # qa qb ahi clk ob0-7 nb0-7
+#                                             real same hieq cha chb chc
 # Compare / branch-condition / cmov block.  Committed degree-1 operand
 # views (va = rs1-field operand, vb = rs2-field, vg = rd-field, pinned to
 # the one-hot inner products), the generic difference cu = x - y mod 2^40

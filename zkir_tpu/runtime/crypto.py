@@ -29,6 +29,7 @@ import hashlib
 from typing import List, Optional
 
 from ..spec.bounds import CryptoType, ValueBound
+from ..spec.field import M31_PRIME
 from .errors import RuntimeError_
 from .memory import Memory
 
@@ -106,6 +107,56 @@ class Sha256Witness:
     @property
     def num_rounds(self) -> int:
         return len(self.round_states)
+
+
+class Poseidon2Witness:
+    """Poseidon2 witness (reference zkir-spec/src/trace.rs:292-303 — a
+    placeholder there, since the reference's Poseidon2 syscall is a stub;
+    here it records the real sponge's per-permutation states)."""
+
+    def __init__(self, timestamp: int = 0):
+        self.input_state: List[int] = []
+        self.round_states: List[List[int]] = []
+        self.output_state: List[int] = []
+        self.timestamp = timestamp
+
+
+class Keccak256Witness:
+    """Keccak-256 witness (reference zkir-spec/src/trace.rs:308-323):
+    5x5 lane states around the digest-producing keccak-f[1600] call."""
+
+    def __init__(self, timestamp: int = 0):
+        self.input_state = [[0] * 5 for _ in range(5)]
+        self.round_states: List[List[List[int]]] = []
+        self.output_state = [[0] * 5 for _ in range(5)]
+        self.timestamp = timestamp
+
+
+class CryptoWitness:
+    """Tagged union over crypto witnesses (trace.rs:330-359)."""
+
+    def __init__(self, inner):
+        if isinstance(inner, Sha256Witness):
+            self.kind = "sha256"
+        elif isinstance(inner, Poseidon2Witness):
+            self.kind = "poseidon2"
+        elif isinstance(inner, Keccak256Witness):
+            self.kind = "keccak256"
+        else:
+            raise TypeError(f"not a crypto witness: {type(inner)}")
+        self.inner = inner
+
+    @property
+    def timestamp(self) -> int:
+        return self.inner.timestamp
+
+    @property
+    def crypto_type(self) -> CryptoType:
+        return {
+            "sha256": CryptoType.SHA256,
+            "poseidon2": CryptoType.POSEIDON2,
+            "keccak256": CryptoType.KECCAK256,
+        }[self.kind]
 
 
 def sha256_pad(message: bytes) -> bytes:
@@ -222,8 +273,11 @@ def _rotl64(x: int, n: int) -> int:
     return ((x << n) | (x >> (64 - n))) & _M64
 
 
-def keccak_f1600(state: List[List[int]]) -> None:
+def keccak_f1600(state: List[List[int]],
+                 witness: Optional[Keccak256Witness] = None) -> None:
     """In-place keccak-f[1600] permutation on a 5x5 lane array."""
+    if witness is not None:
+        witness.input_state = [list(col) for col in state]
     for rc in _KECCAK_RC:
         # theta
         c = [state[x][0] ^ state[x][1] ^ state[x][2] ^ state[x][3] ^ state[x][4]
@@ -243,10 +297,16 @@ def keccak_f1600(state: List[List[int]]) -> None:
                 state[x][y] = b[x][y] ^ ((~b[(x + 1) % 5][y]) & b[(x + 2) % 5][y])
         # iota
         state[0][0] ^= rc
+        if witness is not None:
+            witness.round_states.append([list(col) for col in state])
 
 
-def keccak256_digest(message: bytes) -> bytes:
-    """Keccak-256 (original Keccak padding 0x01, rate 1088 bits)."""
+def keccak256_digest(message: bytes,
+                     witness: Optional[Keccak256Witness] = None) -> bytes:
+    """Keccak-256 (original Keccak padding 0x01, rate 1088 bits).
+
+    With ``witness``, the digest-producing (final) permutation's input
+    state, 24 per-round states, and output state are recorded."""
     rate = 136
     state = [[0] * 5 for _ in range(5)]
 
@@ -256,14 +316,18 @@ def keccak256_digest(message: bytes) -> bytes:
         padded.append(0)
     padded[-1] |= 0x80
 
-    for off in range(0, len(padded), rate):
+    n_blocks = len(padded) // rate
+    for b, off in enumerate(range(0, len(padded), rate)):
         block = padded[off: off + rate]
         for i in range(rate // 8):
             lane = int.from_bytes(block[8 * i: 8 * i + 8], "little")
             x, y = i % 5, i // 5
             state[x][y] ^= lane
-        keccak_f1600(state)
+        keccak_f1600(state,
+                     witness if (b == n_blocks - 1) else None)
 
+    if witness is not None:
+        witness.output_state = [list(col) for col in state]
     out = bytearray()
     for i in range(4):  # 32 bytes = 4 lanes
         x, y = i % 5, i // 5
@@ -272,10 +336,11 @@ def keccak256_digest(message: bytes) -> bytes:
 
 
 def keccak256_hash(memory: Memory, input_ptr: int, input_len: int,
-                   output_ptr: int) -> ValueBound:
+                   output_ptr: int,
+                   witness: Optional[Keccak256Witness] = None) -> ValueBound:
     """Keccak-256 syscall body (reference crypto.rs:332-356)."""
     data = bytes(memory.read_u8(input_ptr + i) for i in range(input_len))
-    digest = keccak256_digest(data)
+    digest = keccak256_digest(data, witness)
     for i, byte in enumerate(digest):
         memory.write_u8(output_ptr + i, byte)
     return ValueBound.from_crypto(CryptoType.KECCAK256)
@@ -406,7 +471,8 @@ def blake3_hash(memory: Memory, input_ptr: int, input_len: int,
 
 
 def poseidon2_hash(memory: Memory, input_ptr: int, input_len: int,
-                   output_ptr: int) -> ValueBound:
+                   output_ptr: int,
+                   witness: Optional[Poseidon2Witness] = None) -> ValueBound:
     """Poseidon2 syscall body.
 
     The reference is a stub that returns an error (crypto.rs:306-315); this
@@ -420,10 +486,31 @@ def poseidon2_hash(memory: Memory, input_ptr: int, input_len: int,
       the final partial block;
     - output: first 8 rate elements, written as 8 LE u32 words (32 bytes).
     """
-    from ..ops.poseidon2_ref import poseidon2_sponge_hash_bytes
+    from ..ops.poseidon2_ref import (RATE, WIDTH, bytes_to_field_elements,
+                                     poseidon2_permute,
+                                     poseidon2_sponge_hash_bytes)
 
     data = bytes(memory.read_u8(input_ptr + i) for i in range(input_len))
-    out_words = poseidon2_sponge_hash_bytes(data)
+    if witness is None:
+        out_words = poseidon2_sponge_hash_bytes(data)
+    else:
+        # Re-run the sponge recording each permutation's post-state as a
+        # "round state" (trace.rs:292-303's granularity is unspecified —
+        # the reference syscall is a stub; per-permutation states are
+        # what the Merkle/FRI AIR consumes).
+        elements = bytes_to_field_elements(data)
+        padded = list(elements) + [1]
+        while len(padded) % RATE != 0:
+            padded.append(0)
+        state = [0] * WIDTH
+        witness.input_state = list(padded)
+        for off in range(0, len(padded), RATE):
+            for i in range(RATE):
+                state[i] = (state[i] + padded[off + i]) % M31_PRIME
+            state = poseidon2_permute(state)
+            witness.round_states.append(list(state))
+        out_words = state[:RATE]
+        witness.output_state = list(out_words)
     for i, word in enumerate(out_words):
         memory.write_u32(output_ptr + 4 * i, word)
     return ValueBound.from_crypto(CryptoType.POSEIDON2)

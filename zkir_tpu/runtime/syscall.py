@@ -47,8 +47,15 @@ class IOHandler:
         return self.input_pos >= len(self.inputs)
 
 
-def handle_syscall(state: VMState, memory: Memory, io: IOHandler) -> None:
-    """Dispatch one ECALL (reference syscall.rs:94-177)."""
+def handle_syscall(state: VMState, memory: Memory, io: IOHandler,
+                   witness_sink=None, cycle: int = 0) -> None:
+    """Dispatch one ECALL (reference syscall.rs:94-177).
+
+    With ``witness_sink`` (a list), crypto syscalls append a
+    ``crypto.CryptoWitness`` stamped with ``cycle`` — the tagged-union
+    collection the reference shapes in trace.rs:330-359.  SHA-256 round
+    witnesses follow the reference's single-block limit
+    (crypto.rs:237-243): messages >= 56 bytes record no round states."""
     num = state.read_reg(10)
 
     if num == SYSCALL_EXIT:
@@ -58,20 +65,36 @@ def handle_syscall(state: VMState, memory: Memory, io: IOHandler) -> None:
     elif num == SYSCALL_WRITE:
         io.write(state.read_reg(11))
     elif num == SYSCALL_SHA256:
+        w = None
+        if witness_sink is not None and state.read_reg(12) < 56:
+            w = crypto.Sha256Witness(cycle)
         bound = crypto.sha256_hash(
-            memory, state.read_reg(11), state.read_reg(12), state.read_reg(13)
+            memory, state.read_reg(11), state.read_reg(12),
+            state.read_reg(13), witness=w,
         )
+        if w is not None:
+            witness_sink.append(crypto.CryptoWitness(w))
         state.write_reg(10, 0)
         state.write_bound(14, bound)
     elif num == SYSCALL_POSEIDON2:
+        w = crypto.Poseidon2Witness(cycle) if witness_sink is not None \
+            else None
         crypto.poseidon2_hash(
-            memory, state.read_reg(11), state.read_reg(12), state.read_reg(13)
+            memory, state.read_reg(11), state.read_reg(12),
+            state.read_reg(13), witness=w,
         )
+        if w is not None:
+            witness_sink.append(crypto.CryptoWitness(w))
         state.write_reg(10, 0)
     elif num == SYSCALL_KECCAK256:
+        w = crypto.Keccak256Witness(cycle) if witness_sink is not None \
+            else None
         crypto.keccak256_hash(
-            memory, state.read_reg(11), state.read_reg(12), state.read_reg(13)
+            memory, state.read_reg(11), state.read_reg(12),
+            state.read_reg(13), witness=w,
         )
+        if w is not None:
+            witness_sink.append(crypto.CryptoWitness(w))
         state.write_reg(10, 0)
     elif num == SYSCALL_BLAKE3:
         crypto.blake3_hash(

@@ -62,6 +62,7 @@ class ExecutionResult:
     range_check_witnesses: List[RangeCheckWitness] = field(default_factory=list)
     execution_trace: List[TraceRow] = field(default_factory=list)
     normalization_witnesses: List[NormalizationEvent] = field(default_factory=list)
+    crypto_witnesses: list = field(default_factory=list)  # CryptoWitness
 
     def get_memory_trace(self) -> List[MemoryOp]:
         ops = [op for row in self.execution_trace for op in row.memory_ops]
@@ -115,6 +116,7 @@ class VM:
         self.range_check_witnesses: List[RangeCheckWitness] = []
         self.execution_trace: List[TraceRow] = []
         self.normalization_witnesses: List[NormalizationEvent] = []
+        self.crypto_witnesses: list = []
 
     def run(self) -> ExecutionResult:
         state = self.state
@@ -151,7 +153,13 @@ class VM:
                 execute(inst, state, self.memory, self.range_checker)
 
             if inst.op == Op.ECALL:
-                handle_syscall(state, self.memory, self.io)
+                handle_syscall(
+                    state, self.memory, self.io,
+                    witness_sink=(self.crypto_witnesses
+                                  if self.config.enable_execution_trace
+                                  else None),
+                    cycle=current_cycle,
+                )
 
             if pre_state is not None:
                 regs, bounds, reg_states = pre_state
@@ -186,6 +194,7 @@ class VM:
             range_check_witnesses=self.range_check_witnesses,
             execution_trace=self.execution_trace,
             normalization_witnesses=self.normalization_witnesses,
+            crypto_witnesses=self.crypto_witnesses,
         )
 
     def _fetch_and_decode(self) -> Tuple[Instruction, int]:
