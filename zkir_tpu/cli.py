@@ -88,9 +88,10 @@ def cmd_prove(args) -> int:
     result = interp.run([inputs], max_cycles=args.max_cycles)
     matrix = trace_to_matrix(result["trace"], program=program)
     if args.bind:
-        proof = prove_trace(matrix, range_lookup=True, program=program)
+        proof = prove_trace(matrix, range_lookup=True, program=program,
+                            checkpoint_dir=args.checkpoint_dir)
     else:
-        proof = prove_trace(matrix)
+        proof = prove_trace(matrix, checkpoint_dir=args.checkpoint_dir)
     import dataclasses as _dc
     proof["fri"]["config"] = _dc.asdict(proof["fri"]["config"])
     out = args.output or "proof.json"
@@ -150,6 +151,10 @@ def main(argv=None) -> int:
     p.add_argument("--bind", action="store_true",
                    help="full soundness: in-circuit range lookups + "
                         "program binding (pads the trace to >= 1024 rows)")
+    p.add_argument("--checkpoint-dir",
+                   help="persist per-stage prove artifacts here; a killed "
+                        "prove rerun with the same inputs resumes past "
+                        "completed stages (bit-identical proof)")
     p.add_argument("-o", "--output")
     p.set_defaults(fn=cmd_prove)
 

@@ -767,10 +767,58 @@ def _gather_rows(matrix_dev, indices):
     return {j: vals[k] for k, j in enumerate(idx)}
 
 
+class _StageStore:
+    """Per-stage prove checkpoints (elastic recovery): each heavy stage's
+    artifacts persist under ``dir/<key>.<stage>.pkl`` where the key binds
+    the full prove input (trace bytes + FRI config + program + flags).  A
+    killed prove rerun with the same inputs loads completed stages and
+    recomputes only the rest; all challenges are Fiat-Shamir, so the
+    resumed proof is bit-identical.  Corrupt/partial files (a kill mid-
+    write) are treated as absent — stages write to a temp file and
+    rename, so a torn write never wins."""
+
+    def __init__(self, directory, matrix, fri_config, range_lookup,
+                 program):
+        import hashlib as _hl
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        self.dir = directory
+        h = _hl.sha256()
+        h.update(matrix.tobytes())
+        h.update(repr((matrix.shape, fri_config, range_lookup)).encode())
+        h.update(program.to_bytes() if program is not None else b"")
+        self.key = h.hexdigest()[:24]
+
+    def _path(self, stage):
+        import os
+
+        return os.path.join(self.dir, f"{self.key}.{stage}.pkl")
+
+    def load(self, stage):
+        import pickle
+
+        try:
+            with open(self._path(stage), "rb") as f:
+                return pickle.load(f)
+        except Exception:
+            return None
+
+    def save(self, stage, obj) -> None:
+        import os
+        import pickle
+
+        tmp = self._path(stage) + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump(obj, f, protocol=4)
+        os.replace(tmp, self._path(stage))
+
+
 def prove_trace(matrix: np.ndarray,
                 fri_config: FriConfig = FriConfig(),
                 mesh=None, range_lookup: bool = False,
-                program=None, selfcheck: bool = True) -> Dict[str, Any]:
+                program=None, selfcheck: bool = True,
+                checkpoint_dir=None) -> Dict[str, Any]:
     """Prove the trace matrix.  With ``mesh``, the heavy stages run sharded
     (pjit style): columns are partitioned for the LDE, rows for hashing —
     the sharding annotations let XLA insert the collectives; the proof is
@@ -786,10 +834,18 @@ def prove_trace(matrix: np.ndarray,
     row's (pc, instruction-field) tuple is additionally LogUp-bound to
     the preprocessed program table whose Merkle root is a public input
     (``preprocess_program``), and the first row is pinned to the entry
-    point."""
+    point.
+
+    With ``checkpoint_dir``, each heavy stage (trace commit, partial
+    sums, quotient, FRI) persists its artifacts there; a killed prove
+    rerun with identical inputs resumes past completed stages and emits
+    a bit-identical proof (all challenges are Fiat-Shamir)."""
     if program is not None and not range_lookup:
         raise ValueError("program binding requires range_lookup=True")
     matrix = np.asarray(matrix, dtype=np.uint32)
+    store = (None if checkpoint_dir is None else
+             _StageStore(checkpoint_dir, matrix, fri_config, range_lookup,
+                         program))
     n_real = matrix.shape[0]
     padded, log_n = _pad_rows(matrix, min_log=10 if range_lookup else 2)
     if range_lookup:
@@ -813,40 +869,52 @@ def prove_trace(matrix: np.ndarray,
     big = 1 << log_big
     shift = _coset_shift()
 
-    # Coset LDE of all columns: [cols, n] -> [cols, N].
-    cols_r = jnp.asarray(padded.T)
-    cols_i = jnp.zeros_like(cols_r)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+    # Coset LDE of all columns: [cols, n] -> [cols, N], then phase 1:
+    # commit the trace columns.  Stage-checkpointed as "commit".
+    ck = store.load("commit") if store is not None else None
+    if ck is not None:
+        ext_r = jnp.asarray(ck["ext_r"])
+        ext_i = jnp.asarray(ck["ext_i"])
+        levels1 = ck["levels1"]
+        trace_rows = jnp.concatenate([ext_r.T, ext_i.T], axis=1)
+    else:
+        cols_r = jnp.asarray(padded.T)
+        cols_i = jnp.zeros_like(cols_r)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-        axis = mesh.axis_names[0]
-        # Pad the column count to the mesh size for an even split.
-        n_dev = mesh.devices.size
-        pad_cols = (-n_cols) % n_dev
-        if pad_cols:
-            cols_r = jnp.concatenate(
-                [cols_r, jnp.zeros((pad_cols, cols_r.shape[1]),
-                                   dtype=jnp.uint32)], axis=0)
-            cols_i = jnp.zeros_like(cols_r)
-        col_sharding = NamedSharding(mesh, P(axis, None))
-        cols_r = jax.device_put(cols_r, col_sharding)
-        cols_i = jax.device_put(cols_i, col_sharding)
-    ext_r, ext_i = lde(cols_r, cols_i, log_n, fri_config.log_blowup,
-                       shift=shift)
-    if mesh is not None and ext_r.shape[0] != n_cols:
-        ext_r = ext_r[:n_cols]
-        ext_i = ext_i[:n_cols]
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+            axis = mesh.axis_names[0]
+            # Pad the column count to the mesh size for an even split.
+            n_dev = mesh.devices.size
+            pad_cols = (-n_cols) % n_dev
+            if pad_cols:
+                cols_r = jnp.concatenate(
+                    [cols_r, jnp.zeros((pad_cols, cols_r.shape[1]),
+                                       dtype=jnp.uint32)], axis=0)
+                cols_i = jnp.zeros_like(cols_r)
+            col_sharding = NamedSharding(mesh, P(axis, None))
+            cols_r = jax.device_put(cols_r, col_sharding)
+            cols_i = jax.device_put(cols_i, col_sharding)
+        ext_r, ext_i = lde(cols_r, cols_i, log_n, fri_config.log_blowup,
+                           shift=shift)
+        if mesh is not None and ext_r.shape[0] != n_cols:
+            ext_r = ext_r[:n_cols]
+            ext_i = ext_i[:n_cols]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-        axis = mesh.axis_names[0]
-        row_sharding = NamedSharding(mesh, P(axis, None))
-        ext_r = jax.device_put(ext_r.T, row_sharding).T
-        ext_i = jax.device_put(ext_i.T, row_sharding).T
+            axis = mesh.axis_names[0]
+            row_sharding = NamedSharding(mesh, P(axis, None))
+            ext_r = jax.device_put(ext_r.T, row_sharding).T
+            ext_i = jax.device_put(ext_i.T, row_sharding).T
 
-    # Phase 1: commit the trace columns.
-    trace_rows = jnp.concatenate([ext_r.T, ext_i.T], axis=1)  # [N, 2*cols]
-    levels1 = merkle.to_host(merkle.build_tree(merkle.hash_rows(trace_rows)))
+        trace_rows = jnp.concatenate([ext_r.T, ext_i.T], axis=1)
+        levels1 = merkle.to_host(
+            merkle.build_tree(merkle.hash_rows(trace_rows)))
+        if store is not None:
+            store.save("commit", {"ext_r": np.asarray(ext_r),
+                                  "ext_i": np.asarray(ext_i),
+                                  "levels1": levels1})
     root1 = merkle.root(levels1)
 
     challenger = Challenger()
@@ -882,25 +950,39 @@ def prove_trace(matrix: np.ndarray,
         gamma = challenger.sample_cm31() if prog is not None else None
         delta = challenger.sample_cm31()
         eta = challenger.sample_cm31()
-        s_r, s_i = _build_partial_sums(padded, beta)
-        sa_r, sa_i = _build_aux_partial_sums(padded, aux_pre["cols"],
-                                             beta, eta)
-        (sm_r, sm_i), (fm_r, fm_i) = _memory_partial_sum(padded, beta,
+        ck = store.load("sums") if store is not None else None
+        if ck is not None:
+            s_ext_r = jnp.asarray(ck["s_ext_r"])
+            s_ext_i = jnp.asarray(ck["s_ext_i"])
+            levels_s = ck["levels_s"]
+            s_rows = jnp.concatenate([s_ext_r.T, s_ext_i.T], axis=1)
+        else:
+            s_r, s_i = _build_partial_sums(padded, beta)
+            sa_r, sa_i = _build_aux_partial_sums(padded, aux_pre["cols"],
+                                                 beta, eta)
+            (sm_r, sm_i), (fm_r, fm_i) = _memory_partial_sum(padded, beta,
+                                                             delta)
+            (si_r, si_i), (fi_r, fi_i) = _io_partial_sum(padded, beta,
                                                          delta)
-        (si_r, si_i), (fi_r, fi_i) = _io_partial_sum(padded, beta, delta)
-        s_r = np.concatenate([s_r, sa_r, sm_r[None, :], fm_r[None, :],
-                              si_r[None, :], fi_r[None, :]], axis=0)
-        s_i = np.concatenate([s_i, sa_i, sm_i[None, :], fm_i[None, :],
-                              si_i[None, :], fi_i[None, :]], axis=0)
-        if prog is not None:
-            sp_r, sp_i = _program_partial_sum(padded, prog["cols"], beta,
-                                              gamma)
-            s_r = np.concatenate([s_r, sp_r[None, :]], axis=0)
-            s_i = np.concatenate([s_i, sp_i[None, :]], axis=0)
-        s_ext_r, s_ext_i = lde(jnp.asarray(s_r), jnp.asarray(s_i), log_n,
-                               fri_config.log_blowup, shift=shift)
-        s_rows = jnp.concatenate([s_ext_r.T, s_ext_i.T], axis=1)
-        levels_s = merkle.to_host(merkle.build_tree(merkle.hash_rows(s_rows)))
+            s_r = np.concatenate([s_r, sa_r, sm_r[None, :], fm_r[None, :],
+                                  si_r[None, :], fi_r[None, :]], axis=0)
+            s_i = np.concatenate([s_i, sa_i, sm_i[None, :], fm_i[None, :],
+                                  si_i[None, :], fi_i[None, :]], axis=0)
+            if prog is not None:
+                sp_r, sp_i = _program_partial_sum(padded, prog["cols"],
+                                                  beta, gamma)
+                s_r = np.concatenate([s_r, sp_r[None, :]], axis=0)
+                s_i = np.concatenate([s_i, sp_i[None, :]], axis=0)
+            s_ext_r, s_ext_i = lde(jnp.asarray(s_r), jnp.asarray(s_i),
+                                   log_n, fri_config.log_blowup,
+                                   shift=shift)
+            s_rows = jnp.concatenate([s_ext_r.T, s_ext_i.T], axis=1)
+            levels_s = merkle.to_host(
+                merkle.build_tree(merkle.hash_rows(s_rows)))
+            if store is not None:
+                store.save("sums", {"s_ext_r": np.asarray(s_ext_r),
+                                    "s_ext_i": np.asarray(s_ext_i),
+                                    "levels_s": levels_s})
         root_s = merkle.root(levels_s)
         challenger.observe_many(int(x) for x in root_s)
         lookup = ((s_ext_r[:NUM_LOOKUP], s_ext_i[:NUM_LOOKUP]), beta)
@@ -926,52 +1008,76 @@ def prove_trace(matrix: np.ndarray,
     # Phase 2: quotient, split into degree-< n chunks
     # Q(x) = Q0(x) + x^n Q1(x) (Plonky3-style quotient chunking: keeps
     # every committed column at the same FRI degree bound while allowing
-    # constraints up to degree 3).
-    q = quotient_evals(ext_r, ext_i, log_n, fri_config.log_blowup, shift,
-                       alpha_c, lookup=lookup, aux=aux_args,
-                       program=program_args, memory=memory_args,
-                       io=io_args)
-    qc_r, qc_i = coset_intt(q[0], q[1], log_big, shift=shift)
+    # constraints up to degree 3).  Stage-checkpointed as "quotient".
     n_rows = 1 << log_n
-    if selfcheck:
-        # Completeness self-check: Q is a polynomial of degree < 2n iff
-        # every constraint divides cleanly.  The chunking below silently
-        # DISCARDS coefficients [2n, 4n) — a violated constraint would
-        # otherwise ship as a "proof" that only fails at the verifier's
-        # pointwise check.  Catch it here, at prove time, with a name.
-        hi_r = np.asarray(qc_r[2 * n_rows:])
-        hi_i = np.asarray(qc_i[2 * n_rows:])
-        if hi_r.any() or hi_i.any():
-            from .constraints import diagnose_violations
-            detail = diagnose_violations(
-                ext_r, ext_i, log_n, fri_config.log_blowup, shift,
-                lookup=lookup, aux=aux_args, program=program_args,
-                memory=memory_args, io=io_args)
-            raise ConstraintViolation(
-                "trace violates the constraint system (quotient has "
-                f"degree >= 2n): {detail}")
-    q_chunks = []
-    for j in range(2):
-        cr = jnp.zeros(big, dtype=jnp.uint32).at[:n_rows].set(
-            qc_r[j * n_rows:(j + 1) * n_rows])
-        ci = jnp.zeros(big, dtype=jnp.uint32).at[:n_rows].set(
-            qc_i[j * n_rows:(j + 1) * n_rows])
-        q_chunks.append(coset_ntt(cr, ci, log_big, shift=shift))
-    q_rows = jnp.stack([q_chunks[0][0], q_chunks[0][1],
-                        q_chunks[1][0], q_chunks[1][1]], axis=1)  # [N, 4]
-    levels2 = merkle.to_host(merkle.build_tree(merkle.hash_rows(q_rows)))
+    ck = store.load("quotient") if store is not None else None
+    if ck is not None:
+        q_chunks = [(jnp.asarray(ck["q0r"]), jnp.asarray(ck["q0i"])),
+                    (jnp.asarray(ck["q1r"]), jnp.asarray(ck["q1i"]))]
+        levels2 = ck["levels2"]
+        q_rows = jnp.stack([q_chunks[0][0], q_chunks[0][1],
+                            q_chunks[1][0], q_chunks[1][1]], axis=1)
+    else:
+        q = quotient_evals(ext_r, ext_i, log_n, fri_config.log_blowup,
+                           shift, alpha_c, lookup=lookup, aux=aux_args,
+                           program=program_args, memory=memory_args,
+                           io=io_args)
+        qc_r, qc_i = coset_intt(q[0], q[1], log_big, shift=shift)
+        if selfcheck:
+            # Completeness self-check: Q is a polynomial of degree < 2n
+            # iff every constraint divides cleanly.  The chunking below
+            # silently DISCARDS coefficients [2n, 4n) — a violated
+            # constraint would otherwise ship as a "proof" that only
+            # fails at the verifier's pointwise check.  Catch it here,
+            # at prove time, with a name.
+            hi_r = np.asarray(qc_r[2 * n_rows:])
+            hi_i = np.asarray(qc_i[2 * n_rows:])
+            if hi_r.any() or hi_i.any():
+                from .constraints import diagnose_violations
+                detail = diagnose_violations(
+                    ext_r, ext_i, log_n, fri_config.log_blowup, shift,
+                    lookup=lookup, aux=aux_args, program=program_args,
+                    memory=memory_args, io=io_args)
+                raise ConstraintViolation(
+                    "trace violates the constraint system (quotient has "
+                    f"degree >= 2n): {detail}")
+        q_chunks = []
+        for j in range(2):
+            cr = jnp.zeros(big, dtype=jnp.uint32).at[:n_rows].set(
+                qc_r[j * n_rows:(j + 1) * n_rows])
+            ci = jnp.zeros(big, dtype=jnp.uint32).at[:n_rows].set(
+                qc_i[j * n_rows:(j + 1) * n_rows])
+            q_chunks.append(coset_ntt(cr, ci, log_big, shift=shift))
+        q_rows = jnp.stack([q_chunks[0][0], q_chunks[0][1],
+                            q_chunks[1][0], q_chunks[1][1]], axis=1)
+        levels2 = merkle.to_host(merkle.build_tree(merkle.hash_rows(q_rows)))
+        if store is not None:
+            store.save("quotient", {
+                "q0r": np.asarray(q_chunks[0][0]),
+                "q0i": np.asarray(q_chunks[0][1]),
+                "q1r": np.asarray(q_chunks[1][0]),
+                "q1i": np.asarray(q_chunks[1][1]),
+                "levels2": levels2})
     root2 = merkle.root(levels2)
     challenger.observe_many(int(x) for x in root2)
     alpha_b = challenger.sample_cm31()
 
-    extra_cols = []
-    if range_lookup:
-        extra_cols += [(s_ext_r[k], s_ext_i[k])
-                       for k in range(s_ext_r.shape[0])]
-    extra_cols += q_chunks
-    batch_r, batch_i = _combine(ext_r, ext_i, extra_cols, alpha_b)
-    fri_proof = fri_prove(batch_r, batch_i, log_big, challenger, fri_config,
-                          shift=shift)
+    # FRI (stage-checkpointed as "fri"; the challenger is not consulted
+    # after fri_prove, so a loaded proof needs no transcript replay).
+    ck = store.load("fri") if store is not None else None
+    if ck is not None:
+        fri_proof = ck
+    else:
+        extra_cols = []
+        if range_lookup:
+            extra_cols += [(s_ext_r[k], s_ext_i[k])
+                           for k in range(s_ext_r.shape[0])]
+        extra_cols += q_chunks
+        batch_r, batch_i = _combine(ext_r, ext_i, extra_cols, alpha_b)
+        fri_proof = fri_prove(batch_r, batch_i, log_big, challenger,
+                              fri_config, shift=shift)
+        if store is not None:
+            store.save("fri", fri_proof)
 
     # Phase 3: open commitment rows at the FRI query points (and their
     # next-row rotations for the transition constraints).  Only the
