@@ -135,7 +135,14 @@ def bench_poseidon2(log_batch=20, iters=16):
 
 
 def bench_ntt(log_n=24, iters=8):
-    """One dispatch of `iters` chained NTTs via fori_loop."""
+    """One dispatch of `iters` chained NTTs via fori_loop.
+
+    ONE compiled executable serves every iteration count: the trip count
+    is a TRACED argument (fori_loop lowers it to a while_loop), so the
+    four-step kernel's large mid-twiddle constants (2 x 4096 x 4096 u32
+    at 2^24 — the r3 bench compiled and serialized them twice over the
+    remote tunnel and timed out before ever measuring) are compiled and
+    transferred exactly once, during the untimed warmup."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -145,14 +152,16 @@ def bench_ntt(log_n=24, iters=8):
 
     n = 1 << log_n
 
+    @jax.jit
+    def iterate(arrs, k):
+        def body(i, arrs):
+            re, im = arrs
+            return _ntt_core(re, im, log_n, inverse=False)
+        return jax.lax.fori_loop(0, k, body, arrs)
+
     def make_fn(k):
-        @jax.jit
-        def iterate(arrs):
-            def body(i, arrs):
-                re, im = arrs
-                return _ntt_core(re, im, log_n, inverse=False)
-            return jax.lax.fori_loop(0, k, body, arrs)
-        return lambda arrs: iterate(arrs)
+        kk = jnp.int32(k)
+        return lambda arrs: iterate(arrs, kk)
 
     rng = np.random.default_rng(1)
     warm = (jnp.asarray(rng.integers(0, M31_PRIME, n, dtype=np.uint32)),

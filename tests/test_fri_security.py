@@ -43,11 +43,16 @@ class TestSoundnessBudget:
 
     def test_security_bits_formula(self):
         cfg = FriConfig(log_blowup=2, num_queries=32, grinding_bits=16)
-        # FRI phase: 32*2+16 = 80; CM31 ceiling at 2^24 rows, 512 terms:
-        # 62 - 24 - 9 = 29 — the documented extension-field limit wins.
-        assert cfg.security_bits(log_n=24, n_terms=512) == 29
-        # At test scale the query phase is the binding term.
-        assert cfg.security_bits(log_n=4, n_terms=4) == 56
+        # FRI phase: 32*2+16 = 80; QM31 ceiling at 2^24 rows, 512 terms:
+        # 124 - 24 - 9 = 91 — the query phase is the binding term, so the
+        # north-star scale now meets the 80-bit floor end to end (the
+        # round-3 CM31 draws capped this at 29 bits).
+        assert cfg.security_bits(log_n=24, n_terms=512) == 80
+        # A pathological term count exposes the field ceiling.
+        assert cfg.security_bits(log_n=30, n_terms=1 << 60) == 34
+        cfg2 = FriConfig(log_blowup=2, num_queries=28, grinding_bits=0,
+                         min_security=0)
+        assert cfg2.security_bits(log_n=4, n_terms=4) == 56
 
 
 class TestGrinding:
@@ -73,7 +78,9 @@ class TestGrinding:
 
     def test_proof_carries_pow_and_tamper_rejected(self):
         re, im = _low_degree_evals(8, 2)
-        proof = fri_prove(re, im, 8, Challenger(), self.CFG)
+        import jax.numpy as jnp
+        vals = (re, im, jnp.zeros_like(re), jnp.zeros_like(im))
+        proof = fri_prove(vals, 8, Challenger(), self.CFG)
         assert "pow_nonce" in proof
         assert fri_verify(proof, Challenger())
         bad = dict(proof)

@@ -68,15 +68,19 @@ class TestChallenger:
 
 
 def _low_degree_evals(log_n, log_blowup, seed=0):
-    """Evaluations of a random degree < 2^(log_n - log_blowup) polynomial."""
+    """QM31 evaluations of a random degree < 2^(log_n - log_blowup)
+    polynomial (two independent CM31 coordinate polynomials)."""
     rng = np.random.default_rng(seed)
     n = 1 << log_n
     deg = 1 << (log_n - log_blowup)
-    coeffs_r = np.zeros(n, dtype=np.uint32)
-    coeffs_i = np.zeros(n, dtype=np.uint32)
-    coeffs_r[:deg] = rng.integers(0, M31_PRIME, deg, dtype=np.uint32)
-    coeffs_i[:deg] = rng.integers(0, M31_PRIME, deg, dtype=np.uint32)
-    return ntt(jnp.asarray(coeffs_r), jnp.asarray(coeffs_i), log_n)
+    out = []
+    for _ in range(2):
+        coeffs_r = np.zeros(n, dtype=np.uint32)
+        coeffs_i = np.zeros(n, dtype=np.uint32)
+        coeffs_r[:deg] = rng.integers(0, M31_PRIME, deg, dtype=np.uint32)
+        coeffs_i[:deg] = rng.integers(0, M31_PRIME, deg, dtype=np.uint32)
+        out += list(ntt(jnp.asarray(coeffs_r), jnp.asarray(coeffs_i), log_n))
+    return tuple(out)
 
 
 class TestFri:
@@ -84,35 +88,33 @@ class TestFri:
 
     def test_accepts_low_degree(self):
         log_n = 8
-        re, im = _low_degree_evals(log_n, self.CFG.log_blowup)
-        proof = fri_prove(re, im, log_n, Challenger(), self.CFG)
+        vals = _low_degree_evals(log_n, self.CFG.log_blowup)
+        proof = fri_prove(vals, log_n, Challenger(), self.CFG)
         assert fri_verify(proof, Challenger())
 
     def test_rejects_high_degree(self):
         log_n = 8
         rng = np.random.default_rng(9)
-        re = jnp.asarray(rng.integers(0, M31_PRIME, 1 << log_n,
-                                      dtype=np.uint32))
-        im = jnp.asarray(rng.integers(0, M31_PRIME, 1 << log_n,
-                                      dtype=np.uint32))
-        proof = fri_prove(re, im, log_n, Challenger(), self.CFG)
+        vals = tuple(
+            jnp.asarray(rng.integers(0, M31_PRIME, 1 << log_n,
+                                     dtype=np.uint32))
+            for _ in range(4))
+        proof = fri_prove(vals, log_n, Challenger(), self.CFG)
         assert not fri_verify(proof, Challenger())
 
     def test_rejects_tampered_value(self):
         log_n = 8
-        re, im = _low_degree_evals(log_n, self.CFG.log_blowup)
-        proof = fri_prove(re, im, log_n, Challenger(), self.CFG)
-        proof["queries"][0][0]["lo"] = (
-            (proof["queries"][0][0]["lo"][0] + 1) % M31_PRIME,
-            proof["queries"][0][0]["lo"][1],
-        )
+        vals = _low_degree_evals(log_n, self.CFG.log_blowup)
+        proof = fri_prove(vals, log_n, Challenger(), self.CFG)
+        lo = proof["queries"][0][0]["lo"]
+        proof["queries"][0][0]["lo"] = ((lo[0] + 1) % M31_PRIME,) + tuple(lo[1:])
         assert not fri_verify(proof, Challenger())
 
     def test_rejects_tampered_final(self):
         log_n = 8
-        re, im = _low_degree_evals(log_n, self.CFG.log_blowup)
-        proof = fri_prove(re, im, log_n, Challenger(), self.CFG)
-        proof["final_re"][0] = (proof["final_re"][0] + 1) % M31_PRIME
+        vals = _low_degree_evals(log_n, self.CFG.log_blowup)
+        proof = fri_prove(vals, log_n, Challenger(), self.CFG)
+        proof["final"][0][0] = (proof["final"][0][0] + 1) % M31_PRIME
         assert not fri_verify(proof, Challenger())
 
 

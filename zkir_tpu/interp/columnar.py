@@ -1031,7 +1031,13 @@ def _chunk_fn_for(cfg: InterpConfig, code_bucket: int,
                     (store_val[0] & sm_lo, store_val[1] & sm_hi),
                     loaded)
                 trace = {
-                    "valid": commit,
+                    # A PAUSE_CRYPTO cycle is an executed ECALL row (the
+                    # host services its memory effects, then advances
+                    # pc/cycles — _service_crypto), so it belongs in the
+                    # trace: the prover's crypto block derives the
+                    # syscall's read/write slots from this row's
+                    # pre-state registers (prover/trace.py CR_BASE).
+                    "valid": commit | pause,
                     "cycle": state.cycles,
                     "pc_lo": pc[0],
                     "pc_hi": pc[1],

@@ -39,6 +39,55 @@ def hash_rows(matrix) -> jnp.ndarray:
     return poseidon2_sponge_batch(blocks)
 
 
+@jax.jit
+def _absorb_blocks(states, blocks):
+    """Advance row-sponge states [n, WIDTH] over rate blocks [n, nb, 8]."""
+    from .poseidon2 import poseidon2_permute_batch
+    from ..ops.field_ops import m31_add
+
+    def step(s, blk):
+        s = s.at[:, :RATE].set(m31_add(s[:, :RATE], blk))
+        return poseidon2_permute_batch(s), None
+
+    out, _ = jax.lax.scan(step, states, jnp.swapaxes(blocks, 0, 1))
+    return out
+
+
+class RowSponge:
+    """Incremental row hashing: feed a [n, w] matrix column-chunk by
+    column-chunk and get exactly ``hash_rows``'s digests.
+
+    The streaming prover commits wide matrices one column block at a
+    time (peak HBM = O(block x domain), not O(all columns x domain));
+    this keeps ONE Merkle tree / one opening path per query regardless
+    of how many blocks streamed in."""
+
+    def __init__(self, n: int):
+        from .poseidon2_ref import WIDTH
+
+        self.n = n
+        self.states = jnp.zeros((n, WIDTH), dtype=jnp.uint32)
+        self.pending = jnp.zeros((n, 0), dtype=jnp.uint32)
+
+    def absorb(self, chunk) -> None:
+        buf = jnp.concatenate([self.pending, chunk], axis=1)
+        nb = buf.shape[1] // RATE
+        if nb:
+            blocks = buf[:, : nb * RATE].reshape(self.n, nb, RATE)
+            self.states = _absorb_blocks(self.states, blocks)
+        self.pending = buf[:, nb * RATE:]
+
+    def finalize(self) -> jnp.ndarray:
+        """Append the 1||0* padding and return digests [n, 8]."""
+        w = self.pending.shape[1]
+        pad = jnp.zeros((self.n, RATE - w), dtype=jnp.uint32)
+        pad = pad.at[:, 0].set(1)
+        last = jnp.concatenate([self.pending, pad], axis=1)
+        states = _absorb_blocks(self.states,
+                                last.reshape(self.n, 1, RATE))
+        return states[:, :RATE]
+
+
 def build_tree(leaves) -> List[jnp.ndarray]:
     """Build a Merkle tree from leaf digests uint32 [n, 8] (n a power of 2).
 

@@ -82,7 +82,8 @@ def _preprocess_aux_cached(log_n: int, log_blowup: int):
     cols = aux_table_columns(log_n)
     ext_r, ext_i = lde(jnp.asarray(cols), jnp.zeros_like(jnp.asarray(cols)),
                        log_n, log_blowup, shift=shift)
-    rows = jnp.concatenate([ext_r.T, ext_i.T], axis=1)  # [N, 12]
+    from .prover import _interleave_rows
+    rows = _interleave_rows(ext_r, ext_i)  # [N, 12]
     levels = merkle.to_host(merkle.build_tree(merkle.hash_rows(rows)))
     return {
         "cols": cols,

@@ -45,6 +45,11 @@ class Challenger:
     def sample_cm31(self):
         return (self.sample(), self.sample())
 
+    def sample_qm31(self):
+        """Squeeze one QM31 challenge (4 M31 draws) — the extension the
+        batching/DEEP/FRI/LogUp challenges live in (ops/qm31.py)."""
+        return (self.sample(), self.sample(), self.sample(), self.sample())
+
     def sample_bits(self, bits: int) -> int:
         """Uniform integer in [0, 2^bits) (bits <= 30 per draw)."""
         assert bits <= 30

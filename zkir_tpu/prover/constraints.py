@@ -92,7 +92,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.field_ops import m31_inv as m31_inv_vec, m31_mul, m31_sub
+from ..ops.field_ops import m31_add, m31_inv as m31_inv_vec, m31_mul, \
+    m31_sub
 from ..ops.ntt import (
     cm31_add,
     cm31_inv_scalar,
@@ -183,6 +184,12 @@ from .trace import (COL_LG_A0, COL_LG_B0, COL_LG_C0, COL_LG_C_HI,  # noqa: E402
 # I/O-tape binding block (prover/trace.py layout comment at IO_BASE).
 from .trace import (COL_ERD, COL_EWR, COL_IO_B0, COL_IO_B1,  # noqa: E402
                     COL_IO_B2, COL_RIDX, COL_WIDX)
+# Crypto-syscall binding block (prover/trace.py layout comment at CR_BASE).
+from .trace import (COL_CIDX, COL_CNA0, COL_CPAD, COL_CRB0,  # noqa: E402
+                    COL_CRC1, COL_CWC1, COL_CWD0, COL_CWO0, COL_ECR,
+                    CRYPTO_MAX_LEN, N_READ_SLOTS, N_WRITE_SLOTS)
+N_SLOTS = N_READ_SLOTS + N_WRITE_SLOTS     # 11 memory-demand slots
+N_CR_SUMS = N_SLOTS + 2                    # + tape S and F columns
 from .aux_table import AUX_AND_BASE, AUX_SHIFT_BASE  # noqa: E402
 COMPARE_OPS = tuple(range(0x20, 0x26))   # SLTU SGEU SLT SGE SEQ SNE
 CMOV_OPS = (0x26, 0x27, 0x28)            # CMOV CMOVZ CMOVNZ
@@ -324,6 +331,15 @@ CHANNELS = (
     ("mch1", 0, ((COL_MCH1, 32),)),
     ("mlnib", 0, ((COL_MLNIB, 64),)),
     ("mhnib", 0, ((COL_MHNIB, 64),)),
+    # Crypto block: pad < 8 (coefficient 128) makes len = 8*nc - pad a
+    # unique decomposition.
+    ("cpad", 0, ((COL_CPAD, 128),)),
+    # TABLE-side cell-key range: every memory-table row's q = qa + 2^10 qb
+    # stays < 2^17 (qa < 2^10, qb < 2^7), so a crypto-slot demand with an
+    # out-of-range derived key (q_0 + i ghosting past 2^17 with a wrong
+    # carry bit) can never match a table row.
+    ("tqa", 0, ((M_QA, 1),)),
+    ("tqb", 0, ((M_QB, 8),)),
 )
 NUM_LOOKUP = len(CHANNELS)
 COL_AUXM0 = COL_MULT0 + NUM_LOOKUP
@@ -459,21 +475,36 @@ def _vanishing_tables(log_n: int, log_blowup: int, shift: Tuple[int, int]):
 
 
 class VecAlg:
-    """Whole-LDE-domain evaluation: columns are [N] uint32 vectors."""
+    """Whole-LDE-domain evaluation: columns are [N] uint32 vectors.
+
+    Two value kinds flow through the constraint algebra:
+
+    - CM31 values: ``(re, im)`` pairs — the committed columns' coset
+      evaluations and everything the base AIR computes from them;
+    - QM31 values: 4-tuples ``(a_re, a_im, b_re, b_im)`` — anything a
+      transcript challenge touches (LogUp channels, partial sums).  The
+      challenges are drawn from the degree-4 extension (ops/qm31.py) so
+      the Schwartz–Zippel soundness terms scale with 2^124, not 2^62.
+
+    The ``q*`` methods are the QM31 half of the interface; ``qlift``
+    embeds a CM31 value, ``qscale`` multiplies a CM31 value by a QM31
+    constant (2 CM31 products — the common case in channel compression).
+    """
 
     def __init__(self, ext_r, ext_i, log_blowup, chan_sums=None,
                  mem_sum=None, prog_sum=None, prog_ext=None,
-                 aux_ext=None, aux_sums=None, io_sum=None):
+                 aux_ext=None, aux_sums=None, io_sum=None, cr_sums=None):
         self.ext_r, self.ext_i = ext_r, ext_i
         self.big = ext_r.shape[1]
         self.blowup = 1 << log_blowup
-        self._chan_sums = chan_sums      # (sr, si): [NUM_LOOKUP, N]
-        self._mem_sum = mem_sum          # ((sr, si), (fr, fi)): [N] each
-        self._prog_sum = prog_sum        # (sr, si): [N]
+        self._chan_sums = chan_sums      # QM31 4-tuple: [NUM_LOOKUP, N]
+        self._mem_sum = mem_sum          # (S, F): QM31 4-tuples [N]
+        self._prog_sum = prog_sum        # QM31 4-tuple [N]
         self._prog_ext = prog_ext        # (pr, pi): [4, N]
         self._aux_ext = aux_ext          # (ar, ai): [N_AUX_COLS, N]
-        self._aux_sums = aux_sums        # (sr, si): [NUM_AUX, N]
-        self._io_sum = io_sum            # ((sr, si), (fr, fi)): [N] each
+        self._aux_sums = aux_sums        # QM31 4-tuple: [NUM_AUX, N]
+        self._io_sum = io_sum            # (S, F): QM31 4-tuples [N]
+        self._cr_sums = cr_sums          # (slots [N_SLOTS, N], S, F)
         # Memoized slices/constants: constraints reuse columns heavily;
         # sharing the traced objects keeps the jitted quotient kernel's
         # program (and so XLA compile time) small.
@@ -495,17 +526,15 @@ class VecAlg:
     def _pair(self, pair):
         return pair
 
-    def _pair_nxt(self, pair):
-        return (jnp.roll(pair[0], -self.blowup),
-                jnp.roll(pair[1], -self.blowup))
+    def _pair_nxt(self, tup):
+        return tuple(jnp.roll(c, -self.blowup) for c in tup)
 
     def scol(self, k):
-        sr, si = self._chan_sums
-        return (sr[k], si[k])
+        s = self._chan_sums
+        return tuple(c[k] for c in s)
 
     def snxt(self, k):
-        sr, si = self._chan_sums
-        return self._pair_nxt((sr[k], si[k]))
+        return self._pair_nxt(self.scol(k))
 
     def mcol(self):
         return self._mem_sum[0]
@@ -525,6 +554,18 @@ class VecAlg:
     def iofcol(self):
         return self._io_sum[1]
 
+    def crinv(self, s):
+        return tuple(c[s] for c in self._cr_sums[0])
+
+    def crcol(self):
+        return self._cr_sums[1]
+
+    def crnxt(self):
+        return self._pair_nxt(self._cr_sums[1])
+
+    def crfcol(self):
+        return self._cr_sums[2]
+
     def pscol(self):
         return self._prog_sum
 
@@ -540,12 +581,55 @@ class VecAlg:
         return (ar[c], ai[c])
 
     def ascol(self, k):
-        sr, si = self._aux_sums
-        return (sr[k], si[k])
+        return tuple(c[k] for c in self._aux_sums)
 
     def asnxt(self, k):
-        sr, si = self._aux_sums
-        return self._pair_nxt((sr[k], si[k]))
+        return self._pair_nxt(self.ascol(k))
+
+    # --- QM31 half of the interface (4-tuples of [N] uint32 vectors) ---
+
+    def _zeros(self):
+        return jnp.zeros(self.big, dtype=jnp.uint32)
+
+    def qlift(self, c):
+        """Embed a CM31 value into QM31 (b-part zero)."""
+        return (c[0], c[1], self._zeros(), self._zeros())
+
+    def qconst(self, v4):
+        """Broadcast a QM31 constant (host ints or traced 0-d scalars)."""
+        if isinstance(v4[0], (int, np.integer)):
+            return tuple(jnp.full(self.big, int(x) % P, dtype=jnp.uint32)
+                         for x in v4)
+        return tuple(jnp.broadcast_to(jnp.asarray(x, jnp.uint32),
+                                      (self.big,)) for x in v4)
+
+    @staticmethod
+    def qadd(x, y):
+        return tuple(m31_add(a, b) for a, b in zip(x, y))
+
+    @staticmethod
+    def qsub(x, y):
+        from ..ops.field_ops import m31_sub as _s
+        return tuple(_s(a, b) for a, b in zip(x, y))
+
+    @staticmethod
+    def qmul(x, y):
+        from ..ops.qm31 import qm31_mul
+        return qm31_mul(x, y)
+
+    def qscale(self, c, v4):
+        """CM31 value ``c`` times QM31 constant ``v4`` (2 CM31 products)."""
+        qa = self.const((v4[0], v4[1]))
+        qb = self.const((v4[2], v4[3]))
+        a = cm31_mul(c, qa)
+        b = cm31_mul(c, qb)
+        return (a[0], a[1], b[0], b[1])
+
+    @staticmethod
+    def qmul_c(x, c):
+        """QM31 value times CM31 value (componentwise on the u-basis)."""
+        from ..ops.qm31 import qm31_mul_cm31
+        return qm31_mul_cm31(x, c)
 
     def const(self, v):
         if not isinstance(v, tuple):
@@ -593,10 +677,13 @@ class VecAlg:
 class ScalarAlg:
     """Single-point evaluation from opened rows.
 
-    ``row``/``next_row``: [re x n_cols, im x n_cols] trace openings.
-    ``s_row``/``s_next``: [re x n_sums, im x n_sums] partial-sum openings
-    (channel k at index k, memory sum at NUM_LOOKUP, program sum last).
-    ``prog_row``: [re x 4, im x 4] program-table opening.
+    Committed rows INTERLEAVE each CM31 column's (re, im) pair
+    (prover._interleave_rows — the layout a column-streaming commit
+    produces): trace column c opens at ``row[2c], row[2c+1]``.  The
+    sums matrix commits 2*n_sums CM31 columns (QM31 sum k = a-part
+    column k plus b-part column n_sums + k); ``scol(k)`` reassembles
+    the QM31 4-tuple.  ``prog_row``: the 4-column program-table
+    opening, same interleaving.
     """
 
     def __init__(self, row, next_row, n_cols, s_row=None, s_next=None,
@@ -607,16 +694,20 @@ class ScalarAlg:
         self.aux_row = aux_row
 
     def col(self, c):
-        return (self.row[c], self.row[self.n_cols + c])
+        return (self.row[2 * c], self.row[2 * c + 1])
 
     def nxt(self, c):
-        return (self.next_row[c], self.next_row[self.n_cols + c])
+        return (self.next_row[2 * c], self.next_row[2 * c + 1])
+
+    def _srow(self, arr, k):
+        b = self.n_sums + k
+        return (arr[2 * k], arr[2 * k + 1], arr[2 * b], arr[2 * b + 1])
 
     def scol(self, k):
-        return (self.s_row[k], self.s_row[self.n_sums + k])
+        return self._srow(self.s_row, k)
 
     def snxt(self, k):
-        return (self.s_next[k], self.s_next[self.n_sums + k])
+        return self._srow(self.s_next, k)
 
     def mcol(self):
         return self.scol(NUM_LOOKUP + NUM_AUX)
@@ -636,9 +727,21 @@ class ScalarAlg:
     def iofcol(self):
         return self.scol(NUM_LOOKUP + NUM_AUX + 3)
 
+    # Crypto sums live at indexes [NUM_LOOKUP+NUM_AUX+4, ... + N_CR_SUMS).
+    def crinv(self, s):
+        return self.scol(NUM_LOOKUP + NUM_AUX + 4 + s)
+
+    def crcol(self):
+        return self.scol(NUM_LOOKUP + NUM_AUX + 4 + N_SLOTS)
+
+    def crnxt(self):
+        return self.snxt(NUM_LOOKUP + NUM_AUX + 4 + N_SLOTS)
+
+    def crfcol(self):
+        return self.scol(NUM_LOOKUP + NUM_AUX + 4 + N_SLOTS + 1)
+
     def acol(self, c):
-        from .aux_table import N_AUX_COLS
-        return (self.aux_row[c], self.aux_row[N_AUX_COLS + c])
+        return (self.aux_row[2 * c], self.aux_row[2 * c + 1])
 
     def ascol(self, k):
         return self.scol(NUM_LOOKUP + k)
@@ -653,7 +756,7 @@ class ScalarAlg:
         return self.snxt(self.n_sums - 1)
 
     def pcol(self, c):
-        return (self.prog_row[c], self.prog_row[4 + c])
+        return (self.prog_row[2 * c], self.prog_row[2 * c + 1])
 
     @staticmethod
     def const(v):
@@ -675,6 +778,41 @@ class ScalarAlg:
 
     def mulc(self, a, v):
         return cm31_mul_scalar(a, self.const(v))
+
+    # --- QM31 half of the interface (scalar 4-tuples of ints) ---
+
+    @staticmethod
+    def qlift(c):
+        return (c[0] % P, c[1] % P, 0, 0)
+
+    @staticmethod
+    def qconst(v4):
+        return tuple(int(x) % P for x in v4)
+
+    @staticmethod
+    def qadd(x, y):
+        from ..ops.qm31 import qm31_add_scalar
+        return qm31_add_scalar(x, y)
+
+    @staticmethod
+    def qsub(x, y):
+        from ..ops.qm31 import qm31_sub_scalar
+        return qm31_sub_scalar(x, y)
+
+    @staticmethod
+    def qmul(x, y):
+        from ..ops.qm31 import qm31_mul_scalar
+        return qm31_mul_scalar(x, y)
+
+    @staticmethod
+    def qscale(c, v4):
+        from ..ops.qm31 import qm31_mul_scalar
+        return qm31_mul_scalar((c[0], c[1], 0, 0), v4)
+
+    @staticmethod
+    def qmul_c(x, c):
+        from ..ops.qm31 import qm31_mul_cm31_scalar
+        return qm31_mul_cm31_scalar(x, c)
 
 
 # ============================================================================
@@ -1407,10 +1545,60 @@ def air_constraints(A):
     transitions.append(sub(sub(nxt(COL_RIDX), col(COL_RIDX)), erd))
     transitions.append(sub(sub(nxt(COL_WIDX), col(COL_WIDX)), ewr))
 
+    # --- Crypto-syscall block (trace.py CR_BASE; challenge-free part) ---
+    # ecr = [num in 3..6] on ECALL rows: with b0 b1 b2 = 0 pinned above,
+    # that is exactly b2 + b0*b1 (3 = 011, 4..6 have b2 = 1).
+    ecr = col(COL_ECR)
+    singles.append(sub(ecr, add(b2, mul(b0, b1))))
+    # cidx chain: +1 per crypto row, from 0.
+    transitions.append(sub(sub(nxt(COL_CIDX), col(COL_CIDX)), ecr))
+    # Active-slot-count one-hot; non-crypto rows pin the nc = 0 entry.
+    na = [col(COL_CNA0 + c) for c in range(8)]
+    na_sum = na[0]
+    for c in range(1, 8):
+        singles.append(boolean(na[c]))
+        na_sum = add(na_sum, na[c])
+    singles.append(boolean(na[0]))
+    singles.append(sub(na_sum, one))
+    singles.append(mul(sub(one, ecr), sub(one, na[0])))
+    # len = R12 binding: len = 8*nc - pad with pad < 8 (cpad channel);
+    # the high R12 limb must be zero (len < 2^20 by register range).
+    pad_c = col(COL_CPAD)
+    singles.append(mul(sub(one, ecr), pad_c))
+    nc_expr = None
+    for c in range(1, 8):
+        term = mulc(na[c], c)
+        nc_expr = term if nc_expr is None else add(nc_expr, term)
+    singles.append(mul(ecr, add(
+        sub(col(COL_REG_LO + 12), mulc(nc_expr, 8)), pad_c)))
+    singles.append(mul(ecr, col(COL_REG_HI + 12)))
+    # Slot-key carry bits: boolean, zero off crypto rows.
+    for cc in ([COL_CRC1 + i for i in range(N_READ_SLOTS - 1)]
+               + [COL_CWC1 + i for i in range(N_WRITE_SLOTS - 1)]):
+        singles.append(boolean(col(cc)))
+        singles.append(mul(sub(one, ecr), col(cc)))
+    # Inactive-slot byte zeroing: read slot i is active iff i < nc, i.e.
+    # active_i = sum_{c > i} na_c; its bytes vanish otherwise (this also
+    # zeroes every slot byte on non-crypto rows, keeping the public
+    # crypto-tape compression well defined).
+    for i in range(N_READ_SLOTS):
+        active = None
+        for c in range(i + 1, 8):
+            active = na[c] if active is None else add(active, na[c])
+        gate = sub(one, active)
+        for j in range(8):
+            singles.append(mul(gate, col(COL_CRB0 + 8 * i + j)))
+    # Write slots are always live on crypto rows (32-byte digest) and
+    # dead elsewhere.
+    not_ecr = sub(one, ecr)
+    for base_c in (COL_CWO0, COL_CWD0):
+        for k in range(8 * N_WRITE_SLOTS):
+            singles.append(mul(not_ecr, col(base_c + k)))
+
     # Boundary: the machine starts with a zeroed register file.
     firsts = [col(base + r)
               for r in range(1, 16) for base in (COL_REG_LO, COL_REG_HI)]
-    firsts += [col(COL_RIDX), col(COL_WIDX)]
+    firsts += [col(COL_RIDX), col(COL_WIDX), col(COL_CIDX)]
     return singles, transitions, firsts
 
 
@@ -1492,36 +1680,40 @@ def lookup_channels(A, beta):
     """The cyclic LogUp constraints, one per CHANNELS entry.
 
     Per channel k (w = the channel's affine witness, m = multiplicities,
-    t = table, S the phase-2 partial-sum column):
+    t = table — all CM31-valued; beta and the phase-2 partial-sum column
+    S are QM31):
 
         (S' - S) (beta - w) (beta - t)  -  (beta - t)  +  m (beta - w) = 0
 
     Degree 3; divides by Z_H (holds cyclically on every row — the
     telescoping around the cycle IS the multiset identity)."""
-    add, sub, mul, col, K = A.add, A.sub, A.mul, A.col, A.const
-    beta_v = K(beta)
-    bt = sub(beta_v, col(COL_TABLE))
+    add, col, K = A.add, A.col, A.const
+    beta_q = A.qconst(beta)
+    bt = A.qsub(beta_q, A.qlift(col(COL_TABLE)))
     out = []
     for k, (_, const, terms) in enumerate(CHANNELS):
         w = K(const)
         for c, coef in terms:
             w = add(w, A.mulc(col(c), coef))
         m = col(COL_MULT0 + k)
-        bw = sub(beta_v, w)
-        lhs = mul(mul(sub(A.snxt(k), A.scol(k)), bw), bt)
-        rhs = sub(bt, mul(m, bw))
-        out.append(sub(lhs, rhs))
+        bw = A.qsub(beta_q, A.qlift(w))
+        lhs = A.qmul(A.qmul(A.qsub(A.snxt(k), A.scol(k)), bw), bt)
+        rhs = A.qsub(bt, A.qmul_c(bw, m))
+        out.append(A.qsub(lhs, rhs))
     return out
 
 
 def aux_channels(A, beta, eta):
     """The challenge-compressed aux-table LogUp constraints, one per
     AUX_CHANNELS entry: witness w = w0 + eta*w1 + eta^2*w2 vs table
-    t = t0 + eta*t1 + eta^2*t2 (preprocessed columns, aux_table.py),
-    in the same (S'-S)(b-w)(b-t) = (b-t) - m(b-w) cyclic form."""
-    add, sub, mul, col, K = A.add, A.sub, A.mul, A.col, A.const
-    beta_v = K(beta)
-    eta2 = cm31_mul_scalar(eta, eta)
+    t = t0 + eta*t1 + eta^2*t2 (preprocessed columns, aux_table.py;
+    eta/beta QM31), in the same (S'-S)(b-w)(b-t) = (b-t) - m(b-w)
+    cyclic form."""
+    from ..ops.qm31 import qm31_mul_scalar
+
+    add, col, K = A.add, A.col, A.const
+    beta_q = A.qconst(beta)
+    eta2 = qm31_mul_scalar(eta, eta)
     out = []
     for k, (_, wspecs, t_base, _idx) in enumerate(AUX_CHANNELS):
         parts = []
@@ -1531,16 +1723,18 @@ def aux_channels(A, beta, eta):
                 term = A.mulc(col(c), coef) if coef != 1 else col(c)
                 acc = term if acc is None else add(acc, term)
             parts.append(acc)
-        w = add(parts[0], add(A.mulc(parts[1], eta),
-                              A.mulc(parts[2], eta2)))
-        t = add(A.acol(t_base), add(A.mulc(A.acol(t_base + 1), eta),
-                                    A.mulc(A.acol(t_base + 2), eta2)))
+        w = A.qadd(A.qlift(parts[0]),
+                   A.qadd(A.qscale(parts[1], eta),
+                          A.qscale(parts[2], eta2)))
+        t = A.qadd(A.qlift(A.acol(t_base)),
+                   A.qadd(A.qscale(A.acol(t_base + 1), eta),
+                          A.qscale(A.acol(t_base + 2), eta2)))
         m = col(COL_AUXM0 + k)
-        bw = sub(beta_v, w)
-        bt = sub(beta_v, t)
-        lhs = mul(mul(sub(A.asnxt(k), A.ascol(k)), bw), bt)
-        rhs = sub(bt, mul(m, bw))
-        out.append(sub(lhs, rhs))
+        bw = A.qsub(beta_q, w)
+        bt = A.qsub(beta_q, t)
+        lhs = A.qmul(A.qmul(A.qsub(A.asnxt(k), A.ascol(k)), bw), bt)
+        rhs = A.qsub(bt, A.qmul_c(bw, m))
+        out.append(A.qsub(lhs, rhs))
     return out
 
 
@@ -1555,7 +1749,120 @@ def table_pins(A):
     return t, stair, sub(t, K(1023))
 
 
-def memory_multiset(A, beta, delta, d_init):
+def _compress_delta(A, components, delta):
+    """sum_k comp_k * delta^k over QM31 for CM31-valued components."""
+    from ..ops.qm31 import qm31_mul_scalar
+
+    acc = A.qlift(components[0])
+    pw = delta
+    for c in components[1:]:
+        acc = A.qadd(acc, A.qscale(c, pw))
+        pw = qm31_mul_scalar(pw, delta)
+    return acc
+
+
+def crypto_slot_constraints(A, beta, delta):
+    """Per-slot inverse pins tying crypto-syscall memory traffic into the
+    byte-level memory-update multiset.
+
+    Read slot i (i < 7) covers input cell (R11 >> 3) + i at timestamp
+    2*clk + 1 with old == new bytes; write slot i covers digest cell
+    (R13 >> 3) + i at 2*clk + 2 (old -> digest bytes).  Slot keys derive
+    from the register file: q_0 = R11_lo * 8^-1 (field-exact — an
+    unaligned pointer has no in-range preimage, and the table-side
+    tqa/tqb channels keep every table key < 2^17, so a wrong carry bit
+    can never find a matching row).  Pin per slot s (inv_s a committed
+    phase-2 QM31 column):
+
+        inv_s * (beta - w_s) - active_s = 0          (H, degree 2)
+
+    so inv_s = active_s / (beta - w_s) and the memory multiset's F
+    column absorbs sum_s inv_s (memory_multiset ``slot_sum``).
+
+    Returns (pins, slot_sum)."""
+    add, sub, mul, col, K = A.add, A.sub, A.mul, A.col, A.const
+    one = K(1)
+    inv8 = pow(8, P - 2, P)
+    beta_q = A.qconst(beta)
+    ts_read = add(A.mulc(col(COL_CLK), 2), one)       # 2*clk + 1
+    ts_write = add(A.mulc(col(COL_CLK), 2), K(2))     # 2*clk + 2
+    ecr = col(COL_ECR)
+    na = [col(COL_CNA0 + c) for c in range(8)]
+
+    pins = []
+    slot_sum = None
+    for s in range(N_SLOTS):
+        if s < N_READ_SLOTS:
+            i = s
+            base_lo, base_hi = COL_REG_LO + 11, COL_REG_HI + 11
+            carry_col = None if i == 0 else COL_CRC1 + i - 1
+            ts = ts_read
+            ob = [col(COL_CRB0 + 8 * i + j) for j in range(8)]
+            nb = ob
+            active = None
+            for c in range(i + 1, 8):
+                active = na[c] if active is None else add(active, na[c])
+        else:
+            i = s - N_READ_SLOTS
+            base_lo, base_hi = COL_REG_LO + 13, COL_REG_HI + 13
+            carry_col = None if i == 0 else COL_CWC1 + i - 1
+            ts = ts_write
+            ob = [col(COL_CWO0 + 8 * i + j) for j in range(8)]
+            nb = [col(COL_CWD0 + 8 * i + j) for j in range(8)]
+            active = ecr
+        q0 = A.mulc(col(base_lo), inv8)
+        if carry_col is None:
+            q_s, ahi_s = q0, col(base_hi)
+        else:
+            cb = col(carry_col)
+            q_s = sub(add(q0, K(i)), A.mulc(cb, 1 << 17))
+            ahi_s = add(col(base_hi), cb)
+        w_s = _compress_delta(A, [q_s, ahi_s, ts] + ob + nb, delta)
+        inv_s = A.crinv(s)
+        pins.append(A.qsub(A.qmul(inv_s, A.qsub(beta_q, w_s)),
+                           A.qlift(active)))
+        slot_sum = inv_s if slot_sum is None else A.qadd(slot_sum, inv_s)
+    return pins, slot_sum
+
+
+def crypto_tape_channel(A, beta, delta, d_crypto):
+    """The public crypto-tape multiset: every crypto row's
+    (num, cidx, len, 56 input bytes, 32 digest bytes) tuple must equal
+    the VERIFIER-computed demand ``d_crypto`` — computed from the
+    proof's claimed tape by RE-HASHING each input
+    (prover.crypto_tape_demand), so the digest bytes are bound to the
+    input bytes without an in-AIR hash.  Same committed-F shape as
+    io_multiset:
+
+        H: F (beta - w) - ecr = 0
+        T: S' - S - F = 0
+        F: S = 0
+        L: S + F - d_crypto = 0
+    """
+    add, sub, col, K = A.add, A.sub, A.col, A.const
+    b0, b1, b2 = col(COL_IO_B0), col(COL_IO_B1), col(COL_IO_B2)
+    num = add(b0, add(A.mulc(b1, 2), A.mulc(b2, 4)))
+    na = [col(COL_CNA0 + c) for c in range(8)]
+    nc_expr = None
+    for c in range(1, 8):
+        term = A.mulc(na[c], c)
+        nc_expr = term if nc_expr is None else add(nc_expr, term)
+    len_expr = sub(A.mulc(nc_expr, 8), col(COL_CPAD))
+    comps = [num, col(COL_CIDX), len_expr]
+    comps += [col(COL_CRB0 + k) for k in range(8 * N_READ_SLOTS)]
+    comps += [col(COL_CWD0 + k) for k in range(8 * N_WRITE_SLOTS)]
+    w = _compress_delta(A, comps, delta)
+    beta_q = A.qconst(beta)
+    f = A.crfcol()
+    s_col = A.crcol()
+    pin = A.qsub(A.qmul(f, A.qsub(beta_q, w)), A.qlift(col(COL_ECR)))
+    trans = A.qsub(A.qsub(A.crnxt(), s_col), f)
+    first = s_col
+    last = A.qsub(A.qadd(s_col, f), A.qconst(d_crypto))
+    return pin, trans, first, last
+
+
+def memory_multiset(A, beta, delta, d_init, slot_sum=None):
     """The memory-update multiset LogUp constraints.
 
     Exec tuples (cell q, addr_hi, clk+1, ob0-7, nb0-7) of EVERY
@@ -1577,14 +1884,16 @@ def memory_multiset(A, beta, delta, d_init):
         L: S + F + d_init = 0
 
     Returns (pin, transition, first, last) constraint expressions."""
-    add, sub, mul, col, K = A.add, A.sub, A.mul, A.col, A.const
+    from ..ops.qm31 import qm31_mul_scalar
+
+    add, col, K = A.add, A.col, A.const
 
     def compress(components):
-        acc = components[0]
+        acc = A.qlift(components[0])
         pw = delta
         for c in components[1:]:
-            acc = add(acc, A.mulc(c, pw))
-            pw = cm31_mul_scalar(pw, delta)
+            acc = A.qadd(acc, A.qscale(c, pw))
+            pw = qm31_mul_scalar(pw, delta)
         return acc
 
     sel_loads = None
@@ -1597,8 +1906,12 @@ def memory_multiset(A, beta, delta, d_init):
         sel_stores = s if sel_stores is None else add(sel_stores, s)
     v = add(sel_loads, sel_stores)
 
+    # Regular load/store timestamps are 2*clk + 2 (crypto-slot reads
+    # take 2*clk + 1, writes 2*clk + 2 — crypto_slot_constraints — so an
+    # in-place hash chains read-before-write within one row).
     q_exec = add(col(COL_MQA), A.mulc(col(COL_MQB), 1 << 10))
-    w_comp = [q_exec, col(COL_MEM_ADDR_HI), add(col(COL_CLK), K(1))]
+    w_comp = [q_exec, col(COL_MEM_ADDR_HI),
+              add(A.mulc(col(COL_CLK), 2), K(2))]
     w_comp += [col(COL_OB0 + j) for j in range(8)]
     w_comp += [col(COL_NB0 + j) for j in range(8)]
     w = compress(w_comp)
@@ -1609,15 +1922,19 @@ def memory_multiset(A, beta, delta, d_init):
     t_comp += [col(M_NB0 + j) for j in range(8)]
     t_mem = compress(t_comp)
 
-    beta_v = K(beta)
-    bw = sub(beta_v, w)
-    bt = sub(beta_v, t_mem)
+    beta_q = A.qconst(beta)
+    bw = A.qsub(beta_q, w)
+    bt = A.qsub(beta_q, t_mem)
     f = A.mfcol()
-    pin = sub(mul(mul(f, bw), bt),
-              sub(mul(v, bt), mul(col(M_REAL), bw)))
-    trans = sub(sub(A.mnxt(), A.mcol()), f)
+    # F also carries the crypto-slot demands (sum_s inv_s, each pinned by
+    # crypto_slot_constraints); the load/store part must satisfy the
+    # rational identity on its own.
+    f_ls = f if slot_sum is None else A.qsub(f, slot_sum)
+    pin = A.qsub(A.qmul(A.qmul(f_ls, bw), bt),
+                 A.qsub(A.qmul_c(bt, v), A.qmul_c(bw, col(M_REAL))))
+    trans = A.qsub(A.qsub(A.mnxt(), A.mcol()), f)
     first = A.mcol()
-    last = add(add(A.mcol(), f), K(d_init))
+    last = A.qadd(A.qadd(A.mcol(), f), A.qconst(d_init))
     return pin, trans, first, last
 
 
@@ -1639,51 +1956,58 @@ def io_multiset(A, beta, delta, d_io):
         F: S = 0
         L: S + F - d_io = 0
     """
-    add, sub, mul, col, K = A.add, A.sub, A.mul, A.col, A.const
-    d2 = cm31_mul_scalar(delta, delta)
-    d3 = cm31_mul_scalar(d2, delta)
+    from ..ops.qm31 import qm31_mul_scalar
+
+    col = A.col
+    d2 = qm31_mul_scalar(delta, delta)
+    d3 = qm31_mul_scalar(d2, delta)
 
     def compress(tag, idx, lo, hi):
-        return add(add(K(tag), A.mulc(idx, delta)),
-                   add(A.mulc(lo, d2), A.mulc(hi, d3)))
+        return A.qadd(A.qadd(A.qconst((tag, 0, 0, 0)),
+                             A.qscale(idx, delta)),
+                      A.qadd(A.qscale(lo, d2), A.qscale(hi, d3)))
 
     w_r = compress(1, col(COL_RIDX),
                    A.nxt(COL_REG_LO + 10), A.nxt(COL_REG_HI + 10))
     w_w = compress(2, col(COL_WIDX),
                    col(COL_REG_LO + 11), col(COL_REG_HI + 11))
-    beta_v = K(beta)
-    bwr = sub(beta_v, w_r)
-    bww = sub(beta_v, w_w)
+    beta_q = A.qconst(beta)
+    bwr = A.qsub(beta_q, w_r)
+    bww = A.qsub(beta_q, w_w)
     erd, ewr = col(COL_ERD), col(COL_EWR)
     f = A.iofcol()
-    pin = sub(mul(mul(f, bwr), bww),
-              add(mul(erd, bww), mul(ewr, bwr)))
-    trans = sub(sub(A.ionxt(), A.iocol()), f)
+    pin = A.qsub(A.qmul(A.qmul(f, bwr), bww),
+                 A.qadd(A.qmul_c(bww, erd), A.qmul_c(bwr, ewr)))
+    trans = A.qsub(A.qsub(A.ionxt(), A.iocol()), f)
     first = A.iocol()
-    last = sub(add(A.iocol(), f), K(d_io))
+    last = A.qsub(A.qadd(A.iocol(), f), A.qconst(d_io))
     return pin, trans, first, last
 
 
 def program_channel(A, beta, gamma):
     """The program-binding LogUp constraint: every executed row's
     (pc, instruction-field) tuple is a member of the preprocessed program
-    table (gamma compresses the 4-tuple; see PROG_F_TERMS)."""
-    add, sub, mul, col, K = A.add, A.sub, A.mul, A.col, A.const
-    g2 = cm31_mul_scalar(gamma, gamma)
-    g3 = cm31_mul_scalar(g2, gamma)
+    table (gamma — QM31 — compresses the 4-tuple; see PROG_F_TERMS)."""
+    from ..ops.qm31 import qm31_mul_scalar
+
+    add, col = A.add, A.col
+    g2 = qm31_mul_scalar(gamma, gamma)
+    g3 = qm31_mul_scalar(g2, gamma)
     f = col(PROG_F_TERMS[0][0])
     for c, coef in PROG_F_TERMS[1:]:
         f = add(f, A.mulc(col(c), coef))
-    w = add(add(col(COL_PC_LO), A.mulc(col(COL_PC_HI), gamma)),
-            add(A.mulc(f, g2), A.mulc(col(COL_IMM_LO), g3)))
-    t_prog = add(add(A.pcol(0), A.mulc(A.pcol(1), gamma)),
-                 add(A.mulc(A.pcol(2), g2), A.mulc(A.pcol(3), g3)))
-    beta_v = K(beta)
-    bw = sub(beta_v, w)
-    bt = sub(beta_v, t_prog)
-    lhs = mul(mul(sub(A.psnxt(), A.pscol()), bw), bt)
-    rhs = sub(bt, mul(col(COL_PROG_M), bw))
-    return sub(lhs, rhs)
+    w = A.qadd(A.qadd(A.qlift(col(COL_PC_LO)),
+                      A.qscale(col(COL_PC_HI), gamma)),
+               A.qadd(A.qscale(f, g2), A.qscale(col(COL_IMM_LO), g3)))
+    t_prog = A.qadd(A.qadd(A.qlift(A.pcol(0)), A.qscale(A.pcol(1), gamma)),
+                    A.qadd(A.qscale(A.pcol(2), g2),
+                           A.qscale(A.pcol(3), g3)))
+    beta_q = A.qconst(beta)
+    bw = A.qsub(beta_q, w)
+    bt = A.qsub(beta_q, t_prog)
+    lhs = A.qmul(A.qmul(A.qsub(A.psnxt(), A.pscol()), bw), bt)
+    rhs = A.qsub(bt, A.qmul_c(bw, col(COL_PROG_M)))
+    return A.qsub(lhs, rhs)
 
 
 def program_boundary(A, entry):
@@ -1702,13 +2026,15 @@ def program_boundary(A, entry):
 
 
 def quotient_terms(A, lookup=None, aux=None, memory=None, program=None,
-                   io=None):
+                   io=None, crypto=None):
     """Every constraint paired with its divisor tag, in the canonical
     alpha-power order shared by prover and verifier.
 
     Tags: H = Z_H (all rows), T = Z_trans (all but last), F = Z_first,
     L = Z_last.  ``lookup`` = beta; ``aux`` = (beta, eta);
-    ``memory`` = (beta, delta); ``program`` = (beta, gamma, entry)."""
+    ``memory`` = (beta, delta, d_init); ``program`` = (beta, gamma,
+    entry); ``io`` = (beta, delta, d_io); ``crypto`` = (beta, delta,
+    d_crypto) — requires ``memory`` (the slot demands ride its F)."""
     singles, transitions, firsts = air_constraints(A)
     terms = [("H", c) for c in singles]
     terms += [("T", c) for c in transitions]
@@ -1726,12 +2052,22 @@ def quotient_terms(A, lookup=None, aux=None, memory=None, program=None,
         terms += [("H", c) for c in m_s]
         terms += [("T", c) for c in m_t]
         terms += [("F", c) for c in m_f]
-        ms_h, ms_t, ms_f, ms_l = memory_multiset(A, beta, delta, d_init)
+        slot_sum = None
+        if crypto is not None:
+            pins, slot_sum = crypto_slot_constraints(A, beta, delta)
+            terms += [("H", c) for c in pins]
+        ms_h, ms_t, ms_f, ms_l = memory_multiset(A, beta, delta, d_init,
+                                                 slot_sum=slot_sum)
         terms += [("H", ms_h), ("T", ms_t), ("F", ms_f), ("L", ms_l)]
     if io is not None:
         beta, delta, d_io = io
         io_h, io_t, io_f, io_l = io_multiset(A, beta, delta, d_io)
         terms += [("H", io_h), ("T", io_t), ("F", io_f), ("L", io_l)]
+    if crypto is not None:
+        beta, delta, d_crypto = crypto
+        cr_h, cr_t, cr_f, cr_l = crypto_tape_channel(A, beta, delta,
+                                                     d_crypto)
+        terms += [("H", cr_h), ("T", cr_t), ("F", cr_f), ("L", cr_l)]
     if program is not None:
         beta, gamma, entry = program
         terms.append(("H", program_channel(A, beta, gamma)))
@@ -1747,19 +2083,22 @@ def quotient_terms(A, lookup=None, aux=None, memory=None, program=None,
 def quotient_evals(ext_r, ext_i, log_n: int, log_blowup: int,
                    shift: Tuple[int, int], alpha: Tuple[int, int],
                    lookup=None, aux=None, program=None, memory=None,
-                   io=None):
+                   io=None, crypto=None):
     """Q(x) = sum_j alpha^j C_j(x) / D_j(x) on the coset LDE domain.
 
     ``lookup``: optional (s_ext, beta) enabling the LogUp constraints.
     ``aux``: optional (aux_ext, s_aux_ext, eta) enabling the aux-table
     channels (requires ``lookup`` for beta).
     ``program``: optional (prog_ext, s_prog_ext, gamma, entry).
-    ``memory``: optional (s_mem_ext, delta).
+    ``memory``: optional (s_mem_ext, delta, d_init).
     ``io``: optional (s_io_ext, delta, d_io) — the I/O-tape channel.
+    ``crypto``: optional (cr_exts, delta, d_crypto) with cr_exts =
+    (slot inverses [N_SLOTS], tape S, tape F) — the crypto-syscall
+    binding (requires ``memory``).
     """
     chan_sums = mem_sum = prog_sum = prog_ext = None
-    aux_ext = aux_sums = io_sum = None
-    lk = ak = mk = pk = ik = None
+    aux_ext = aux_sums = io_sum = cr_sums = None
+    lk = ak = mk = pk = ik = ck = None
     if lookup is not None:
         chan_sums, beta = lookup
         lk = beta
@@ -1772,6 +2111,9 @@ def quotient_evals(ext_r, ext_i, log_n: int, log_blowup: int,
     if io is not None:
         io_sum, delta_io, d_io = io
         ik = (beta, delta_io, d_io)
+    if crypto is not None:
+        cr_sums, delta_c, d_crypto = crypto
+        ck = (beta, delta_c, d_crypto)
     if program is not None:
         prog_ext, prog_sum, gamma, entry = program
         pk = (beta, gamma, entry)
@@ -1789,39 +2131,28 @@ def quotient_evals(ext_r, ext_i, log_n: int, log_blowup: int,
         # Eager per-term path: on a local CPU backend each op dispatches
         # in microseconds and NOTHING compiles — right for the test
         # suite's many small, differently-shaped proofs.  The jitted
-        # kernel costs a one-time ~5 min XLA compile per shape signature
+        # kernel costs a one-time XLA compile per shape signature
         # (cached persistently) and pays off on TPU, where the per-op
         # dispatch latency of ~3k eager ops dominates end-to-end prove.
         A = VecAlg(ext_r, ext_i, log_blowup, chan_sums=chan_sums,
                    mem_sum=mem_sum, prog_sum=prog_sum, prog_ext=prog_ext,
-                   aux_ext=aux_ext, aux_sums=aux_sums, io_sum=io_sum)
+                   aux_ext=aux_ext, aux_sums=aux_sums, io_sum=io_sum,
+                   cr_sums=cr_sums)
         terms = quotient_terms(A, lookup=lk, aux=ak, memory=mk,
-                               program=pk, io=ik)
-        big = ext_r.shape[1]
-        zero = (jnp.zeros(big, dtype=jnp.uint32),
-                jnp.zeros(big, dtype=jnp.uint32))
-        accs = {t: zero for t in "HTFL"}
-        power = (1, 0)
-        for tag, c in terms:
-            accs[tag] = cm31_add(accs[tag], cm31_mul(c, _scalar_vec(
-                power, big)))
-            power = cm31_mul_scalar(power, alpha)
-        acc = zero
-        for t in "HTFL":
-            acc = cm31_add(acc, cm31_mul(accs[t], dinv[t]))
-        return acc
+                               program=pk, io=ik, crypto=ck)
+        return _accumulate_quotient(A, terms, alpha, dinv)
 
-    # Challenge scalars enter the kernel TRACED (0-d uint32 pairs), so
+    # Challenge scalars enter the kernel TRACED (0-d uint32 4-tuples), so
     # the compiled program is reused across proofs — the XLA executable
     # depends only on shapes + static structure, not challenge values.
     def s(v):
-        return (jnp.asarray(v[0] % P, jnp.uint32),
-                jnp.asarray(v[1] % P, jnp.uint32))
+        return tuple(jnp.asarray(x % P, jnp.uint32) for x in v)
 
     lk_t = None if lk is None else s(lk)
     ak_t = None if ak is None else (s(ak[0]), s(ak[1]))
     mk_t = None if mk is None else (s(mk[0]), s(mk[1]), s(mk[2]))
     ik_t = None if ik is None else (s(ik[0]), s(ik[1]), s(ik[2]))
+    ck_t = None if ck is None else (s(ck[0]), s(ck[1]), s(ck[2]))
     pk_t = None
     if pk is not None:
         beta_p, gamma_p, entry_p = pk
@@ -1830,8 +2161,31 @@ def quotient_evals(ext_r, ext_i, log_n: int, log_blowup: int,
                  jnp.asarray((entry_p >> 20) & ((1 << 20) - 1), jnp.uint32)))
     return _quotient_kernel(
         ext_r, ext_i, log_blowup, dinv, s(alpha), chan_sums, aux_ext,
-        aux_sums, mem_sum, io_sum, prog_ext, prog_sum, lk_t, ak_t, mk_t,
-        ik_t, pk_t)
+        aux_sums, mem_sum, io_sum, prog_ext, prog_sum, cr_sums, lk_t,
+        ak_t, mk_t, ik_t, ck_t, pk_t)
+
+
+def _accumulate_quotient(A: VecAlg, terms, alpha, dinv):
+    """sum_j alpha^j C_j / D_j with QM31 alpha over mixed CM31 (len-2)
+    and QM31 (len-4) term values; divisors are grouped per tag and
+    divided once.  Returns a QM31 4-tuple of [N] vectors."""
+    from ..ops.qm31 import qm31_mul_scalar
+
+    big = A.big
+    qzero = tuple(jnp.zeros(big, dtype=jnp.uint32) for _ in range(4))
+    accs = {t: qzero for t in "HTFL"}
+    power = (1, 0, 0, 0)
+    for tag, c in terms:
+        if len(c) == 2:
+            term = A.qscale(c, power)
+        else:
+            term = A.qmul(c, A.qconst(power))
+        accs[tag] = A.qadd(accs[tag], term)
+        power = qm31_mul_scalar(power, alpha)
+    acc = qzero
+    for t in "HTFL":
+        acc = A.qadd(acc, A.qmul_c(accs[t], dinv[t]))
+    return acc
 
 
 def _use_quotient_jit(big: int) -> bool:
@@ -1852,42 +2206,26 @@ def _use_quotient_jit(big: int) -> bool:
 @functools.partial(jax.jit, static_argnames=("log_blowup",))
 def _quotient_kernel(ext_r, ext_i, log_blowup, dinv, alpha, chan_sums,
                      aux_ext, aux_sums, mem_sum, io_sum, prog_ext,
-                     prog_sum, lk, ak, mk, ik, pk):
+                     prog_sum, cr_sums, lk, ak, mk, ik, ck, pk):
     """The whole quotient evaluation as ONE device dispatch: every
     constraint term, its divisor multiplication, and the alpha-power
     batching are traced into a single XLA program (the eager per-term
-    loop was ~3k dispatches — fatal over a remote-TPU link)."""
-    if pk is not None:
-        beta_p, gamma_p, (e_lo, e_hi) = pk
-        pk = (beta_p, gamma_p, (e_lo, e_hi))
+    loop was ~3k dispatches — fatal over a remote-TPU link).
+    Accumulates alpha^j C_j per divisor tag, then divides each tag group
+    ONCE: Q = sum_tags dinv_tag * sum_{j in tag} alpha^j C_j."""
     A = VecAlg(ext_r, ext_i, log_blowup, chan_sums=chan_sums,
                mem_sum=mem_sum, prog_sum=prog_sum, prog_ext=prog_ext,
-               aux_ext=aux_ext, aux_sums=aux_sums, io_sum=io_sum)
+               aux_ext=aux_ext, aux_sums=aux_sums, io_sum=io_sum,
+               cr_sums=cr_sums)
     terms = quotient_terms(A, lookup=lk, aux=ak, memory=mk, program=pk,
-                           io=ik)
-    big = ext_r.shape[1]
-    zero = (jnp.zeros(big, dtype=jnp.uint32),
-            jnp.zeros(big, dtype=jnp.uint32))
-    # Accumulate alpha^j C_j per divisor tag, then divide each tag group
-    # ONCE: Q = sum_tags dinv_tag * sum_{j in tag} alpha^j C_j.  Same
-    # polynomial as the per-term division (the divisor is constant
-    # within a tag), ~630 fewer full CM31 vector products in the
-    # compiled program.
-    accs = {t: zero for t in "HTFL"}
-    power = (jnp.asarray(1, jnp.uint32), jnp.asarray(0, jnp.uint32))
-    for tag, c in terms:
-        accs[tag] = cm31_add(accs[tag], cm31_mul(c, power))
-        power = cm31_mul_scalar(power, alpha)
-    acc = zero
-    for t in "HTFL":
-        acc = cm31_add(acc, cm31_mul(accs[t], dinv[t]))
-    return acc
+                           io=ik, crypto=ck)
+    return _accumulate_quotient(A, terms, alpha, dinv)
 
 
 def quotient_value_at(row, next_row, n_cols: int, index: int, log_n: int,
                       log_blowup: int, shift: Tuple[int, int],
                       alpha: Tuple[int, int], lookup=None, aux=None,
-                      program=None, memory=None, io=None):
+                      program=None, memory=None, io=None, crypto=None):
     """Scalar Q(x_index) recomputed from opened rows (verifier side).
 
     ``lookup``: optional (s_row, s_next, beta).
@@ -1897,17 +2235,20 @@ def quotient_value_at(row, next_row, n_cols: int, index: int, log_n: int,
     columns NUM_LOOKUP + NUM_AUX and + 1.
     ``io``: optional (delta, d_io); its partial sums are sums columns
     NUM_LOOKUP + NUM_AUX + 2 and + 3.
+    ``crypto``: optional (delta, d_crypto); its slot inverses and tape
+    S/F are sums columns NUM_LOOKUP + NUM_AUX + 4 .. + 4 + N_CR_SUMS.
     ``program``: optional (prog_row, gamma, entry); its partial sum is
     the last sums column."""
     s_row = s_next = prog_row = aux_row = None
     n_sums = 0
-    lk = ak = mk = pk = ik = None
+    lk = ak = mk = pk = ik = ck = None
     if lookup is not None:
         s_row, s_next, beta = lookup
         n_sums = (NUM_LOOKUP
                   + (NUM_AUX if aux is not None else 0)
                   + (2 if memory is not None else 0)
                   + (2 if io is not None else 0)
+                  + (N_CR_SUMS if crypto is not None else 0)
                   + (1 if program is not None else 0))
         lk = beta
     if aux is not None:
@@ -1919,13 +2260,19 @@ def quotient_value_at(row, next_row, n_cols: int, index: int, log_n: int,
     if io is not None:
         delta_io, d_io = io
         ik = (beta, delta_io, d_io)
+    if crypto is not None:
+        delta_c, d_crypto = crypto
+        ck = (beta, delta_c, d_crypto)
     if program is not None:
         prog_row, gamma, entry = program
         pk = (beta, gamma, entry)
     A = ScalarAlg(row, next_row, n_cols, s_row=s_row, s_next=s_next,
                   n_sums=n_sums, prog_row=prog_row, aux_row=aux_row)
     terms = quotient_terms(A, lookup=lk, aux=ak, memory=mk, program=pk,
-                           io=ik)
+                           io=ik, crypto=ck)
+
+    from ..ops.qm31 import qm31_add_scalar, qm31_mul_cm31_scalar, \
+        qm31_mul_scalar
 
     n = 1 << log_n
     x = cm31_mul_scalar(shift,
@@ -1940,18 +2287,19 @@ def quotient_value_at(row, next_row, n_cols: int, index: int, log_n: int,
         "F": cm31_inv_scalar(A.sub(x, (1, 0))),
         "L": cm31_inv_scalar(x_last),
     }
-    acc = (0, 0)
-    power = (1, 0)
+    acc = (0, 0, 0, 0)
+    power = (1, 0, 0, 0)
     for tag, c in terms:
-        acc = A.add(acc, cm31_mul_scalar(cm31_mul_scalar(c, dinv[tag]),
-                                         power))
-        power = cm31_mul_scalar(power, alpha)
+        cq = (c[0], c[1], 0, 0) if len(c) == 2 else c
+        term = qm31_mul_scalar(qm31_mul_cm31_scalar(cq, dinv[tag]), power)
+        acc = qm31_add_scalar(acc, term)
+        power = qm31_mul_scalar(power, alpha)
     return acc
 
 
 def diagnose_violations(ext_r, ext_i, log_n: int, log_blowup: int,
                         shift: Tuple[int, int], lookup=None, aux=None,
-                        program=None, memory=None, io=None,
+                        program=None, memory=None, io=None, crypto=None,
                         max_report: int = 8) -> str:
     """Name every violated constraint term and its first offending rows.
 
@@ -1965,8 +2313,8 @@ def diagnose_violations(ext_r, ext_i, log_n: int, log_blowup: int,
     from ..ops.ntt import coset_intt as _cintt, ntt as _ntt
 
     chan_sums = mem_sum = prog_sum = prog_ext = None
-    aux_ext = aux_sums = io_sum = None
-    lk = ak = mk = pk = ik = None
+    aux_ext = aux_sums = io_sum = cr_sums = None
+    lk = ak = mk = pk = ik = ck = None
     if lookup is not None:
         chan_sums, beta = lookup
         lk = beta
@@ -1979,14 +2327,18 @@ def diagnose_violations(ext_r, ext_i, log_n: int, log_blowup: int,
     if io is not None:
         io_sum, delta_io, d_io = io
         ik = (beta, delta_io, d_io)
+    if crypto is not None:
+        cr_sums, delta_c, d_crypto = crypto
+        ck = (beta, delta_c, d_crypto)
     if program is not None:
         prog_ext, prog_sum, gamma, entry = program
         pk = (beta, gamma, entry)
     A = VecAlg(ext_r, ext_i, log_blowup, chan_sums=chan_sums,
                mem_sum=mem_sum, prog_sum=prog_sum, prog_ext=prog_ext,
-               aux_ext=aux_ext, aux_sums=aux_sums, io_sum=io_sum)
+               aux_ext=aux_ext, aux_sums=aux_sums, io_sum=io_sum,
+               cr_sums=cr_sums)
     terms = quotient_terms(A, lookup=lk, aux=ak, memory=mk, program=pk,
-                           io=ik)
+                           io=ik, crypto=ck)
 
     n = 1 << log_n
     big = 1 << (log_n + log_blowup)
@@ -1995,10 +2347,14 @@ def diagnose_violations(ext_r, ext_i, log_n: int, log_blowup: int,
     for j, (tag, c) in enumerate(terms):
         # Numerator coefficients from the coset evaluations, then values
         # on the plain subgroup (stride-blowup indices of the big group).
-        cr, ci = _cintt(c[0], c[1], log_n + log_blowup, shift=shift)
-        vr, vi = _ntt(cr, ci, log_n + log_blowup)
-        vals = (np.asarray(vr[::stride]).astype(np.int64)
-                | (np.asarray(vi[::stride]).astype(np.int64) << 32))
+        # QM31 terms: check both CM31 coordinates.
+        vals = np.zeros(big // stride, dtype=np.int64)
+        for base in range(0, len(c), 2):
+            cr, ci = _cintt(c[base], c[base + 1], log_n + log_blowup,
+                            shift=shift)
+            vr, vi = _ntt(cr, ci, log_n + log_blowup)
+            vals |= (np.asarray(vr[::stride]).astype(np.int64)
+                     | (np.asarray(vi[::stride]).astype(np.int64) << 32))
         if tag == "T":
             vals[n - 1] = 0          # transition skips the last row
         elif tag == "F":

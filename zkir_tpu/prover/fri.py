@@ -1,28 +1,36 @@
-"""FRI low-degree proof over the CM31 NTT domain.
+"""FRI low-degree proof over the CM31 NTT domain, QM31-valued.
+
+The committed evaluation domain is the CM31 coset (the 2-adic subgroup
+lives in CM31); the *values* are QM31 (the batch combination is taken
+with a QM31 challenge, ops/qm31.py), and the fold challenges are QM31 —
+so every Schwartz–Zippel term in the soundness accounting scales with
+|QM31| ~ 2^124 (round 3's CM31 draws capped end-to-end soundness at 29
+bits for a 2^24-row trace; see ``FriConfig.security_bits``).
 
 Commit phase: repeatedly fold the evaluation vector in half with
-verifier-supplied challenges, committing each layer with a Poseidon2 Merkle
-tree whose leaves pair ``(e_j, e_{j+n/2})`` so one query opens both fold
-inputs with a single path.  Query phase: spot-check the fold chain at
-random indices.
+verifier-supplied challenges, committing each layer with a Poseidon2
+Merkle tree whose leaves pair ``(e_j, e_{j+n/2})`` so one query opens
+both fold inputs with a single path.  Query phase: spot-check the fold
+chain at random indices.
 
-Folding rule on the multiplicative domain x_j = w^j (w of order n, so
-x_{j+n/2} = -x_j):
+Folding rule on the multiplicative domain x_j = shift * w^j (w of order
+n, so x_{j+n/2} = -x_j):
 
     e'_j = (e_j + e_{j+n/2}) / 2  +  beta * (e_j - e_{j+n/2}) / (2 x_j)
 
-which is exactly f'(x^2) for f'(y) = f_even(y) + beta * f_odd(y); the new
-domain is the order-n/2 subgroup.  Each fold halves the committed degree,
-so evaluations of a degree < n / 2^log_blowup polynomial end in a final
-layer whose iNTT has only its low 2^(log_final - log_blowup) coefficients
-non-zero — which the verifier checks directly.
+which is exactly f'(x^2) for f'(y) = f_even(y) + beta * f_odd(y); the
+new domain is the order-n/2 subgroup.  Each fold halves the committed
+degree, so evaluations of a degree < n / 2^log_blowup polynomial end in
+a final layer whose componentwise iNTT has only its low
+2^(log_final - log_blowup) coefficients non-zero — which the verifier
+checks directly.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, List
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -31,15 +39,22 @@ import numpy as np
 from ..ops import merkle
 from ..ops.field_ops import m31_mul
 from ..ops.ntt import (
-    cm31_add,
     cm31_inv_scalar,
-    cm31_mul,
     cm31_mul_scalar,
     cm31_pow_scalar,
-    cm31_sub,
     intt,
     root_of_unity,
     _twiddle_table,
+)
+from ..ops.qm31 import (
+    qm31_add,
+    qm31_add_scalar,
+    qm31_mul,
+    qm31_mul_cm31,
+    qm31_mul_cm31_scalar,
+    qm31_mul_scalar,
+    qm31_sub,
+    qm31_sub_scalar,
 )
 from ..spec.field import M31_PRIME, m31_inv as s_inv
 from .challenger import Challenger
@@ -60,19 +75,18 @@ class FriConfig:
       * proof-of-work grinding before query sampling adds
         ``grinding_bits`` (the attacker must redo 2^grinding_bits
         permutations per transcript fork);
-      * the commit/batching phase error is bounded by ~L·n/|CM31| with
-        challenges drawn from CM31 (|CM31| = (2^31-1)^2 ≈ 2^62): about
-        ``62 - log_n - log2(n_terms)`` bits for an n-row trace batched
-        over n_terms columns/constraints.  See ``security_bits``.
+      * the commit/batching phase error is bounded by ~L*n/|QM31| with
+        all batching/fold challenges drawn from the degree-4 extension
+        QM31 (|QM31| = (2^31-1)^4 ~ 2^124): about
+        ``124 - log_n - log2(n_terms)`` bits for an n-point committed
+        domain batched over n_terms columns/constraints.
 
     ``__post_init__`` rejects configurations whose FRI-phase budget
-    (queries + grinding) is below ``min_security``.  Pass
-    ``min_security=0`` only in tests that deliberately shrink proofs.
-
-    Known limit (documented, next-round work): for large traces the
-    CM31 batching term, not the query count, is the end-to-end ceiling
-    (~2^-36 at 2^24 rows); raising it requires sampling batching/DEEP
-    challenges from a degree-4 extension (QM31), as stwo does.
+    (queries + grinding) is below ``min_security``; ``prove_trace``
+    additionally rejects a prove whose *end-to-end*
+    ``security_bits(log_n, n_terms)`` falls below ``min_security``.
+    Pass ``min_security=0`` only in tests that deliberately shrink
+    proofs.
     """
 
     log_blowup: int = 2
@@ -94,80 +108,78 @@ class FriConfig:
     def security_bits(self, log_n: int = 24, n_terms: int = 512) -> int:
         """Conjectured end-to-end bits for an n = 2^log_n-row trace
         batching n_terms committed terms: min(query-phase budget,
-        CM31 batching ceiling)."""
+        QM31 batching ceiling).  With QM31 challenges the field term is
+        124 - log_n - log2(n_terms) — 91 bits at the north-star 2^24
+        rows / 512 terms, so the query phase is the binding term."""
         fri_phase = self.num_queries * self.log_blowup + self.grinding_bits
-        field_phase = 62 - log_n - max(n_terms - 1, 1).bit_length()
+        field_phase = 124 - log_n - max(n_terms - 1, 1).bit_length()
         return min(fri_phase, field_phase)
 
 
-def _pair_matrix(re, im):
-    """Stack (e_j, e_{j+h}) pairs as rows [h, 4] for leaf hashing."""
-    h = re.shape[0] // 2
+def _pair_matrix(vals):
+    """Stack (e_j, e_{j+h}) pairs as rows [h, 8] for leaf hashing."""
+    h = vals[0].shape[0] // 2
     return jnp.stack(
-        [re[:h], im[:h], re[h:], im[h:]], axis=1
-    )
+        [vals[0][:h], vals[1][:h], vals[2][:h], vals[3][:h],
+         vals[0][h:], vals[1][h:], vals[2][h:], vals[3][h:]], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("log",))
-def _fold_jit(cur_r, cur_i, beta_r, beta_i, sinv_r, sinv_i, log: int):
+def _fold_jit(cur, beta, sinv_r, sinv_i, log: int):
     """One FRI fold as one dispatch: x_j = shift * w^j, so
-    1/x_j = shift^-1 * w^-j; beta and shift^-1 ride as traced scalars so
-    the compiled step is reused across proofs."""
+    1/x_j = shift^-1 * w^-j; beta (QM31) and shift^-1 (CM31) ride as
+    traced scalars so the compiled step is reused across proofs."""
     h = (1 << log) // 2
     inv2 = jnp.uint32(s_inv(2))
     twr, twi = _twiddle_table(log, inverse=True)  # w^{-j}
-    xinv = cm31_mul((jnp.asarray(twr[:h]), jnp.asarray(twi[:h])),
-                    (jnp.broadcast_to(sinv_r, (h,)),
-                     jnp.broadcast_to(sinv_i, (h,))))
-    lo = (cur_r[:h], cur_i[:h])
-    hi = (cur_r[h:], cur_i[h:])
-    s = cm31_add(lo, hi)
-    d = cm31_sub(lo, hi)
-    half_s = (m31_mul(s[0], inv2), m31_mul(s[1], inv2))
-    half_d = (m31_mul(d[0], inv2), m31_mul(d[1], inv2))
-    odd = cm31_mul(half_d, xinv)
-    beta_arr = (jnp.broadcast_to(beta_r, (h,)),
-                jnp.broadcast_to(beta_i, (h,)))
-    return cm31_add(half_s, cm31_mul(beta_arr, odd))
+    from ..ops.ntt import cm31_mul as _cmul
+    xinv = _cmul((jnp.asarray(twr[:h]), jnp.asarray(twi[:h])),
+                 (jnp.broadcast_to(sinv_r, (h,)),
+                  jnp.broadcast_to(sinv_i, (h,))))
+    lo = tuple(c[:h] for c in cur)
+    hi = tuple(c[h:] for c in cur)
+    s = qm31_add(lo, hi)
+    d = qm31_sub(lo, hi)
+    half_s = tuple(m31_mul(c, inv2) for c in s)
+    half_d = tuple(m31_mul(c, inv2) for c in d)
+    odd = qm31_mul_cm31(half_d, xinv)
+    beta_arr = tuple(jnp.broadcast_to(b, (h,)) for b in beta)
+    return qm31_add(half_s, qm31_mul(beta_arr, odd))
 
 
-def fri_prove(re, im, log_n: int, challenger: Challenger,
+def fri_prove(vals, log_n: int, challenger: Challenger,
               config: FriConfig = FriConfig(),
               shift=(1, 0)) -> Dict[str, Any]:
-    """Prove that (re, im) are evaluations of a polynomial of degree
-    < 2^(log_n - log_blowup) on the coset ``shift * <w>`` of the
-    order-2^log_n subgroup."""
-    layers = []          # (host tree levels, re, im) per fold layer
+    """Prove that ``vals`` (a QM31 4-tuple of [2^log_n] arrays) are
+    evaluations of a polynomial of degree < 2^(log_n - log_blowup) on
+    the coset ``shift * <w>`` of the order-2^log_n subgroup."""
+    layers = []          # (host tree levels, host 4xN values) per layer
     betas = []
-    cur_r, cur_i = jnp.asarray(re), jnp.asarray(im)
+    cur = tuple(jnp.asarray(c) for c in vals)
     log = log_n
     cur_shift = tuple(shift)
 
     while log > config.log_final:
-        leaves = merkle.hash_rows(_pair_matrix(cur_r, cur_i))
+        leaves = merkle.hash_rows(_pair_matrix(cur))
         levels = merkle.to_host(merkle.build_tree(leaves))
         layer_root = merkle.root(levels)
         challenger.observe_many(int(x) for x in layer_root)
-        beta = challenger.sample_cm31()
+        beta = challenger.sample_qm31()
         betas.append(beta)
-        layers.append((levels, np.asarray(cur_r), np.asarray(cur_i)))
+        layers.append((levels, np.stack([np.asarray(c) for c in cur])))
 
         sinv = cm31_inv_scalar(cur_shift)
-        cur_r, cur_i = _fold_jit(
-            cur_r, cur_i,
-            jnp.uint32(beta[0]), jnp.uint32(beta[1]),
+        cur = _fold_jit(
+            cur, tuple(jnp.uint32(b) for b in beta),
             jnp.uint32(sinv[0]), jnp.uint32(sinv[1]), log)
         cur_shift = cm31_mul_scalar(cur_shift, cur_shift)
         log -= 1
 
-    final_r = np.asarray(cur_r)
-    final_i = np.asarray(cur_i)
-    challenger.observe_many(int(x) for x in final_r)
-    challenger.observe_many(int(x) for x in final_i)
+    final = np.stack([np.asarray(c) for c in cur])
+    for k in range(4):
+        challenger.observe_many(int(x) for x in final[k])
 
-    # Proof-of-work grinding binds the query challenges (ethSTARK-style):
-    # re-forking the transcript costs the attacker 2^grinding_bits
-    # permutations per attempt.
+    # Proof-of-work grinding binds the query challenges (ethSTARK-style).
     pow_nonce = challenger.grind(config.grinding_bits)
 
     # Query phase.
@@ -178,14 +190,14 @@ def fri_prove(re, im, log_n: int, challenger: Challenger,
         query_indices.append(idx)
         steps = []
         cur_idx = idx
-        for depth, (levels, lr, li) in enumerate(layers):
+        for depth, (levels, lv) in enumerate(layers):
             n = 1 << (log_n - depth)
             h = n // 2
             leaf_idx = cur_idx % h
             steps.append({
                 "leaf_idx": leaf_idx,
-                "lo": (int(lr[leaf_idx]), int(li[leaf_idx])),
-                "hi": (int(lr[leaf_idx + h]), int(li[leaf_idx + h])),
+                "lo": tuple(int(lv[k, leaf_idx]) for k in range(4)),
+                "hi": tuple(int(lv[k, leaf_idx + h]) for k in range(4)),
                 "path": [
                     [int(x) for x in sib]
                     for sib in merkle.open_path(levels, leaf_idx)
@@ -201,10 +213,9 @@ def fri_prove(re, im, log_n: int, challenger: Challenger,
         "shift": tuple(shift),
         "roots": [
             [int(x) for x in merkle.root(levels)]
-            for levels, _, _ in layers
+            for levels, _ in layers
         ],
-        "final_re": [int(x) for x in final_r],
-        "final_im": [int(x) for x in final_i],
+        "final": [[int(x) for x in final[k]] for k in range(4)],
         "queries": queries,
         "query_indices": query_indices,
     }
@@ -222,9 +233,9 @@ def fri_verify(proof: Dict[str, Any], challenger: Challenger) -> bool:
     betas = []
     for layer_root in proof["roots"]:
         challenger.observe_many(int(x) for x in layer_root)
-        betas.append(challenger.sample_cm31())
-    challenger.observe_many(int(x) for x in proof["final_re"])
-    challenger.observe_many(int(x) for x in proof["final_im"])
+        betas.append(challenger.sample_qm31())
+    for k in range(4):
+        challenger.observe_many(int(x) for x in proof["final"][k])
 
     # Grinding check must precede query replay (same transcript order as
     # the prover).
@@ -236,14 +247,16 @@ def fri_verify(proof: Dict[str, Any], challenger: Challenger) -> bool:
     if num_layers != log_n - config.log_final:
         return False
 
-    # Final layer must be low degree: its iNTT beyond the degree bound
-    # (2^(log_final - log_blowup)) must vanish.
-    fr = jnp.asarray(np.asarray(proof["final_re"], dtype=np.uint32))
-    fi = jnp.asarray(np.asarray(proof["final_im"], dtype=np.uint32))
-    cr, ci = intt(fr, fi, config.log_final)
+    # Final layer must be low degree: the componentwise iNTT (QM31 is a
+    # 2-dim CM31 vector space; the NTT twiddles are CM31) beyond the
+    # degree bound must vanish.
+    fv = np.asarray(proof["final"], dtype=np.uint32)
     bound = 1 << max(config.log_final - config.log_blowup, 0)
-    if np.any(np.asarray(cr)[bound:]) or np.any(np.asarray(ci)[bound:]):
-        return False
+    for base in (0, 2):
+        cr, ci = intt(jnp.asarray(fv[base]), jnp.asarray(fv[base + 1]),
+                      config.log_final)
+        if np.any(np.asarray(cr)[bound:]) or np.any(np.asarray(ci)[bound:]):
+            return False
 
     # Check each query chain.
     for steps in proof["queries"]:
@@ -261,7 +274,7 @@ def fri_verify(proof: Dict[str, Any], challenger: Challenger) -> bool:
             lo = tuple(step["lo"])
             hi = tuple(step["hi"])
             leaf_digest = np.asarray(
-                merkle.hash_row_host([lo[0], lo[1], hi[0], hi[1]]),
+                merkle.hash_row_host(list(lo) + list(hi)),
                 dtype=np.uint32)
             if not merkle.verify_path(
                 np.asarray(proof["roots"][depth], dtype=np.uint32),
@@ -284,20 +297,17 @@ def fri_verify(proof: Dict[str, Any], challenger: Challenger) -> bool:
             xinv = cm31_mul_scalar(
                 cm31_pow_scalar(w_inv, leaf_idx),
                 cm31_inv_scalar(layer_shift))
-            s = ((lo[0] + hi[0]) % P, (lo[1] + hi[1]) % P)
-            d = ((lo[0] - hi[0]) % P, (lo[1] - hi[1]) % P)
-            half_s = ((s[0] * inv2) % P, (s[1] * inv2) % P)
-            half_d = ((d[0] * inv2) % P, (d[1] * inv2) % P)
-            odd = cm31_mul_scalar(half_d, xinv)
-            folded = cm31_mul_scalar(beta, odd)
-            folded = ((half_s[0] + folded[0]) % P, (half_s[1] + folded[1]) % P)
-            expected = folded
+            s = qm31_add_scalar(lo, hi)
+            d = qm31_sub_scalar(lo, hi)
+            half_s = tuple((c * inv2) % P for c in s)
+            half_d = tuple((c * inv2) % P for c in d)
+            odd = qm31_mul_cm31_scalar(half_d, xinv)
+            expected = qm31_add_scalar(half_s, qm31_mul_scalar(beta, odd))
             cur_idx = leaf_idx
         # Final layer: the last fold must equal the plaintext final value.
         final_h = 1 << config.log_final
         final_idx = cur_idx % final_h
-        if (proof["final_re"][final_idx], proof["final_im"][final_idx]) \
-                != expected:
+        if tuple(proof["final"][k][final_idx] for k in range(4)) != expected:
             return False
 
     return True

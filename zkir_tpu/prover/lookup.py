@@ -19,8 +19,12 @@ This module provides:
   equality of the two sums, plus the partial-sum helper column S with
   S_0 = 0, S_{i+1} = S_i + 1/(beta - w_i) - m_i/(beta - t_i), whose
   telescoping (S_n = 0) is the per-row AIR constraint form
-  ((S' - S)(beta - w)(beta - t) = (beta - t) - m (beta - w), degree 3)
-  scheduled for quotient integration next round.
+  ((S' - S)(beta - w)(beta - t) = (beta - t) - m (beta - w), degree 3).
+
+This standalone module is the pedagogical/CM31 form; the production
+prover runs the same argument IN-CIRCUIT over QM31 challenges inside the
+quotient (``constraints.lookup_channels``, enabled by
+``prove_trace(range_lookup=True)``).
 """
 
 from __future__ import annotations

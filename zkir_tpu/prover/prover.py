@@ -81,6 +81,7 @@ def _pad_rows(matrix: np.ndarray, min_log: int = 2):
         COL_CEQ, COL_CLK, COL_OPCODE, COL_RD1H0, COL_REG_LO, COL_RIDX,
         COL_RS1H0, COL_RS2H0, COL_SEL0, COL_SH_D0, COL_SH_PM, COL_SH_Z,
         COL_WIDX, OP_VALUES)
+    from .trace import COL_CIDX, COL_CNA0
 
     n_rows = matrix.shape[0]
     if n_rows > 0 and int(matrix[-1, COL_OPCODE]) not in (0x50, 0x51):
@@ -119,6 +120,8 @@ def _pad_rows(matrix: np.ndarray, min_log: int = 2):
         padded[n_rows:, COL_SH_Z] = 1   # shq = 0 on padding
         padded[n_rows:, COL_SH_D0] = 1  # shift-table row 0: (0, 0, 1)
         padded[n_rows:, COL_SH_PM] = 1
+        padded[n_rows:, COL_CNA0] = 1   # crypto block: nc = 0 one-hot
+        padded[n_rows:, COL_CIDX] = matrix[-1, COL_CIDX]
     return padded, log_n
 
 
@@ -147,31 +150,53 @@ def _initial_cells(program):
 
 def _build_memory_table(padded: np.ndarray, n_real: int,
                         program=None) -> None:
-    """Fill the (cell, clk)-sorted memory UPDATE table (trace.py
+    """Fill the (cell, ts)-sorted memory UPDATE table (trace.py
     M_BASE..M_BASE+25) in place: one row per load/store exec row (any
-    width) carrying (cell key, clk+1, old cell bytes, new cell bytes),
-    plus one clk-0 init row per nonzero code/data cell of the public
-    program, sorted by (addr_hi, q, clk); padding rows continue the last
-    cell's run as no-op updates (old = new = last bytes, clk advancing).
+    width) carrying (cell key, 2*clk + 2, old cell bytes, new cell
+    bytes); per crypto-syscall row, one read row per input cell at
+    2*clk + 1 (bytes unchanged) and 4 digest-write rows at 2*clk + 2;
+    plus one ts-0 init row per nonzero code/data cell of the public
+    program, sorted by (addr_hi, q, ts); padding rows continue the last
+    cell's run as no-op updates (old = new = last bytes, ts advancing).
     Gap chunks cha/chb/chc (3 x 10 bits -> gaps < 2^30) witness the
-    strict increase of clk within a run and of the cell key between
+    strict increase of ts within a run and of the cell key between
     runs."""
     from .constraints import (COL_CLK, COL_MEM_ADDR_HI, COL_MQA, COL_MQB,
                               COL_NB0, COL_OB0, COL_OPCODE, LOAD_OPS,
                               M_AHI, M_CHA, M_CHB, M_CHC, M_CLK, M_HIEQ,
                               M_NB0, M_OB0, M_QA, M_QB, M_REAL, M_SAME,
                               STORE_OPS)
+    from .trace import (COL_CNA0, COL_CRB0, COL_CWD0, COL_CWO0, COL_ECR,
+                        N_WRITE_SLOTS)
 
     n = padded.shape[0]
     op = padded[:n_real, COL_OPCODE]
     rows = np.nonzero(np.isin(op, LOAD_OPS + STORE_OPS))[0]
     init = _initial_cells(program)
-    k = len(rows) + len(init)
+    crows = np.nonzero(padded[:n_real, COL_ECR])[0]
+    crypto_rows = []     # (q, ahi, ts, ob[8], nb[8]) per slot row
+    for r in crows:
+        nc = int(np.nonzero(padded[r, COL_CNA0:COL_CNA0 + 8])[0][0])
+        clk = int(padded[r, COL_CLK])
+        r11 = (int(padded[r, 8 + 11]) + (int(padded[r, 24 + 11]) << 20))
+        r13 = (int(padded[r, 8 + 13]) + (int(padded[r, 24 + 13]) << 20))
+        for s in range(nc):
+            cell = (r11 >> 3) + s
+            b = [int(padded[r, COL_CRB0 + 8 * s + j]) for j in range(8)]
+            crypto_rows.append((cell & 0x1FFFF, cell >> 17,
+                                2 * clk + 1, b, b))
+        for s in range(N_WRITE_SLOTS):
+            cell = (r13 >> 3) + s
+            ob = [int(padded[r, COL_CWO0 + 8 * s + j]) for j in range(8)]
+            nb = [int(padded[r, COL_CWD0 + 8 * s + j]) for j in range(8)]
+            crypto_rows.append((cell & 0x1FFFF, cell >> 17,
+                                2 * clk + 2, ob, nb))
+    k = len(rows) + len(init) + len(crypto_rows)
     if k > n:
         raise ValueError(
-            f"memory table needs {k} rows (exec memory ops + program "
-            f"init cells) but the padded trace has only {n}; re-prove "
-            "with a larger padding size")
+            f"memory table needs {k} rows (exec memory ops + crypto "
+            f"slots + program init cells) but the padded trace has only "
+            f"{n}; re-prove with a larger padding size")
 
     t_q = np.zeros(n, dtype=np.int64)
     t_ah = np.zeros(n, dtype=np.int64)
@@ -183,10 +208,17 @@ def _build_memory_table(padded: np.ndarray, n_real: int,
         t_q[:ke] = (padded[rows, COL_MQA].astype(np.int64)
                     + (padded[rows, COL_MQB].astype(np.int64) << 10))
         t_ah[:ke] = padded[rows, COL_MEM_ADDR_HI].astype(np.int64)
-        t_clk[:ke] = padded[rows, COL_CLK].astype(np.int64) + 1
+        t_clk[:ke] = 2 * padded[rows, COL_CLK].astype(np.int64) + 2
         for j in range(8):
             t_ob[:ke, j] = padded[rows, COL_OB0 + j]
             t_nb[:ke, j] = padded[rows, COL_NB0 + j]
+    for i, (cq, cah, ts, ob, nb) in enumerate(crypto_rows):
+        r = ke + i
+        t_q[r], t_ah[r], t_clk[r] = cq, cah, ts
+        for j in range(8):
+            t_ob[r, j] = ob[j]
+            t_nb[r, j] = nb[j]
+    ke += len(crypto_rows)
     for i, (cell, value) in enumerate(sorted(init.items())):
         r = ke + i
         t_q[r] = cell & 0x1FFFF
@@ -241,9 +273,74 @@ def _build_memory_table(padded: np.ndarray, n_real: int,
     padded[:, M_CHC] = (gap >> 20).astype(np.uint32)
 
 
+# ----------------------------------------------------------------------
+# Device-side (jnp) QM31 LogUp helpers.  Round 3 computed every partial
+# sum with host numpy (lexsort/cumsum/bincount serialized on the host and
+# round-tripped the trace over the TPU link per prove); these run the
+# compress -> batch-invert -> prefix-sum pipeline as a handful of jitted
+# device ops, in QM31 (challenges from the degree-4 extension).
+# ----------------------------------------------------------------------
+
+
+def _delta_compress_dev(components, delta):
+    """sum_k comp_k * delta^k over QM31 for a list of M31-valued jnp
+    vectors (delta a host QM31 4-tuple).  Returns a QM31 4-tuple."""
+    from ..ops.field_ops import m31_add as ja, m31_mul as jm
+    from ..ops.qm31 import qm31_mul_scalar
+
+    c0 = jnp.asarray(components[0], jnp.uint32)
+    acc = [c0, jnp.zeros_like(c0), jnp.zeros_like(c0), jnp.zeros_like(c0)]
+    pw = delta
+    for c in components[1:]:
+        cj = jnp.asarray(c, jnp.uint32)
+        for k in range(4):
+            if pw[k] % P:
+                acc[k] = ja(acc[k], jm(cj, jnp.uint32(pw[k] % P)))
+        pw = qm31_mul_scalar(pw, delta)
+    return tuple(acc)
+
+
+def _beta_minus(beta, w4):
+    """beta - w for a host QM31 beta and QM31 vector w."""
+    from ..ops.field_ops import m31_sub as js
+
+    return tuple(js(jnp.full_like(w4[k], beta[k] % P), w4[k])
+                 for k in range(4))
+
+
+def _qscale_m31(x4, m):
+    """QM31 vector times an M31-valued jnp vector (componentwise)."""
+    from ..ops.field_ops import m31_mul as jm
+
+    return tuple(jm(c, m) for c in x4)
+
+
+def _exclusive_cumsum4(term4):
+    """Exclusive prefix sums mod p along the last axis, per component.
+
+    int64 cumsum is exact for < 2^33 terms (each < 2^31)."""
+    out = []
+    for c in term4:
+        cum = jnp.cumsum(c.astype(jnp.int64), axis=-1) % P
+        s = jnp.zeros_like(cum)
+        s = s.at[..., 1:].set(cum[..., :-1])
+        out.append(s.astype(jnp.uint32))
+    return tuple(out)
+
+
+@jax.jit
+def _qm31_inv_sum_kernel(w4):
+    """sum_j 1/w_j over QM31 for a 4-tuple of [m] vectors (one device
+    round trip for the public demand computations)."""
+    from ..ops.qm31 import qm31_batch_inv
+
+    inv = qm31_batch_inv(w4)
+    return tuple(jnp.sum(c.astype(jnp.int64)) % P for c in inv)
+
+
 def _mem_tuple_components(padded: np.ndarray):
     """(exec components [19, n], table components [19, n]) of the memory
-    update tuples: (q, addr_hi, clk(+1), ob0-7, nb0-7)."""
+    update tuples: (q, addr_hi, ts = 2*clk + 2, ob0-7, nb0-7)."""
     from .constraints import (COL_CLK, COL_MEM_ADDR_HI, COL_MQA, COL_MQB,
                               COL_NB0, COL_OB0, M_AHI, M_CLK, M_NB0,
                               M_OB0, M_QA, M_QB)
@@ -251,7 +348,7 @@ def _mem_tuple_components(padded: np.ndarray):
     q_e = (padded[:, COL_MQA].astype(np.uint64)
            + (padded[:, COL_MQB].astype(np.uint64) << 10))
     w = [q_e, padded[:, COL_MEM_ADDR_HI].astype(np.uint64),
-         padded[:, COL_CLK].astype(np.uint64) + 1]
+         2 * padded[:, COL_CLK].astype(np.uint64) + 2]
     w += [padded[:, COL_OB0 + j].astype(np.uint64) for j in range(8)]
     w += [padded[:, COL_NB0 + j].astype(np.uint64) for j in range(8)]
     q_t = (padded[:, M_QA].astype(np.uint64)
@@ -263,87 +360,62 @@ def _mem_tuple_components(padded: np.ndarray):
     return w, t
 
 
-def _delta_compress_np(components, delta):
-    """CM31 delta-compression of a component list (uint64 arrays)."""
-    wr = components[0] % P
-    wi = np.zeros_like(wr)
-    pw = delta
-    for c in components[1:]:
-        wr = (wr + (c % P) * (pw[0] % P)) % P
-        wi = (wi + (c % P) * (pw[1] % P)) % P
-        pw = cm31_mul_scalar(pw, delta)
-    return wr, wi
-
-
 def memory_init_demand(program, beta, delta):
     """The verifier-computable init-demand scalar: sum over the public
     program's nonzero code/data cells of 1/(beta - compress(cell tuple))
     where the tuple is (q, addr_hi, clk=0, old bytes=0, new bytes=cell
     bytes) — the clk-0 init rows the prover placed in the table.
-    Returns a CM31 pair; (0, 0) when there is no program."""
+    Returns a QM31 4-tuple; zero when there is no program."""
     init = _initial_cells(program)
     if not init:
-        return (0, 0)
+        return (0, 0, 0, 0)
     cells = sorted(init.items())
     m = len(cells)
-    comp = [np.zeros(m, dtype=np.uint64) for _ in range(19)]
+    comp = [np.zeros(m, dtype=np.uint32) for _ in range(19)]
     for i, (cell, value) in enumerate(cells):
         comp[0][i] = cell & 0x1FFFF
         comp[1][i] = cell >> 17
         for j in range(8):
             comp[11 + j][i] = (value >> (8 * j)) & 0xFF
-    t_r, t_i = _delta_compress_np(comp, delta)
-    from ..ops.field_ops import m31_batch_inv
-    dr = (beta[0] - t_r.astype(np.int64)) % P
-    di = (beta[1] - t_i.astype(np.int64)) % P
-    norm = (dr * dr + di * di) % P
-    ninv = np.asarray(m31_batch_inv(
-        jnp.asarray(norm.astype(np.uint32)))).astype(np.uint64)
-    inv_r = (dr.astype(np.uint64) * ninv) % P
-    inv_i = ((P - di.astype(np.uint64)) % P * ninv) % P
-    return (int(inv_r.sum() % P), int(inv_i.sum() % P))
+    t4 = _delta_compress_dev([jnp.asarray(c) for c in comp], delta)
+    out = _qm31_inv_sum_kernel(_beta_minus(beta, t4))
+    return tuple(int(x) for x in out)
+
+
+@jax.jit
+def _memory_partial_sum_kernel(w4, t4, v, real):
+    from ..ops.qm31 import qm31_batch_inv, qm31_sub
+
+    n = v.shape[0]
+    stacked = tuple(jnp.concatenate([w4[k], t4[k]]) for k in range(4))
+    inv = qm31_batch_inv(stacked)
+    inv_w = tuple(c[:n] for c in inv)
+    inv_t = tuple(c[n:] for c in inv)
+    term = qm31_sub(_qscale_m31(inv_w, v), _qscale_m31(inv_t, real))
+    return _exclusive_cumsum4(term), term
 
 
 def _memory_partial_sum(padded: np.ndarray, beta, delta):
-    """The memory-update multiset partial-sum column (CM31 pair [n]):
+    """The memory-update multiset partial-sum column (QM31 4-tuple [n]):
 
     s[0] = 0; s[i+1] = s[i] + v_i/(beta - w_i) - real_i/(beta - t_i)
 
     where w/t delta-compress the 19-component exec-row and table update
     tuples; the telescope closes against -d_init at the last row
     (boundary constraint, constraints.memory_multiset)."""
-    from ..ops.field_ops import m31_batch_inv
-
     from .constraints import COL_OPCODE, LOAD_OPS, M_REAL, STORE_OPS
 
-    n = padded.shape[0]
     w_comp, t_comp = _mem_tuple_components(padded)
-    w_r, w_i = _delta_compress_np(w_comp, delta)
-    t_r, t_i = _delta_compress_np(t_comp, delta)
+    w4 = _beta_minus(beta, _delta_compress_dev(
+        [jnp.asarray((c % P).astype(np.uint32)) for c in w_comp], delta))
+    t4 = _beta_minus(beta, _delta_compress_dev(
+        [jnp.asarray((c % P).astype(np.uint32)) for c in t_comp], delta))
     op = padded[:, COL_OPCODE]
-    v = np.isin(op, LOAD_OPS + STORE_OPS).astype(np.uint64)
-    real = padded[:, M_REAL].astype(np.uint64)
-
-    dr = np.concatenate([(beta[0] - w_r.astype(np.int64)) % P,
-                         (beta[0] - t_r.astype(np.int64)) % P])
-    di = np.concatenate([(beta[1] - w_i.astype(np.int64)) % P,
-                         (beta[1] - t_i.astype(np.int64)) % P])
-    norm = (dr * dr + di * di) % P
-    ninv = np.asarray(m31_batch_inv(
-        jnp.asarray(norm.astype(np.uint32)))).astype(np.uint64)
-    inv_r = (dr.astype(np.uint64) * ninv) % P
-    inv_i = ((P - di.astype(np.uint64)) % P * ninv) % P
-    term_r = ((v * inv_r[:n]) % P + (P - (real * inv_r[n:]) % P)) % P
-    term_i = ((v * inv_i[:n]) % P + (P - (real * inv_i[n:]) % P)) % P
-    cum_r = np.cumsum(term_r.astype(np.int64)) % P
-    cum_i = np.cumsum(term_i.astype(np.int64)) % P
-    s_r = np.zeros(n, dtype=np.uint32)
-    s_i = np.zeros(n, dtype=np.uint32)
-    s_r[1:] = cum_r[:-1].astype(np.uint32)
-    s_i[1:] = cum_i[:-1].astype(np.uint32)
+    v = jnp.asarray(np.isin(op, LOAD_OPS + STORE_OPS).astype(np.uint32))
+    real = jnp.asarray(padded[:, M_REAL])
     # S (partial sums, exclusive) and F (the per-row terms, their own
     # committed column so the boundary constraints stay degree <= 1).
-    return (s_r, s_i), (term_r.astype(np.uint32), term_i.astype(np.uint32))
+    return _memory_partial_sum_kernel(w4, t4, v, real)
 
 
 def _observe_io(challenger, inputs, outputs) -> None:
@@ -381,71 +453,203 @@ def io_tape_demand(inputs, outputs, beta, delta):
     """The verifier-computable I/O demand: sum over the claimed tapes of
     1/(beta - (tag + idx*delta + lo*delta^2 + hi*delta^3)) with tag 1
     for inputs and 2 for outputs (matching constraints.io_multiset).
-    Returns a CM31 pair; (0, 0) for empty tapes."""
+    Returns a QM31 4-tuple; zero for empty tapes."""
     entries = ([(1, i, v) for i, v in enumerate(inputs)]
                + [(2, j, v) for j, v in enumerate(outputs)])
     if not entries:
-        return (0, 0)
+        return (0, 0, 0, 0)
     m = len(entries)
-    comp = [np.zeros(m, dtype=np.uint64) for _ in range(4)]
+    comp = [np.zeros(m, dtype=np.uint32) for _ in range(4)]
     for r, (tag, idx, v) in enumerate(entries):
         comp[0][r] = tag
         comp[1][r] = idx
         comp[2][r] = v & 0xFFFFF
         comp[3][r] = (v >> 20) & 0xFFFFF
-    t_r, t_i = _delta_compress_np(comp, delta)
-    from ..ops.field_ops import m31_batch_inv
-    dr = (beta[0] - t_r.astype(np.int64)) % P
-    di = (beta[1] - t_i.astype(np.int64)) % P
-    norm = (dr * dr + di * di) % P
-    ninv = np.asarray(m31_batch_inv(
-        jnp.asarray(norm.astype(np.uint32)))).astype(np.uint64)
-    inv_r = (dr.astype(np.uint64) * ninv) % P
-    inv_i = ((P - di.astype(np.uint64)) % P * ninv) % P
-    return (int(inv_r.sum() % P), int(inv_i.sum() % P))
+    t4 = _delta_compress_dev([jnp.asarray(c) for c in comp], delta)
+    out = _qm31_inv_sum_kernel(_beta_minus(beta, t4))
+    return tuple(int(x) for x in out)
+
+
+@jax.jit
+def _two_sided_sum_kernel(wr4, ww4, num_r, num_w):
+    """F = num_r/(wr) + num_w/(ww) per row, with its exclusive prefix
+    sums (both QM31)."""
+    from ..ops.qm31 import qm31_add, qm31_batch_inv
+
+    n = num_r.shape[0]
+    stacked = tuple(jnp.concatenate([wr4[k], ww4[k]]) for k in range(4))
+    inv = qm31_batch_inv(stacked)
+    term = qm31_add(_qscale_m31(tuple(c[:n] for c in inv), num_r),
+                    _qscale_m31(tuple(c[n:] for c in inv), num_w))
+    return _exclusive_cumsum4(term), term
 
 
 def _io_partial_sum(padded: np.ndarray, beta, delta):
     """The I/O multiset partial-sum (S, exclusive) and per-row term (F)
-    columns (CM31 pairs, [n] each): F_i = erd_i/(beta - wr_i)
+    columns (QM31 4-tuples, [n] each): F_i = erd_i/(beta - wr_i)
     + ewr_i/(beta - ww_i) with wr/ww the delta-compressed READ/WRITE
     tuples of constraints.io_multiset."""
-    from ..ops.field_ops import m31_batch_inv
-
     from .constraints import COL_ERD, COL_EWR, COL_RIDX, COL_WIDX
 
     n = padded.shape[0]
-    wr_comp = [np.ones(n, dtype=np.uint64),
-               padded[:, COL_RIDX].astype(np.uint64),
-               np.roll(padded[:, 8 + 10], -1).astype(np.uint64),
-               np.roll(padded[:, 24 + 10], -1).astype(np.uint64)]
-    ww_comp = [np.full(n, 2, dtype=np.uint64),
-               padded[:, COL_WIDX].astype(np.uint64),
-               padded[:, 8 + 11].astype(np.uint64),
-               padded[:, 24 + 11].astype(np.uint64)]
-    wr_r, wr_i = _delta_compress_np(wr_comp, delta)
-    ww_r, ww_i = _delta_compress_np(ww_comp, delta)
-    erd = padded[:, COL_ERD].astype(np.uint64)
-    ewr = padded[:, COL_EWR].astype(np.uint64)
+    wr_comp = [np.ones(n, dtype=np.uint32),
+               padded[:, COL_RIDX],
+               np.roll(padded[:, 8 + 10], -1),
+               np.roll(padded[:, 24 + 10], -1)]
+    ww_comp = [np.full(n, 2, dtype=np.uint32),
+               padded[:, COL_WIDX],
+               padded[:, 8 + 11],
+               padded[:, 24 + 11]]
+    wr4 = _beta_minus(beta, _delta_compress_dev(
+        [jnp.asarray(c) for c in wr_comp], delta))
+    ww4 = _beta_minus(beta, _delta_compress_dev(
+        [jnp.asarray(c) for c in ww_comp], delta))
+    erd = jnp.asarray(padded[:, COL_ERD])
+    ewr = jnp.asarray(padded[:, COL_EWR])
+    return _two_sided_sum_kernel(wr4, ww4, erd, ewr)
 
-    dr = np.concatenate([(beta[0] - wr_r.astype(np.int64)) % P,
-                         (beta[0] - ww_r.astype(np.int64)) % P])
-    di = np.concatenate([(beta[1] - wr_i.astype(np.int64)) % P,
-                         (beta[1] - ww_i.astype(np.int64)) % P])
-    norm = (dr * dr + di * di) % P
-    ninv = np.asarray(m31_batch_inv(
-        jnp.asarray(norm.astype(np.uint32)))).astype(np.uint64)
-    inv_r = (dr.astype(np.uint64) * ninv) % P
-    inv_i = ((P - di.astype(np.uint64)) % P * ninv) % P
-    term_r = ((erd * inv_r[:n]) % P + (ewr * inv_r[n:]) % P) % P
-    term_i = ((erd * inv_i[:n]) % P + (ewr * inv_i[n:]) % P) % P
-    cum_r = np.cumsum(term_r.astype(np.int64)) % P
-    cum_i = np.cumsum(term_i.astype(np.int64)) % P
-    s_r = np.zeros(n, dtype=np.uint32)
-    s_i = np.zeros(n, dtype=np.uint32)
-    s_r[1:] = cum_r[:-1].astype(np.uint32)
-    s_i[1:] = cum_i[:-1].astype(np.uint32)
-    return (s_r, s_i), (term_r.astype(np.uint32), term_i.astype(np.uint32))
+
+def extract_crypto_tape(matrix: np.ndarray):
+    """The claimed public crypto tape read off a trace matrix: one
+    entry per crypto-syscall row (in cidx order) of
+    ``(num, len, msg_bytes)`` where msg_bytes are the 56 committed
+    input-cell bytes (zero beyond the active slots; the hash input is
+    ``msg_bytes[:len]``)."""
+    from .trace import COL_CRB0, COL_ECR, N_READ_SLOTS
+
+    rows = np.nonzero(matrix[:, COL_ECR])[0]
+    entries = []
+    for r in rows:
+        num = int(matrix[r, 8 + 10])
+        r12 = (int(matrix[r, 8 + 12]) + (int(matrix[r, 24 + 12]) << 20))
+        msg = [int(matrix[r, COL_CRB0 + k])
+               for k in range(8 * N_READ_SLOTS)]
+        entries.append({"num": num, "len": r12, "msg": msg})
+    return entries
+
+
+def crypto_tape_demand(entries, beta, delta):
+    """The VERIFIER-computed crypto-tape demand: for each claimed entry
+    the digest is RECOMPUTED from the claimed input bytes
+    (trace.crypto_digest), so an accepted proof attests that every
+    crypto syscall's in-memory digest is the true hash of its in-memory
+    input.  Returns a QM31 4-tuple; zero for an empty tape."""
+    from .trace import CRYPTO_MAX_LEN, N_READ_SLOTS, crypto_digest
+
+    if not entries:
+        return (0, 0, 0, 0)
+    m = len(entries)
+    n_comp = 3 + 8 * N_READ_SLOTS + 32
+    comp = [np.zeros(m, dtype=np.uint32) for _ in range(n_comp)]
+    for i, e in enumerate(entries):
+        num, ln = int(e["num"]), int(e["len"])
+        msg = [int(b) for b in e["msg"]]
+        if not (3 <= num <= 6) or not (0 <= ln <= CRYPTO_MAX_LEN) \
+                or len(msg) != 8 * N_READ_SLOTS \
+                or any(not 0 <= b < 256 for b in msg):
+            return None  # malformed claimed tape -> reject
+        digest = crypto_digest(num, bytes(msg[:ln]))
+        comp[0][i] = num
+        comp[1][i] = i
+        comp[2][i] = ln
+        for k in range(8 * N_READ_SLOTS):
+            comp[3 + k][i] = msg[k]
+        for k in range(32):
+            comp[3 + 8 * N_READ_SLOTS + k][i] = digest[k]
+    t4 = _delta_compress_dev([jnp.asarray(c) for c in comp], delta)
+    out = _qm31_inv_sum_kernel(_beta_minus(beta, t4))
+    return tuple(int(x) for x in out)
+
+
+def _observe_crypto(challenger, entries) -> None:
+    """Feed the claimed crypto tape into the Fiat-Shamir transcript
+    (identically on prover and verifier)."""
+    challenger.observe(len(entries))
+    for e in entries:
+        challenger.observe(int(e["num"]))
+        challenger.observe(int(e["len"]))
+        challenger.observe_many(int(b) for b in e["msg"])
+
+
+def _crypto_slot_inverses(padded: np.ndarray, beta, delta):
+    """The committed phase-2 slot-inverse columns (QM31 4-tuple
+    [N_SLOTS, n]): inv_s = active_s / (beta - w_s) with w_s the
+    delta-compressed 19-component slot tuple (constraints.
+    crypto_slot_constraints).  Their per-row sum joins the memory F
+    column."""
+    from ..ops.qm31 import qm31_batch_inv
+
+    from .constraints import COL_CLK, N_SLOTS
+    from .trace import (COL_CNA0, COL_CRB0, COL_CRC1, COL_CWC1, COL_CWD0,
+                        COL_CWO0, COL_ECR, N_READ_SLOTS, N_WRITE_SLOTS)
+
+    n = padded.shape[0]
+    inv8 = pow(8, P - 2, P)
+    clk = padded[:, COL_CLK].astype(np.uint64)
+    na = padded[:, COL_CNA0:COL_CNA0 + 8]
+    ecr = padded[:, COL_ECR]
+    w_stack = []     # per-slot component lists
+    act_stack = []
+    for s in range(N_SLOTS):
+        if s < N_READ_SLOTS:
+            i = s
+            lo = padded[:, 8 + 11].astype(np.uint64)
+            hi = padded[:, 24 + 11].astype(np.uint64)
+            carry = (np.zeros(n, dtype=np.uint64) if i == 0
+                     else padded[:, COL_CRC1 + i - 1].astype(np.uint64))
+            ts = 2 * clk + 1
+            ob = [padded[:, COL_CRB0 + 8 * i + j] for j in range(8)]
+            nb = ob
+            active = na[:, i + 1:].sum(axis=1).astype(np.uint32)
+        else:
+            i = s - N_READ_SLOTS
+            lo = padded[:, 8 + 13].astype(np.uint64)
+            hi = padded[:, 24 + 13].astype(np.uint64)
+            carry = (np.zeros(n, dtype=np.uint64) if i == 0
+                     else padded[:, COL_CWC1 + i - 1].astype(np.uint64))
+            ts = 2 * clk + 2
+            ob = [padded[:, COL_CWO0 + 8 * i + j] for j in range(8)]
+            nb = [padded[:, COL_CWD0 + 8 * i + j] for j in range(8)]
+            active = ecr
+        q_s = (lo * inv8 + i + (P - ((carry << 17) % P))) % P
+        ahi_s = (hi + carry) % P
+        comps = [q_s.astype(np.uint32), ahi_s.astype(np.uint32),
+                 ts.astype(np.uint32)] + list(ob) + list(nb)
+        w_stack.append(comps)
+        act_stack.append(active)
+    comp_mats = [
+        np.stack([w_stack[s][c] for s in range(N_SLOTS)])
+        for c in range(19)
+    ]
+    w4 = _delta_compress_dev([jnp.asarray(c) for c in comp_mats], delta)
+    inv = qm31_batch_inv(_beta_minus(beta, w4))
+    act = jnp.asarray(np.stack(act_stack).astype(np.uint32))
+    return _qscale_m31(inv, act)
+
+
+def _crypto_tape_partial_sum(padded: np.ndarray, beta, delta):
+    """The crypto-tape channel's S (exclusive partial sums) and F
+    (per-row term ecr/(beta - w_tape)) columns (QM31 4-tuples [n])."""
+    from ..ops.qm31 import qm31_batch_inv
+
+    from .trace import (COL_CIDX, COL_CNA0, COL_CPAD, COL_CRB0, COL_CWD0,
+                        COL_ECR, N_READ_SLOTS, N_WRITE_SLOTS)
+
+    n = padded.shape[0]
+    num = padded[:, 8 + 10] * padded[:, COL_ECR]   # R10 low limb on
+    # crypto rows (= b0 + 2 b1 + 4 b2 there), zero elsewhere.
+    nc = (padded[:, COL_CNA0:COL_CNA0 + 8]
+          * np.arange(8, dtype=np.uint32)).sum(axis=1)
+    ln = (8 * nc.astype(np.int64)
+          - padded[:, COL_CPAD].astype(np.int64)) % P
+    comps = [num.astype(np.uint32), padded[:, COL_CIDX],
+             ln.astype(np.uint32)]
+    comps += [padded[:, COL_CRB0 + k] for k in range(8 * N_READ_SLOTS)]
+    comps += [padded[:, COL_CWD0 + k] for k in range(8 * N_WRITE_SLOTS)]
+    w4 = _delta_compress_dev([jnp.asarray(c) for c in comps], delta)
+    inv = qm31_batch_inv(_beta_minus(beta, w4))
+    f4 = _qscale_m31(inv, jnp.asarray(padded[:, COL_ECR]))
+    return _exclusive_cumsum4(f4), f4
 
 
 def _channel_witnesses(padded: np.ndarray) -> np.ndarray:
@@ -488,108 +692,107 @@ def _build_lookup_columns(padded: np.ndarray):
         [padded, t_col[:, None]] + [m[:, None] for m in m_cols], axis=1)
 
 
+@jax.jit
+def _channel_sum_kernel(witnesses, t, m, beta):
+    """All plain lookup channels in one dispatch: witnesses [n_ch, n],
+    table t [n], multiplicities m [n_ch, n], beta a traced QM31 4-tuple.
+    Term: 1/(beta - w) - m/(beta - t); S = exclusive cumsum."""
+    from ..ops.field_ops import m31_sub as js
+    from ..ops.qm31 import qm31_batch_inv, qm31_sub
+
+    n_ch, n = witnesses.shape
+    stacked = jnp.concatenate([witnesses, t[None, :]], axis=0)
+    d4 = tuple(js(jnp.broadcast_to(jnp.asarray(beta[k], jnp.uint32),
+                                   stacked.shape),
+                  stacked if k == 0 else jnp.zeros_like(stacked))
+               for k in range(4))
+    inv = qm31_batch_inv(d4)
+    iw = tuple(c[:n_ch] for c in inv)
+    it = tuple(jnp.broadcast_to(c[n_ch], (n_ch, n)) for c in inv)
+    term = qm31_sub(iw, _qscale_m31(it, m))
+    return _exclusive_cumsum4(term), term
+
+
 def _build_partial_sums(padded: np.ndarray, beta):
-    """The LogUp partial-sum columns on the trace domain (CM31 pairs),
-    one per channel, fully vectorized:
+    """The LogUp partial-sum columns on the trace domain (QM31
+    4-tuples [n_ch, n]), one per channel, in one device dispatch:
 
-    s_k[0] = 0; s_k[i+1 mod n] = s_k[i] + 1/(beta - w_k[i]) - m_k[i]/(beta - t_i).
+    s_k[0] = 0; s_k[i+1] = s_k[i] + 1/(beta - w_k[i]) - m_k[i]/(beta - t_i).
     """
-    from ..ops.field_ops import m31_batch_inv, m31_mul
-
-    import jax.numpy as jnp
-
     from .constraints import CHANNELS, COL_MULT0, COL_TABLE
 
-    n = padded.shape[0]
     n_ch = len(CHANNELS)
-    witnesses = _channel_witnesses(padded)          # [n_ch, n]
-    t = padded[:, COL_TABLE].astype(np.uint64)
-    m = np.stack([padded[:, COL_MULT0 + k] for k in range(n_ch)]) \
-        .astype(np.uint64)                          # [n_ch, n]
-
-    # 1/(beta - w) and 1/(beta - t) in CM31 via one batched M31 inversion:
-    # 1/(a + bi) = (a - bi) / (a^2 + b^2).
-    br, bi = beta[0] % P, beta[1] % P
-    dr = np.concatenate([(br - witnesses.astype(np.int64)) % P,
-                         ((br - t.astype(np.int64)) % P)[None, :]], axis=0)
-    di = np.full_like(dr, bi)
-    norm = (dr * dr + di * di) % P
-    ninv = np.asarray(m31_batch_inv(jnp.asarray(norm.astype(np.uint32)))
-                      ).astype(np.uint64)
-    inv_r = (dr.astype(np.uint64) * ninv) % P
-    inv_i = ((P - di.astype(np.uint64)) % P * ninv) % P
-
-    iw_r, iw_i = inv_r[:n_ch], inv_i[:n_ch]
-    it_r, it_i = inv_r[n_ch], inv_i[n_ch]
-    # Per-row term: 1/(beta - w) - m/(beta - t); then S = exclusive cumsum.
-    term_r = (iw_r + (P - (m * it_r[None, :]) % P)) % P
-    term_i = (iw_i + (P - (m * it_i[None, :]) % P)) % P
-    # int64 cumsum is exact for n < 2^32 rows (terms < 2^31).
-    cum_r = np.cumsum(term_r.astype(np.int64), axis=1) % P
-    cum_i = np.cumsum(term_i.astype(np.int64), axis=1) % P
-    s_r = np.zeros((n_ch, n), dtype=np.uint32)
-    s_i = np.zeros((n_ch, n), dtype=np.uint32)
-    s_r[:, 1:] = cum_r[:, :-1].astype(np.uint32)
-    s_i[:, 1:] = cum_i[:, :-1].astype(np.uint32)
-    return s_r, s_i
+    witnesses = jnp.asarray(_channel_witnesses(padded))     # [n_ch, n]
+    t = jnp.asarray(padded[:, COL_TABLE])
+    m = jnp.asarray(
+        np.stack([padded[:, COL_MULT0 + k] for k in range(n_ch)]))
+    beta_t = tuple(jnp.asarray(b % P, jnp.uint32) for b in beta)
+    (s4, _f4) = _channel_sum_kernel(witnesses, t, m, beta_t)
+    return s4
 
 
 def _build_aux_partial_sums(padded: np.ndarray, aux_cols: np.ndarray,
                             beta, eta):
-    """The aux-table channels' LogUp partial-sum columns (CM31 pairs,
+    """The aux-table channels' LogUp partial-sum columns (QM31 4-tuples,
     [NUM_AUX, n]): witness and table triples are eta-compressed
-    (aux_table.py), so both sides are CM31-valued."""
-    from ..ops.field_ops import m31_batch_inv
+    (aux_table.py), so both sides are QM31-valued."""
+    from ..ops.qm31 import qm31_mul_scalar
 
     from .constraints import AUX_CHANNELS, COL_AUXM0
 
     n = padded.shape[0]
-    eta2 = cm31_mul_scalar(eta, eta)
-    pows = ((1, 0), eta, eta2)
+    eta2 = qm31_mul_scalar(eta, eta)
+    pows = ((1, 0, 0, 0), eta, eta2)
 
-    def compress(component_vals):
-        wr = np.zeros(n, dtype=np.uint64)
-        wi = np.zeros(n, dtype=np.uint64)
-        for vals, pw in zip(component_vals, pows):
-            v = vals.astype(np.uint64) % P
-            wr = (wr + v * (pw[0] % P)) % P
-            wi = (wi + v * (pw[1] % P)) % P
-        return wr, wi
-
-    w_r = np.zeros((NUM_AUX, n), dtype=np.uint64)
-    w_i = np.zeros((NUM_AUX, n), dtype=np.uint64)
-    t_r = np.zeros((NUM_AUX, n), dtype=np.uint64)
-    t_i = np.zeros((NUM_AUX, n), dtype=np.uint64)
-    m = np.zeros((NUM_AUX, n), dtype=np.uint64)
+    w_parts = []
+    t_parts = []
+    m_rows = []
     for k, (_, wspecs, t_base, _idx) in enumerate(AUX_CHANNELS):
         comps = []
         for terms in wspecs:
             acc = np.zeros(n, dtype=np.uint64)
             for c, coef in terms:
                 acc = (acc + padded[:, c].astype(np.uint64) * coef) % P
-            comps.append(acc)
-        w_r[k], w_i[k] = compress(comps)
-        t_r[k], t_i[k] = compress([aux_cols[t_base + j] for j in range(3)])
-        m[k] = padded[:, COL_AUXM0 + k].astype(np.uint64)
+            comps.append(jnp.asarray(acc.astype(np.uint32)))
+        # compress with explicit eta powers (w0 + eta w1 + eta^2 w2)
+        from ..ops.field_ops import m31_add as ja, m31_mul as jm
+        w4 = [comps[0], jnp.zeros_like(comps[0]),
+              jnp.zeros_like(comps[0]), jnp.zeros_like(comps[0])]
+        t4 = [jnp.asarray(aux_cols[t_base]),
+              jnp.zeros(n, jnp.uint32), jnp.zeros(n, jnp.uint32),
+              jnp.zeros(n, jnp.uint32)]
+        for j, pw in ((1, eta), (2, eta2)):
+            for kk in range(4):
+                if pw[kk] % P:
+                    w4[kk] = ja(w4[kk], jm(comps[j],
+                                           jnp.uint32(pw[kk] % P)))
+                    t4[kk] = ja(t4[kk],
+                                jm(jnp.asarray(aux_cols[t_base + j]),
+                                   jnp.uint32(pw[kk] % P)))
+        w_parts.append(w4)
+        t_parts.append(t4)
+        m_rows.append(padded[:, COL_AUXM0 + k])
 
-    dr = np.concatenate([(beta[0] - w_r.astype(np.int64)) % P,
-                         (beta[0] - t_r.astype(np.int64)) % P], axis=0)
-    di = np.concatenate([(beta[1] - w_i.astype(np.int64)) % P,
-                         (beta[1] - t_i.astype(np.int64)) % P], axis=0)
-    norm = (dr * dr + di * di) % P
-    ninv = np.asarray(m31_batch_inv(
-        jnp.asarray(norm.astype(np.uint32)))).astype(np.uint64)
-    inv_r = (dr.astype(np.uint64) * ninv) % P
-    inv_i = ((P - di.astype(np.uint64)) % P * ninv) % P
-    term_r = (inv_r[:NUM_AUX] + (P - (m * inv_r[NUM_AUX:]) % P)) % P
-    term_i = (inv_i[:NUM_AUX] + (P - (m * inv_i[NUM_AUX:]) % P)) % P
-    cum_r = np.cumsum(term_r.astype(np.int64), axis=1) % P
-    cum_i = np.cumsum(term_i.astype(np.int64), axis=1) % P
-    s_r = np.zeros((NUM_AUX, n), dtype=np.uint32)
-    s_i = np.zeros((NUM_AUX, n), dtype=np.uint32)
-    s_r[:, 1:] = cum_r[:, :-1].astype(np.uint32)
-    s_i[:, 1:] = cum_i[:, :-1].astype(np.uint32)
-    return s_r, s_i
+    wr4 = tuple(jnp.stack([w[k] for w in w_parts]) for k in range(4))
+    tt4 = tuple(jnp.stack([t[k] for t in t_parts]) for k in range(4))
+    m = jnp.asarray(np.stack(m_rows))
+    (s4, _f4) = _aux_sum_kernel(
+        _beta_minus(beta, wr4), _beta_minus(beta, tt4), m)
+    return s4
+
+
+@jax.jit
+def _aux_sum_kernel(bw4, bt4, m):
+    from ..ops.qm31 import qm31_batch_inv, qm31_sub
+
+    n_ch = m.shape[0]
+    stacked = tuple(jnp.concatenate([bw4[k], bt4[k]], axis=0)
+                    for k in range(4))
+    inv = qm31_batch_inv(stacked)
+    iw = tuple(c[:n_ch] for c in inv)
+    it = tuple(c[n_ch:] for c in inv)
+    term = qm31_sub(iw, _qscale_m31(it, m))
+    return _exclusive_cumsum4(term), term
 
 
 CODE_BASE = 0x1000
@@ -626,7 +829,7 @@ def preprocess_program(code_words, log_n: int,
     cols = _program_table(code_words, log_n)
     ext_r, ext_i = lde(jnp.asarray(cols), jnp.zeros_like(jnp.asarray(cols)),
                        log_n, fri_config.log_blowup, shift=shift)
-    rows = jnp.concatenate([ext_r.T, ext_i.T], axis=1)  # [N, 8]
+    rows = _interleave_rows(ext_r, ext_i)  # [N, 8]
     levels = merkle.to_host(merkle.build_tree(merkle.hash_rows(rows)))
     return {
         "cols": cols,
@@ -654,55 +857,44 @@ def _program_multiplicity(padded: np.ndarray, n_real: int,
 
 def _program_partial_sum(padded: np.ndarray, prog_cols: np.ndarray,
                          beta, gamma):
-    """The program-channel LogUp partial-sum column (CM31 pair [n])."""
-    from ..ops.field_ops import m31_batch_inv
+    """The program-channel LogUp partial-sum column (QM31 4-tuple [n]):
+    term = 1/(beta - w) - m/(beta - t) with the gamma-compressed
+    (pc, field, imm) tuples of constraints.program_channel."""
+    from ..ops.qm31 import qm31_mul_scalar
 
     from .constraints import COL_IMM_LO, COL_PC_HI, COL_PC_LO, COL_PROG_M, \
         PROG_F_TERMS
-    from ..ops.ntt import cm31_mul_scalar as _gmul
 
     n = padded.shape[0]
-    g2 = _gmul(gamma, gamma)
-    g3 = _gmul(g2, gamma)
-
-    def tuple_vals(pc_lo, pc_hi, f, imm):
-        wr = (pc_lo.astype(np.uint64)
-              + pc_hi.astype(np.uint64) * gamma[0]
-              + f.astype(np.uint64) * g2[0]
-              + imm.astype(np.uint64) * g3[0]) % P
-        wi = (pc_hi.astype(np.uint64) * gamma[1]
-              + f.astype(np.uint64) * g2[1]
-              + imm.astype(np.uint64) * g3[1]) % P
-        return wr, wi
+    g2 = qm31_mul_scalar(gamma, gamma)
+    g3 = qm31_mul_scalar(g2, gamma)
 
     f_trace = np.zeros(n, dtype=np.uint64)
     for c, coef in PROG_F_TERMS:
         f_trace = (f_trace + padded[:, c].astype(np.uint64) * coef) % P
-    w_r, w_i = tuple_vals(padded[:, COL_PC_LO], padded[:, COL_PC_HI],
-                          f_trace, padded[:, COL_IMM_LO])
-    t_r, t_i = tuple_vals(prog_cols[0], prog_cols[1],
-                          prog_cols[2].astype(np.uint64),
-                          prog_cols[3])
-    m = padded[:, COL_PROG_M].astype(np.uint64)
 
-    dr = np.concatenate([(beta[0] - w_r.astype(np.int64)) % P,
-                         (beta[0] - t_r.astype(np.int64)) % P])
-    di = np.concatenate([(beta[1] - w_i.astype(np.int64)) % P,
-                         (beta[1] - t_i.astype(np.int64)) % P])
-    norm = (dr * dr + di * di) % P
-    ninv = np.asarray(m31_batch_inv(
-        jnp.asarray(norm.astype(np.uint32)))).astype(np.uint64)
-    inv_r = (dr.astype(np.uint64) * ninv) % P
-    inv_i = ((P - di.astype(np.uint64)) % P * ninv) % P
-    term_r = (inv_r[:n] + (P - (m * inv_r[n:]) % P)) % P
-    term_i = (inv_i[:n] + (P - (m * inv_i[n:]) % P)) % P
-    cum_r = np.cumsum(term_r.astype(np.int64)) % P
-    cum_i = np.cumsum(term_i.astype(np.int64)) % P
-    s_r = np.zeros(n, dtype=np.uint32)
-    s_i = np.zeros(n, dtype=np.uint32)
-    s_r[1:] = cum_r[:-1].astype(np.uint32)
-    s_i[1:] = cum_i[:-1].astype(np.uint32)
-    return s_r, s_i
+    def compress(pc_lo, pc_hi, f, imm):
+        comps = [jnp.asarray(np.asarray(pc_lo, dtype=np.uint32))]
+        acc = [comps[0], jnp.zeros(n, jnp.uint32),
+               jnp.zeros(n, jnp.uint32), jnp.zeros(n, jnp.uint32)]
+        from ..ops.field_ops import m31_add as ja, m31_mul as jm
+        for vals, pw in ((pc_hi, gamma), (f, g2), (imm, g3)):
+            v = jnp.asarray((np.asarray(vals, dtype=np.uint64) % P)
+                            .astype(np.uint32))
+            for k in range(4):
+                if pw[k] % P:
+                    acc[k] = ja(acc[k], jm(v, jnp.uint32(pw[k] % P)))
+        return tuple(acc)
+
+    w4 = compress(padded[:, COL_PC_LO], padded[:, COL_PC_HI],
+                  f_trace, padded[:, COL_IMM_LO])
+    t4 = compress(prog_cols[0], prog_cols[1], prog_cols[2], prog_cols[3])
+    m = jnp.asarray(padded[:, COL_PROG_M])
+    one = jnp.ones(n, jnp.uint32)
+    # term = 1/(beta - w) - m/(beta - t): the memory kernel's shape.
+    (s4, _f4) = _memory_partial_sum_kernel(
+        _beta_minus(beta, w4), _beta_minus(beta, t4), one, m)
+    return s4
 
 
 @jax.jit
@@ -727,14 +919,18 @@ def _combine_kernel(ar, ai, pw_r, pw_i):
 
 
 def _combine(ext_r, ext_i, extra_cols, alpha):
-    """sum_i alpha^i col_i + sum_j alpha^(n_cols+j) extra_j over CM31."""
+    """sum_i alpha^i col_i + sum_j alpha^(n_cols+j) extra_j with a QM31
+    alpha over CM31-valued committed columns: the result is QM31 — its
+    a/b coordinates are each one run of the CM31 combine kernel."""
+    from ..ops.qm31 import qm31_mul_scalar
+
     n_cols = ext_r.shape[0]
     n_total = n_cols + len(extra_cols)
-    pw = np.zeros((n_total, 2), dtype=np.uint32)
-    power = (1, 0)
+    pw = np.zeros((n_total, 4), dtype=np.uint32)
+    power = (1, 0, 0, 0)
     for k in range(n_total):
         pw[k] = power
-        power = cm31_mul_scalar(power, alpha)
+        power = qm31_mul_scalar(power, alpha)
     if extra_cols:
         ar = jnp.concatenate(
             [ext_r, jnp.stack([c[0] for c in extra_cols])], axis=0)
@@ -742,9 +938,21 @@ def _combine(ext_r, ext_i, extra_cols, alpha):
             [ext_i, jnp.stack([c[1] for c in extra_cols])], axis=0)
     else:
         ar, ai = ext_r, ext_i
-    return _combine_kernel(ar, ai, jnp.asarray(pw[:, 0]),
-                           jnp.asarray(pw[:, 1]))
+    a_part = _combine_kernel(ar, ai, jnp.asarray(pw[:, 0]),
+                             jnp.asarray(pw[:, 1]))
+    b_part = _combine_kernel(ar, ai, jnp.asarray(pw[:, 2]),
+                             jnp.asarray(pw[:, 3]))
+    return (a_part[0], a_part[1], b_part[0], b_part[1])
 
+
+
+def _interleave_rows(ext_r, ext_i):
+    """[C, N] CM31 column evals -> committed rows [N, 2C] with the
+    (re_c, im_c) pairs INTERLEAVED — so a column-streaming commit
+    (ops/merkle.RowSponge) absorbs each block's contribution in row
+    order and produces the same root as the one-shot path."""
+    return jnp.stack([ext_r.T, ext_i.T], axis=2).reshape(
+        ext_r.shape[1], -1)
 
 def _open_rows(committed_np, levels, indices):
     """``committed_np``: a full [N, w] host array OR a {row_index: row}
@@ -876,7 +1084,7 @@ def prove_trace(matrix: np.ndarray,
         ext_r = jnp.asarray(ck["ext_r"])
         ext_i = jnp.asarray(ck["ext_i"])
         levels1 = ck["levels1"]
-        trace_rows = jnp.concatenate([ext_r.T, ext_i.T], axis=1)
+        trace_rows = _interleave_rows(ext_r, ext_i)
     else:
         cols_r = jnp.asarray(padded.T)
         cols_i = jnp.zeros_like(cols_r)
@@ -908,7 +1116,7 @@ def prove_trace(matrix: np.ndarray,
             ext_r = jax.device_put(ext_r.T, row_sharding).T
             ext_i = jax.device_put(ext_i.T, row_sharding).T
 
-        trace_rows = jnp.concatenate([ext_r.T, ext_i.T], axis=1)
+        trace_rows = _interleave_rows(ext_r, ext_i)
         levels1 = merkle.to_host(
             merkle.build_tree(merkle.hash_rows(trace_rows)))
         if store is not None:
@@ -928,55 +1136,91 @@ def prove_trace(matrix: np.ndarray,
         challenger.observe(entry_point)
         challenger.observe(len(code_words))
     io_inputs = io_outputs = None
+    crypto_tape = None
     if range_lookup:
-        # The claimed public I/O tapes enter the transcript before the
-        # beta/delta draws (Fiat-Shamir binding of the io channel).
+        # The claimed public I/O and crypto tapes enter the transcript
+        # before the beta/delta draws (Fiat-Shamir binding).
         io_inputs, io_outputs = extract_io(padded)
         _observe_io(challenger, io_inputs, io_outputs)
+        crypto_tape = extract_crypto_tape(padded)
+        _observe_crypto(challenger, crypto_tape)
 
     # Phase 1.5 (lookup only): beta challenge -> partial-sum columns.
-    # Sums-column layout: NUM_LOOKUP channel sums, NUM_AUX aux-table
-    # channel sums, the memory multiset sum, then (if program-bound) the
-    # program sum.
+    # All challenges are QM31 (ops/qm31.py).  Sums-column layout (QM31
+    # values, committed as 2*n_sums CM31 columns: a-parts 0..n_sums-1,
+    # b-parts n_sums..2*n_sums-1): NUM_LOOKUP channel sums, NUM_AUX
+    # aux-table channel sums, the memory multiset S and F, the io S and
+    # F, then (if program-bound) the program sum.
     lookup = None
     aux_args = None
     memory_args = None
     io_args = None
+    crypto_args = None
     program_args = None
     levels_s = None
     s_rows = None
+    from .constraints import N_CR_SUMS, N_SLOTS
+
+    n_sums = (NUM_LOOKUP + NUM_AUX + 4 + N_CR_SUMS
+              + (1 if program is not None else 0)) if range_lookup else 0
+    # End-to-end soundness floor: the QM31 batching/DEEP term must also
+    # clear min_security (round 3's CM31 draws silently capped large
+    # traces at 29 bits; see FriConfig.security_bits).
+    total_terms = n_cols + 2 * n_sums + 4
+    if fri_config.security_bits(log_big, total_terms) \
+            < fri_config.min_security:
+        raise ValueError(
+            f"end-to-end soundness {fri_config.security_bits(log_big, total_terms)}"
+            f" bits < min_security={fri_config.min_security} for "
+            f"log_n={log_n} with {total_terms} batched terms")
     if range_lookup:
-        beta = challenger.sample_cm31()
-        gamma = challenger.sample_cm31() if prog is not None else None
-        delta = challenger.sample_cm31()
-        eta = challenger.sample_cm31()
+        beta = challenger.sample_qm31()
+        gamma = challenger.sample_qm31() if prog is not None else None
+        delta = challenger.sample_qm31()
+        eta = challenger.sample_qm31()
         ck = store.load("sums") if store is not None else None
         if ck is not None:
             s_ext_r = jnp.asarray(ck["s_ext_r"])
             s_ext_i = jnp.asarray(ck["s_ext_i"])
             levels_s = ck["levels_s"]
-            s_rows = jnp.concatenate([s_ext_r.T, s_ext_i.T], axis=1)
+            s_rows = _interleave_rows(s_ext_r, s_ext_i)
         else:
-            s_r, s_i = _build_partial_sums(padded, beta)
-            sa_r, sa_i = _build_aux_partial_sums(padded, aux_pre["cols"],
-                                                 beta, eta)
-            (sm_r, sm_i), (fm_r, fm_i) = _memory_partial_sum(padded, beta,
-                                                             delta)
-            (si_r, si_i), (fi_r, fi_i) = _io_partial_sum(padded, beta,
-                                                         delta)
-            s_r = np.concatenate([s_r, sa_r, sm_r[None, :], fm_r[None, :],
-                                  si_r[None, :], fi_r[None, :]], axis=0)
-            s_i = np.concatenate([s_i, sa_i, sm_i[None, :], fm_i[None, :],
-                                  si_i[None, :], fi_i[None, :]], axis=0)
+            s_chan = _build_partial_sums(padded, beta)
+            s_aux = _build_aux_partial_sums(padded, aux_pre["cols"],
+                                            beta, eta)
+            slot_inv4 = _crypto_slot_inverses(padded, beta, delta)
+            sm4, fm4 = _memory_partial_sum(padded, beta, delta)
+            # The memory F column carries the crypto-slot demands too
+            # (constraints.memory_multiset slot_sum); fold them in and
+            # rebuild its exclusive prefix sums.
+            from ..ops.qm31 import qm31_add as _qadd
+            slot_total = tuple(
+                (c.astype(jnp.int64).sum(axis=0)
+                 % M31_PRIME).astype(jnp.uint32)
+                for c in slot_inv4)
+            fm4 = _qadd(fm4, slot_total)
+            sm4 = _exclusive_cumsum4(fm4)
+            si4, fi4 = _io_partial_sum(padded, beta, delta)
+            scr4, fcr4 = _crypto_tape_partial_sum(padded, beta, delta)
+            groups = [s_chan, s_aux,
+                      tuple(c[None, :] for c in sm4),
+                      tuple(c[None, :] for c in fm4),
+                      tuple(c[None, :] for c in si4),
+                      tuple(c[None, :] for c in fi4),
+                      slot_inv4,
+                      tuple(c[None, :] for c in scr4),
+                      tuple(c[None, :] for c in fcr4)]
             if prog is not None:
-                sp_r, sp_i = _program_partial_sum(padded, prog["cols"],
-                                                  beta, gamma)
-                s_r = np.concatenate([s_r, sp_r[None, :]], axis=0)
-                s_i = np.concatenate([s_i, sp_i[None, :]], axis=0)
-            s_ext_r, s_ext_i = lde(jnp.asarray(s_r), jnp.asarray(s_i),
-                                   log_n, fri_config.log_blowup,
-                                   shift=shift)
-            s_rows = jnp.concatenate([s_ext_r.T, s_ext_i.T], axis=1)
+                sp4 = _program_partial_sum(padded, prog["cols"],
+                                           beta, gamma)
+                groups.append(tuple(c[None, :] for c in sp4))
+            comp = [jnp.concatenate([g[k] for g in groups], axis=0)
+                    for k in range(4)]            # [n_sums, n] x 4
+            s_r = jnp.concatenate([comp[0], comp[2]], axis=0)
+            s_i = jnp.concatenate([comp[1], comp[3]], axis=0)
+            s_ext_r, s_ext_i = lde(s_r, s_i, log_n,
+                                   fri_config.log_blowup, shift=shift)
+            s_rows = _interleave_rows(s_ext_r, s_ext_i)
             levels_s = merkle.to_host(
                 merkle.build_tree(merkle.hash_rows(s_rows)))
             if store is not None:
@@ -985,44 +1229,53 @@ def prove_trace(matrix: np.ndarray,
                                     "levels_s": levels_s})
         root_s = merkle.root(levels_s)
         challenger.observe_many(int(x) for x in root_s)
-        lookup = ((s_ext_r[:NUM_LOOKUP], s_ext_i[:NUM_LOOKUP]), beta)
+
+        def sq(lo, hi=None):
+            """QM31 view of sums columns [lo, hi) (or a single one)."""
+            if hi is None:
+                return (s_ext_r[lo], s_ext_i[lo],
+                        s_ext_r[n_sums + lo], s_ext_i[n_sums + lo])
+            return (s_ext_r[lo:hi], s_ext_i[lo:hi],
+                    s_ext_r[n_sums + lo:n_sums + hi],
+                    s_ext_i[n_sums + lo:n_sums + hi])
+
+        lookup = (sq(0, NUM_LOOKUP), beta)
         aux_args = (aux_pre["ext"],
-                    (s_ext_r[NUM_LOOKUP:NUM_LOOKUP + NUM_AUX],
-                     s_ext_i[NUM_LOOKUP:NUM_LOOKUP + NUM_AUX]), eta)
+                    sq(NUM_LOOKUP, NUM_LOOKUP + NUM_AUX), eta)
         i_mem = NUM_LOOKUP + NUM_AUX
         d_init = memory_init_demand(program, beta, delta)
-        memory_args = (((s_ext_r[i_mem], s_ext_i[i_mem]),
-                        (s_ext_r[i_mem + 1], s_ext_i[i_mem + 1])),
-                       delta, d_init)
+        memory_args = ((sq(i_mem), sq(i_mem + 1)), delta, d_init)
         d_io = io_tape_demand(io_inputs, io_outputs, beta, delta)
-        io_args = (((s_ext_r[i_mem + 2], s_ext_i[i_mem + 2]),
-                    (s_ext_r[i_mem + 3], s_ext_i[i_mem + 3])),
-                   delta, d_io)
+        io_args = ((sq(i_mem + 2), sq(i_mem + 3)), delta, d_io)
+        i_cr = i_mem + 4
+        d_cr = crypto_tape_demand(crypto_tape, beta, delta)
+        crypto_args = ((sq(i_cr, i_cr + N_SLOTS), sq(i_cr + N_SLOTS),
+                        sq(i_cr + N_SLOTS + 1)), delta, d_cr)
         if prog is not None:
-            program_args = (prog["ext"],
-                            (s_ext_r[i_mem + 4], s_ext_i[i_mem + 4]),
-                            gamma, entry_point)
+            program_args = (prog["ext"], sq(i_cr + N_CR_SUMS), gamma,
+                            entry_point)
 
-    alpha_c = challenger.sample_cm31()
+    alpha_c = challenger.sample_qm31()
 
-    # Phase 2: quotient, split into degree-< n chunks
+    # Phase 2: quotient (QM31-valued), split into degree-< n chunks
     # Q(x) = Q0(x) + x^n Q1(x) (Plonky3-style quotient chunking: keeps
     # every committed column at the same FRI degree bound while allowing
-    # constraints up to degree 3).  Stage-checkpointed as "quotient".
+    # constraints up to degree 3).  Each QM31 chunk is committed as two
+    # CM31 coordinate columns (a + b*u), so q_rows is [N, 8].
+    # Stage-checkpointed as "quotient".
     n_rows = 1 << log_n
     ck = store.load("quotient") if store is not None else None
     if ck is not None:
-        q_chunks = [(jnp.asarray(ck["q0r"]), jnp.asarray(ck["q0i"])),
-                    (jnp.asarray(ck["q1r"]), jnp.asarray(ck["q1i"]))]
+        q_cm_cols = [(jnp.asarray(ck[f"q{k}r"]), jnp.asarray(ck[f"q{k}i"]))
+                     for k in range(4)]
         levels2 = ck["levels2"]
-        q_rows = jnp.stack([q_chunks[0][0], q_chunks[0][1],
-                            q_chunks[1][0], q_chunks[1][1]], axis=1)
     else:
         q = quotient_evals(ext_r, ext_i, log_n, fri_config.log_blowup,
                            shift, alpha_c, lookup=lookup, aux=aux_args,
                            program=program_args, memory=memory_args,
-                           io=io_args)
-        qc_r, qc_i = coset_intt(q[0], q[1], log_big, shift=shift)
+                           io=io_args, crypto=crypto_args)
+        q_coef = [coset_intt(q[0], q[1], log_big, shift=shift),
+                  coset_intt(q[2], q[3], log_big, shift=shift)]
         if selfcheck:
             # Completeness self-check: Q is a polynomial of degree < 2n
             # iff every constraint divides cleanly.  The chunking below
@@ -1030,37 +1283,41 @@ def prove_trace(matrix: np.ndarray,
             # constraint would otherwise ship as a "proof" that only
             # fails at the verifier's pointwise check.  Catch it here,
             # at prove time, with a name.
-            hi_r = np.asarray(qc_r[2 * n_rows:])
-            hi_i = np.asarray(qc_i[2 * n_rows:])
-            if hi_r.any() or hi_i.any():
+            bad = any(
+                np.asarray(c[2 * n_rows:]).any()
+                for pair in q_coef for c in pair)
+            if bad:
                 from .constraints import diagnose_violations
                 detail = diagnose_violations(
                     ext_r, ext_i, log_n, fri_config.log_blowup, shift,
                     lookup=lookup, aux=aux_args, program=program_args,
-                    memory=memory_args, io=io_args)
+                    memory=memory_args, io=io_args, crypto=crypto_args)
                 raise ConstraintViolation(
                     "trace violates the constraint system (quotient has "
                     f"degree >= 2n): {detail}")
-        q_chunks = []
+        # CM31 coordinate columns in batch order:
+        # (chunk0_a, chunk0_b, chunk1_a, chunk1_b).
+        q_cm_cols = []
         for j in range(2):
-            cr = jnp.zeros(big, dtype=jnp.uint32).at[:n_rows].set(
-                qc_r[j * n_rows:(j + 1) * n_rows])
-            ci = jnp.zeros(big, dtype=jnp.uint32).at[:n_rows].set(
-                qc_i[j * n_rows:(j + 1) * n_rows])
-            q_chunks.append(coset_ntt(cr, ci, log_big, shift=shift))
-        q_rows = jnp.stack([q_chunks[0][0], q_chunks[0][1],
-                            q_chunks[1][0], q_chunks[1][1]], axis=1)
+            for coord in range(2):
+                cr = jnp.zeros(big, dtype=jnp.uint32).at[:n_rows].set(
+                    q_coef[coord][0][j * n_rows:(j + 1) * n_rows])
+                ci = jnp.zeros(big, dtype=jnp.uint32).at[:n_rows].set(
+                    q_coef[coord][1][j * n_rows:(j + 1) * n_rows])
+                q_cm_cols.append(coset_ntt(cr, ci, log_big, shift=shift))
+    q_rows = jnp.stack(
+        [c for pair in q_cm_cols for c in pair], axis=1)   # [N, 8]
+    if ck is None:
         levels2 = merkle.to_host(merkle.build_tree(merkle.hash_rows(q_rows)))
         if store is not None:
-            store.save("quotient", {
-                "q0r": np.asarray(q_chunks[0][0]),
-                "q0i": np.asarray(q_chunks[0][1]),
-                "q1r": np.asarray(q_chunks[1][0]),
-                "q1i": np.asarray(q_chunks[1][1]),
-                "levels2": levels2})
+            save = {"levels2": levels2}
+            for k in range(4):
+                save[f"q{k}r"] = np.asarray(q_cm_cols[k][0])
+                save[f"q{k}i"] = np.asarray(q_cm_cols[k][1])
+            store.save("quotient", save)
     root2 = merkle.root(levels2)
     challenger.observe_many(int(x) for x in root2)
-    alpha_b = challenger.sample_cm31()
+    alpha_b = challenger.sample_qm31()
 
     # FRI (stage-checkpointed as "fri"; the challenger is not consulted
     # after fri_prove, so a loaded proof needs no transcript replay).
@@ -1072,9 +1329,9 @@ def prove_trace(matrix: np.ndarray,
         if range_lookup:
             extra_cols += [(s_ext_r[k], s_ext_i[k])
                            for k in range(s_ext_r.shape[0])]
-        extra_cols += q_chunks
-        batch_r, batch_i = _combine(ext_r, ext_i, extra_cols, alpha_b)
-        fri_proof = fri_prove(batch_r, batch_i, log_big, challenger,
+        extra_cols += q_cm_cols
+        batch4 = _combine(ext_r, ext_i, extra_cols, alpha_b)
+        fri_proof = fri_prove(batch4, log_big, challenger,
                               fri_config, shift=shift)
         if store is not None:
             store.save("fri", fri_proof)
@@ -1127,6 +1384,7 @@ def prove_trace(matrix: np.ndarray,
     if range_lookup:
         out["sums_root"] = [int(x) for x in merkle.root(levels_s)]
         out["io"] = {"inputs": io_inputs, "outputs": io_outputs}
+        out["crypto"] = crypto_tape
     if prog is not None:
         out["program"] = {
             "root": prog["root"],
@@ -1186,23 +1444,30 @@ def verify_trace(proof: Dict[str, Any], program=None) -> bool:
     gamma = None
     delta = None
     eta = None
-    n_sums = (NUM_LOOKUP + NUM_AUX + 4      # channels + mem S/F + io S/F
+    from .constraints import N_CR_SUMS
+
+    n_sums = (NUM_LOOKUP + NUM_AUX + 4 + N_CR_SUMS
               + (1 if prog_pub is not None else 0))
-    d_init = (0, 0)
-    d_io = (0, 0)
+    d_init = (0, 0, 0, 0)
+    d_io = (0, 0, 0, 0)
+    d_cr = (0, 0, 0, 0)
     io_pub = proof.get("io")
+    crypto_pub = proof.get("crypto")
     if range_lookup:
         if (not isinstance(io_pub, dict) or "inputs" not in io_pub
                 or "outputs" not in io_pub):
             return False
+        if not isinstance(crypto_pub, list):
+            return False
         io_inputs = [int(v) for v in io_pub["inputs"]]
         io_outputs = [int(v) for v in io_pub["outputs"]]
         _observe_io(challenger, io_inputs, io_outputs)
-        beta = challenger.sample_cm31()
+        _observe_crypto(challenger, crypto_pub)
+        beta = challenger.sample_qm31()
         if prog_pub is not None:
-            gamma = challenger.sample_cm31()
-        delta = challenger.sample_cm31()
-        eta = challenger.sample_cm31()
+            gamma = challenger.sample_qm31()
+        delta = challenger.sample_qm31()
+        eta = challenger.sample_qm31()
         challenger.observe_many(int(x) for x in proof["sums_root"])
         # The public init demand: recomputed from the PUBLIC program when
         # given (sound binding); absent one, a program-bound proof's
@@ -1212,9 +1477,14 @@ def verify_trace(proof: Dict[str, Any], program=None) -> bool:
         # The public I/O demand: recomputed from the proof's CLAIMED
         # tapes — an accepted proof attests exactly these tapes.
         d_io = io_tape_demand(io_inputs, io_outputs, beta, delta)
-    alpha_c = challenger.sample_cm31()
+        # The crypto demand: each claimed entry's digest is RECOMPUTED
+        # from its claimed input bytes — a forged digest cannot match.
+        d_cr = crypto_tape_demand(crypto_pub, beta, delta)
+        if d_cr is None:
+            return False
+    alpha_c = challenger.sample_qm31()
     challenger.observe_many(int(x) for x in proof["quotient_root"])
-    alpha_b = challenger.sample_cm31()
+    alpha_b = challenger.sample_qm31()
 
     if tuple(fri_proof.get("shift", (1, 0))) != tuple(shift):
         return False
@@ -1254,14 +1524,16 @@ def verify_trace(proof: Dict[str, Any], program=None) -> bool:
         needed = {k, (k + blowup) % big, k + half, (k + half + blowup) % big}
         for j in needed:
             row = check_opening(opening["trace"], trace_root, j, 2 * n_cols)
-            qrow = check_opening(opening["quotient"], q_root, j, 4)
+            qrow = check_opening(opening["quotient"], q_root, j, 8)
             if row is None or qrow is None:
                 return False
             rows[j] = row
-            q_vals[j] = ((qrow[0], qrow[1]), (qrow[2], qrow[3]))
+            # QM31 chunks: (chunk0_a, chunk0_b, chunk1_a, chunk1_b)
+            # CM31 coordinate pairs in q_rows order.
+            q_vals[j] = (tuple(qrow[0:4]), tuple(qrow[4:8]))
             if range_lookup:
                 srow = check_opening(opening["sums"], s_root, j,
-                                     2 * n_sums)
+                                     4 * n_sums)
                 if srow is None:
                     return False
                 s_vals[j] = srow
@@ -1278,25 +1550,32 @@ def verify_trace(proof: Dict[str, Any], program=None) -> bool:
 
         for j, fri_value in ((k, tuple(steps[0]["lo"])),
                              (k + half, tuple(steps[0]["hi"]))):
-            # 1. Batch combination binds FRI layer 0 to the commitments.
-            acc = (0, 0)
-            power = (1, 0)
+            from ..ops.qm31 import qm31_add_scalar, \
+                qm31_mul_cm31_scalar, qm31_mul_scalar
+
+            # 1. Batch combination binds FRI layer 0 to the commitments:
+            # every committed CM31 column (trace, 2*n_sums sums
+            # coordinates, 4 quotient coordinates) times successive QM31
+            # alpha_b powers.
+            acc = (0, 0, 0, 0)
+            power = (1, 0, 0, 0)
             row = rows[j]
+
+            def _absorb(cm_col, acc, power):
+                term = qm31_mul_cm31_scalar(power, cm_col)
+                return (qm31_add_scalar(acc, term),
+                        qm31_mul_scalar(power, alpha_b))
+
             for c in range(n_cols):
-                col = (row[c], row[n_cols + c])
-                term = cm31_mul_scalar(col, power)
-                acc = ((acc[0] + term[0]) % P, (acc[1] + term[1]) % P)
-                power = cm31_mul_scalar(power, alpha_b)
+                acc, power = _absorb((row[2 * c], row[2 * c + 1]),
+                                     acc, power)
             if range_lookup:
-                for kk in range(n_sums):
-                    s_col = (s_vals[j][kk], s_vals[j][n_sums + kk])
-                    sterm = cm31_mul_scalar(s_col, power)
-                    acc = ((acc[0] + sterm[0]) % P, (acc[1] + sterm[1]) % P)
-                    power = cm31_mul_scalar(power, alpha_b)
+                for kk in range(2 * n_sums):
+                    s_col = (s_vals[j][2 * kk], s_vals[j][2 * kk + 1])
+                    acc, power = _absorb(s_col, acc, power)
             for qchunk in q_vals[j]:
-                qterm = cm31_mul_scalar(qchunk, power)
-                acc = ((acc[0] + qterm[0]) % P, (acc[1] + qterm[1]) % P)
-                power = cm31_mul_scalar(power, alpha_b)
+                acc, power = _absorb((qchunk[0], qchunk[1]), acc, power)
+                acc, power = _absorb((qchunk[2], qchunk[3]), acc, power)
             if acc != fri_value:
                 return False
 
@@ -1307,24 +1586,26 @@ def verify_trace(proof: Dict[str, Any], program=None) -> bool:
             aux_args = None
             memory_args = None
             io_args = None
+            crypto_args = None
             program_args = None
             if range_lookup:
                 lookup_args = (s_vals[j], s_vals[jn], beta)
                 aux_args = (a_vals[j], eta)
                 memory_args = (delta, d_init)
                 io_args = (delta, d_io)
+                crypto_args = (delta, d_cr)
             if prog_pub is not None:
                 program_args = (p_vals[j], gamma, int(prog_pub["entry"]))
             expected_q = quotient_value_at(
                 rows[j], rows[jn], n_cols, j, log_n, config.log_blowup,
                 shift, alpha_c, lookup=lookup_args, aux=aux_args,
-                program=program_args, memory=memory_args, io=io_args)
+                program=program_args, memory=memory_args, io=io_args,
+                crypto=crypto_args)
             x = cm31_mul_scalar(
                 shift, cm31_pow_scalar(root_of_unity(log_big), j))
             xn = cm31_pow_scalar(x, 1 << log_n)
-            q_at = cm31_mul_scalar(q_vals[j][1], xn)
-            q_at = ((q_vals[j][0][0] + q_at[0]) % P,
-                    (q_vals[j][0][1] + q_at[1]) % P)
+            q_at = qm31_add_scalar(
+                q_vals[j][0], qm31_mul_cm31_scalar(q_vals[j][1], xn))
             if q_at != expected_q:
                 return False
 

