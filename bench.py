@@ -181,30 +181,10 @@ def bench_prove(log_rows=13):
     """End-to-end prove throughput (trace rows/s): a real executed
     2^log_rows-cycle trace, proven with the production FriConfig
     (range lookup + memory argument + PoW grinding), verified once."""
-    import numpy as np
+    from zkir_tpu.prover import FriConfig, prove_trace, verify_trace
+    from zkir_tpu.prover.benchtrace import exact_trace_matrix
 
-    from zkir_tpu.interp import InterpConfig, TpuInterpreter
-    from zkir_tpu.prover import FriConfig, prove_trace, trace_to_matrix, \
-        verify_trace
-    from zkir_tpu.spec import Instruction, Op, Program
-
-    iters = ((1 << log_rows) - 4) // 4
-    program = Program.from_instructions([
-        Instruction(Op.ADDI, rd=6, rs1=0, imm=min(iters, 1 << 16)),
-        Instruction(Op.ADDI, rd=1, rs1=0, imm=0),
-        Instruction(Op.ADD, rd=3, rs1=3, rs2=2),
-        Instruction(Op.XOR, rd=4, rs1=3, rs2=1),
-        Instruction(Op.ADDI, rd=1, rs1=1, imm=1),
-        Instruction(Op.BNE, rs1=1, rs2=6, imm=-12),
-        Instruction(Op.EBREAK),
-    ])
-    interp = TpuInterpreter(program, InterpConfig(
-        lanes=1, chunk=1024, collect_trace=True))
-    result = interp.run([[]], max_cycles=(1 << (log_rows + 1)))
-    matrix = trace_to_matrix(result["trace"])
-    n = 1 << log_rows
-    if matrix.shape[0] > n:
-        matrix = np.concatenate([matrix[: n - 1], matrix[-1:]], axis=0)
+    matrix = exact_trace_matrix(log_rows)
 
     cfg = FriConfig()  # production defaults: 32 queries + 16 grinding bits
     prove_trace(matrix, cfg, range_lookup=True)  # warm the kernels

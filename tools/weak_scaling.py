@@ -46,26 +46,10 @@ CFG = FriConfig(log_blowup=2, log_final=3, num_queries=4,
 
 
 def make_matrix(log_rows: int) -> np.ndarray:
-    """A real executed trace of ~2^log_rows cycles (counted loop)."""
-    iters = ((1 << log_rows) - 4) // 4
-    program = Program.from_instructions([
-        Instruction(Op.ADDI, rd=6, rs1=0, imm=min(iters, 1 << 16)),
-        Instruction(Op.ADDI, rd=1, rs1=0, imm=0),
-        Instruction(Op.ADD, rd=3, rs1=3, rs2=2),
-        Instruction(Op.XOR, rd=4, rs1=3, rs2=1),
-        Instruction(Op.ADDI, rd=1, rs1=1, imm=1),
-        Instruction(Op.BNE, rs1=1, rs2=6, imm=-12),
-        Instruction(Op.EBREAK),
-    ])
-    interp = TpuInterpreter(program, InterpConfig(
-        lanes=1, chunk=1024, collect_trace=True))
-    result = interp.run([[]], max_cycles=(1 << (log_rows + 1)))
-    m = trace_to_matrix(result["trace"])
-    # trim to exactly 2^log_rows rows, keeping the halt row last
-    n = 1 << log_rows
-    if m.shape[0] > n:
-        m = np.concatenate([m[: n - 1], m[-1:]], axis=0)
-    return m
+    """A real executed trace of exactly 2^log_rows cycles."""
+    from zkir_tpu.prover.benchtrace import exact_trace_matrix
+
+    return exact_trace_matrix(log_rows)
 
 
 def time_prove(matrix, mesh, trials):

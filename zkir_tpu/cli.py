@@ -101,6 +101,31 @@ def cmd_prove(args) -> int:
     return 0
 
 
+def cmd_warm(args) -> int:
+    """Pre-populate the persistent XLA kernel cache for a prove shape:
+    run one full prove of a synthetic trace of the given size.  A cold
+    machine pays the quotient sub-kernel compiles here, in parallel;
+    every later prove of any 2^log-rows trace starts in seconds."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      args.cache_dir or "/tmp/zkir_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import time
+
+    from .prover import FriConfig, prove_trace, verify_trace
+    from .prover.benchtrace import exact_trace_matrix
+
+    t0 = time.perf_counter()
+    matrix = exact_trace_matrix(args.log_rows)
+    proof = prove_trace(matrix, FriConfig(), range_lookup=True)
+    assert verify_trace(proof)
+    print(f"warmed prove kernels for 2^{args.log_rows} rows in "
+          f"{time.perf_counter() - t0:.1f}s (cache: "
+          f"{args.cache_dir or '/tmp/zkir_jax_cache'})")
+    return 0
+
+
 def cmd_verify(args) -> int:
     from .prover import verify_trace
     from .prover.fri import FriConfig
@@ -157,6 +182,12 @@ def main(argv=None) -> int:
                         "completed stages (bit-identical proof)")
     p.add_argument("-o", "--output")
     p.set_defaults(fn=cmd_prove)
+
+    p = sub.add_parser("warm", help="pre-compile prover kernels for a "
+                                    "trace size (persistent cache)")
+    p.add_argument("--log-rows", type=int, default=13)
+    p.add_argument("--cache-dir")
+    p.set_defaults(fn=cmd_warm)
 
     p = sub.add_parser("verify", help="verify a proof")
     p.add_argument("proof")

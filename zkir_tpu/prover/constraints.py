@@ -2140,7 +2140,9 @@ def quotient_evals(ext_r, ext_i, log_n: int, log_blowup: int,
                    cr_sums=cr_sums)
         terms = quotient_terms(A, lookup=lk, aux=ak, memory=mk,
                                program=pk, io=ik, crypto=ck)
-        return _accumulate_quotient(A, terms, alpha, dinv)
+        return _accumulate_quotient(A, terms,
+                                    _alpha_powers_np(alpha, len(terms)),
+                                    dinv)
 
     # Challenge scalars enter the kernel TRACED (0-d uint32 4-tuples), so
     # the compiled program is reused across proofs — the XLA executable
@@ -2159,33 +2161,283 @@ def quotient_evals(ext_r, ext_i, log_n: int, log_blowup: int,
         pk_t = (s(beta_p), s(gamma_p),
                 (jnp.asarray(entry_p & ((1 << 20) - 1), jnp.uint32),
                  jnp.asarray((entry_p >> 20) & ((1 << 20) - 1), jnp.uint32)))
-    return _quotient_kernel(
-        ext_r, ext_i, log_blowup, dinv, s(alpha), chan_sums, aux_ext,
+    n_parts = _quotient_parts()
+    if n_parts <= 1:
+        meta = _term_meta(lk is not None, ak is not None, mk is not None,
+                          ik is not None, ck is not None, pk is not None)
+        pw_np = _alpha_powers_np(alpha, len(meta))
+        return _quotient_kernel(
+            ext_r, ext_i, log_blowup, dinv, jnp.asarray(pw_np), chan_sums,
+            aux_ext, aux_sums, mem_sum, io_sum, prog_ext, prog_sum,
+            cr_sums, lk_t, ak_t, mk_t, ik_t, ck_t, pk_t)
+    return _quotient_parts_eval(
+        ext_r, ext_i, log_blowup, dinv, alpha, chan_sums, aux_ext,
         aux_sums, mem_sum, io_sum, prog_ext, prog_sum, cr_sums, lk_t,
-        ak_t, mk_t, ik_t, ck_t, pk_t)
+        ak_t, mk_t, ik_t, ck_t, pk_t, n_parts)
 
 
-def _accumulate_quotient(A: VecAlg, terms, alpha, dinv):
-    """sum_j alpha^j C_j / D_j with QM31 alpha over mixed CM31 (len-2)
-    and QM31 (len-4) term values; divisors are grouped per tag and
-    divided once.  Returns a QM31 4-tuple of [N] vectors."""
-    from ..ops.qm31 import qm31_mul_scalar
+def _quotient_parts() -> int:
+    """Sub-kernel count for the jitted quotient (ZKIR_QUOTIENT_PARTS).
+    Default 12: the term graph is traced ONCE and jaxpr-level DCE cuts
+    each part's program to ~1/n_parts before lowering, so a cold
+    machine pays a dozen small parallel compiles (cached persistently)
+    instead of the monolithic kernel's ~hour; a warm prove costs
+    n_parts dispatches."""
+    import os
 
+    env = os.environ.get("ZKIR_QUOTIENT_PARTS")
+    if env is not None:
+        return max(1, int(env))
+    return 12
+
+
+class _AccAlg:
+    """Minimal algebra for _accumulate_quotient over pre-computed term
+    values (the DCE-part path)."""
+
+    def __init__(self, big):
+        self.big = big
+
+    qadd = staticmethod(VecAlg.qadd)
+    qmul_c = staticmethod(VecAlg.qmul_c)
+
+
+_TERM_GRAPH_CACHE: dict = {}
+
+
+def _quotient_parts_eval(ext_r, ext_i, log_blowup, dinv, alpha, chan_sums,
+                         aux_ext, aux_sums, mem_sum, io_sum, prog_ext,
+                         prog_sum, cr_sums, lk, ak, mk, ik, ck, pk,
+                         n_parts: int):
+    """The jitted quotient as n_parts DCE-pruned sub-kernels.
+
+    The whole term graph is traced ONCE per shape signature
+    (jax.make_jaxpr); each part then DCEs the jaxpr down to its term
+    range BEFORE lowering (pe.dce_jaxpr), so part compiles are small
+    and run in parallel threads.  Equal by construction to the
+    monolithic kernel: same terms, same powers, mod-p sums reordered
+    only across parts (field addition is exact)."""
+    import concurrent.futures as _f
+
+    from jax._src.interpreters import partial_eval as _pe
+    from jax.extend import core as _xcore
+
+    from ..ops.qm31 import qm31_add
+
+    features = (lk is not None, ak is not None, mk is not None,
+                ik is not None, ck is not None, pk is not None)
+    meta = _term_meta(*features)
+    n_terms = len(meta)
+    pw_np = _alpha_powers_np(alpha, n_terms)
+
+    inputs = (ext_r, ext_i, chan_sums, aux_ext, aux_sums, mem_sum,
+              io_sum, prog_ext, prog_sum, cr_sums, lk, ak, mk, ik, ck,
+              pk)
+    flat, treedef = jax.tree.flatten(inputs)
+    sig = (log_blowup, features, n_parts, str(treedef),
+           tuple((tuple(a.shape), str(a.dtype)) for a in flat))
+
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    def _plog(msg):
+        if _os.environ.get("ZKIR_PROVE_LOG"):
+            print(f"[quotient-parts] {msg}", file=_sys.stderr, flush=True)
+
+    cached = _TERM_GRAPH_CACHE.get(sig)
+    if cached is None:
+        _t0 = _time.perf_counter()
+
+        def term_values(*flat_args):
+            (e_r, e_i, c_s, a_e, a_s, m_s, i_s, p_e, p_s, c_r,
+             v_lk, v_ak, v_mk, v_ik, v_ck, v_pk) = jax.tree.unflatten(
+                treedef, flat_args)
+            A = VecAlg(e_r, e_i, log_blowup, chan_sums=c_s, mem_sum=m_s,
+                       prog_sum=p_s, prog_ext=p_e, aux_ext=a_e,
+                       aux_sums=a_s, io_sum=i_s, cr_sums=c_r)
+            terms = quotient_terms(A, lookup=v_lk, aux=v_ak, memory=v_mk,
+                                   program=v_pk, io=v_ik, crypto=v_ck)
+            out = []
+            for _tag, c in terms:
+                out.extend(c)
+            return tuple(out)
+
+        closed = jax.make_jaxpr(term_values)(*flat)
+        _plog(f"traced term graph: {len(closed.jaxpr.eqns)} eqns in "
+              f"{_time.perf_counter() - _t0:.1f}s")
+        graph = _pe.convert_constvars_jaxpr(closed.jaxpr)
+        consts = list(closed.consts)
+
+        # Output index ranges per term.
+        widths = [w for (_t, w) in meta]
+        offs = [0]
+        for w in widths:
+            offs.append(offs[-1] + w)
+        bounds = sorted(set(
+            round(i * n_terms / n_parts) for i in range(n_parts + 1)))
+        parts = []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            used_out = [offs[lo] <= k < offs[hi]
+                        for k in range(offs[-1])]
+            dced, used_in = _pe.dce_jaxpr(graph, used_out)
+            part_meta = meta[lo:hi]
+
+            def make_runner(dced, used_in, part_meta, lo=lo, hi=hi):
+                closed_part = _xcore.ClosedJaxpr(dced, ())
+
+                @jax.jit
+                def runner(args_used, pw_slice, dinv):
+                    vals = _xcore.jaxpr_as_fun(closed_part)(*args_used)
+                    terms = []
+                    pos = 0
+                    for tag, w in part_meta:
+                        terms.append((tag, tuple(vals[pos:pos + w])))
+                        pos += w
+                    return _accumulate_quotient(
+                        _AccAlg(vals[0].shape[0]), terms, pw_slice, dinv)
+                return runner, used_in
+
+            parts.append((make_runner(dced, used_in, part_meta),
+                          (lo, hi)))
+        cached = (parts, consts)
+        _TERM_GRAPH_CACHE[sig] = cached
+
+    parts, consts = cached
+    all_args = consts + flat
+
+    def run_part(item):
+        (runner, used_in), (lo, hi) = item
+        args_used = tuple(a for a, u in zip(all_args, used_in) if u)
+        t0 = _time.perf_counter()
+        out = runner(args_used, jnp.asarray(pw_np[lo:hi]), dinv)
+        _plog(f"part [{lo},{hi}) dispatched in "
+              f"{_time.perf_counter() - t0:.1f}s")
+        return out
+
+    with _f.ThreadPoolExecutor(max_workers=min(8, len(parts))) as pool:
+        outs = list(pool.map(run_part, parts))
+    acc = outs[0]
+    for o in outs[1:]:
+        acc = qm31_add(acc, o)
+    return acc
+
+
+@functools.lru_cache(maxsize=None)
+def _term_meta(has_lk, has_ak, has_mk, has_ik, has_ck, has_pk):
+    """(tag, value-width) per quotient term for a feature combination
+    (cheap dummy trace through quotient_terms on a 2-point domain)."""
+    ext_r = jnp.zeros((N_COLUMNS + NUM_LOOKUP + NUM_AUX + 2, 2),
+                      dtype=jnp.uint32)
+    dummy_pair = (jnp.zeros((256, 2), jnp.uint32),) * 2
+    dummy_q = (jnp.zeros((256, 2), jnp.uint32),) * 4
+    one_q = tuple(jnp.zeros(2, jnp.uint32) for _ in range(4))
+    A = VecAlg(ext_r, jnp.zeros_like(ext_r), 0,
+               chan_sums=dummy_q if has_lk else None,
+               mem_sum=(one_q, one_q) if has_mk else None,
+               prog_sum=one_q if has_pk else None,
+               prog_ext=dummy_pair if has_pk else None,
+               aux_ext=dummy_pair if has_ak else None,
+               aux_sums=dummy_q if has_ak else None,
+               io_sum=(one_q, one_q) if has_ik else None,
+               cr_sums=(dummy_q, one_q, one_q) if has_ck else None)
+    c0 = (0, 0, 0, 0)
+    terms = quotient_terms(
+        A,
+        lookup=c0 if has_lk else None,
+        aux=(c0, c0) if has_ak else None,
+        memory=(c0, c0, c0) if has_mk else None,
+        io=(c0, c0, c0) if has_ik else None,
+        crypto=(c0, c0, c0) if has_ck else None,
+        program=(c0, c0, 0) if has_pk else None)
+    return tuple((tag, len(c)) for tag, c in terms)
+
+
+
+
+def _tree_reduce_cm31(xr, xi):
+    while xr.shape[0] > 1:
+        if xr.shape[0] & 1:
+            pad = jnp.zeros((1, xr.shape[1]), xr.dtype)
+            xr = jnp.concatenate([xr, pad], axis=0)
+            xi = jnp.concatenate([xi, pad], axis=0)
+        xr = m31_add(xr[0::2], xr[1::2])
+        xi = m31_add(xi[0::2], xi[1::2])
+    return xr[0], xi[0]
+
+
+def _contract_cm31(xr, xi, pr, pi):
+    """sum_k (pr_k + i pi_k) * x_k over CM31 for stacks [K, N] and power
+    vectors [K]: two broadcast products + a log-depth reduction — the
+    per-term alpha multiply as a handful of big fused ops instead of
+    ~60 small ones per term (the dominant share of the old quotient
+    kernel's XLA program, and of the eager path's dispatch count)."""
+    tr = m31_sub(m31_mul(xr, pr[:, None]), m31_mul(xi, pi[:, None]))
+    ti = m31_add(m31_mul(xr, pi[:, None]), m31_mul(xi, pr[:, None]))
+    return _tree_reduce_cm31(tr, ti)
+
+
+def _accumulate_quotient(A: VecAlg, terms, pw, dinv):
+    """sum_j alpha^j C_j / D_j over mixed CM31 (len-2) and QM31 (len-4)
+    term values, with the alpha powers precomputed as a [n_terms, 4]
+    uint32 array ``pw`` (host-computed — alpha is a concrete challenge;
+    passing powers as data keeps them out of the compiled program).
+    Terms are grouped per divisor tag, the power multiply runs as
+    stacked contractions, and each tag group divides once.  Returns a
+    QM31 4-tuple of [N] vectors."""
+    pw = jnp.asarray(pw, jnp.uint32)
     big = A.big
     qzero = tuple(jnp.zeros(big, dtype=jnp.uint32) for _ in range(4))
-    accs = {t: qzero for t in "HTFL"}
-    power = (1, 0, 0, 0)
-    for tag, c in terms:
-        if len(c) == 2:
-            term = A.qscale(c, power)
-        else:
-            term = A.qmul(c, A.qconst(power))
-        accs[tag] = A.qadd(accs[tag], term)
-        power = qm31_mul_scalar(power, alpha)
     acc = qzero
-    for t in "HTFL":
-        acc = A.qadd(acc, A.qmul_c(accs[t], dinv[t]))
+    for tag in "HTFL":
+        idx_cm = [j for j, (t, c) in enumerate(terms)
+                  if t == tag and len(c) == 2]
+        idx_qm = [j for j, (t, c) in enumerate(terms)
+                  if t == tag and len(c) == 4]
+        tag_acc = qzero
+        if idx_cm:
+            xr = jnp.stack([terms[j][1][0] for j in idx_cm])
+            xi = jnp.stack([terms[j][1][1] for j in idx_cm])
+            sel = jnp.asarray(idx_cm, jnp.int32)
+            pa = pw[sel]
+            a_out = _contract_cm31(xr, xi, pa[:, 0], pa[:, 1])
+            b_out = _contract_cm31(xr, xi, pa[:, 2], pa[:, 3])
+            tag_acc = A.qadd(tag_acc,
+                             (a_out[0], a_out[1], b_out[0], b_out[1]))
+        if idx_qm:
+            ar = jnp.stack([terms[j][1][0] for j in idx_qm])
+            ai = jnp.stack([terms[j][1][1] for j in idx_qm])
+            br = jnp.stack([terms[j][1][2] for j in idx_qm])
+            bi = jnp.stack([terms[j][1][3] for j in idx_qm])
+            sel = jnp.asarray(idx_qm, jnp.int32)
+            pa = pw[sel]
+            # (a + b u)(pa + pb u) = (a pa + R b pb) + (a pb + b pa) u
+            a_pa = _contract_cm31(ar, ai, pa[:, 0], pa[:, 1])
+            b_pb = _contract_cm31(br, bi, pa[:, 2], pa[:, 3])
+            a_pb = _contract_cm31(ar, ai, pa[:, 2], pa[:, 3])
+            b_pa = _contract_cm31(br, bi, pa[:, 0], pa[:, 1])
+            two = jnp.uint32(2)
+            rb = (m31_sub(m31_mul(b_pb[0], two), b_pb[1]),
+                  m31_add(b_pb[0], m31_mul(b_pb[1], two)))
+            a_out = (m31_add(a_pa[0], rb[0]), m31_add(a_pa[1], rb[1]))
+            b_out = (m31_add(a_pb[0], b_pa[0]),
+                     m31_add(a_pb[1], b_pa[1]))
+            tag_acc = A.qadd(tag_acc,
+                             (a_out[0], a_out[1], b_out[0], b_out[1]))
+        acc = A.qadd(acc, A.qmul_c(tag_acc, dinv[tag]))
     return acc
+
+
+def _alpha_powers_np(alpha, n_terms: int) -> np.ndarray:
+    from ..ops.qm31 import qm31_mul_scalar
+
+    pw = np.zeros((n_terms, 4), dtype=np.uint32)
+    power = (1, 0, 0, 0)
+    for k in range(n_terms):
+        pw[k] = power
+        power = qm31_mul_scalar(power, alpha)
+    return pw
 
 
 def _use_quotient_jit(big: int) -> bool:
@@ -2204,22 +2456,23 @@ def _use_quotient_jit(big: int) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("log_blowup",))
-def _quotient_kernel(ext_r, ext_i, log_blowup, dinv, alpha, chan_sums,
+def _quotient_kernel(ext_r, ext_i, log_blowup, dinv, pw, chan_sums,
                      aux_ext, aux_sums, mem_sum, io_sum, prog_ext,
                      prog_sum, cr_sums, lk, ak, mk, ik, ck, pk):
     """The whole quotient evaluation as ONE device dispatch: every
     constraint term, its divisor multiplication, and the alpha-power
     batching are traced into a single XLA program (the eager per-term
     loop was ~3k dispatches — fatal over a remote-TPU link).
-    Accumulates alpha^j C_j per divisor tag, then divides each tag group
-    ONCE: Q = sum_tags dinv_tag * sum_{j in tag} alpha^j C_j."""
+    Accumulates alpha^j C_j per divisor tag via stacked contractions
+    (the power array ``pw`` arrives as DATA), then divides each tag
+    group ONCE: Q = sum_tags dinv_tag * sum_{j in tag} alpha^j C_j."""
     A = VecAlg(ext_r, ext_i, log_blowup, chan_sums=chan_sums,
                mem_sum=mem_sum, prog_sum=prog_sum, prog_ext=prog_ext,
                aux_ext=aux_ext, aux_sums=aux_sums, io_sum=io_sum,
                cr_sums=cr_sums)
     terms = quotient_terms(A, lookup=lk, aux=ak, memory=mk, program=pk,
                            io=ik, crypto=ck)
-    return _accumulate_quotient(A, terms, alpha, dinv)
+    return _accumulate_quotient(A, terms, pw, dinv)
 
 
 def quotient_value_at(row, next_row, n_cols: int, index: int, log_n: int,

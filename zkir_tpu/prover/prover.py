@@ -1022,6 +1022,24 @@ class _StageStore:
         os.replace(tmp, self._path(stage))
 
 
+def _stage_logger():
+    """Opt-in stage timing (ZKIR_PROVE_LOG=1): one stderr line per prove
+    stage — the only way to see where a remote-TPU prove is spending
+    its time."""
+    import os
+    import sys
+    import time as _t
+
+    if not os.environ.get("ZKIR_PROVE_LOG"):
+        return lambda msg: None
+    t0 = _t.perf_counter()
+
+    def log(msg):
+        print(f"[prove {_t.perf_counter() - t0:7.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+    return log
+
+
 def prove_trace(matrix: np.ndarray,
                 fri_config: FriConfig = FriConfig(),
                 mesh=None, range_lookup: bool = False,
@@ -1050,6 +1068,7 @@ def prove_trace(matrix: np.ndarray,
     a bit-identical proof (all challenges are Fiat-Shamir)."""
     if program is not None and not range_lookup:
         raise ValueError("program binding requires range_lookup=True")
+    log = _stage_logger()
     matrix = np.asarray(matrix, dtype=np.uint32)
     store = (None if checkpoint_dir is None else
              _StageStore(checkpoint_dir, matrix, fri_config, range_lookup,
@@ -1124,6 +1143,7 @@ def prove_trace(matrix: np.ndarray,
                                   "ext_i": np.asarray(ext_i),
                                   "levels1": levels1})
     root1 = merkle.root(levels1)
+    log(f"trace committed ({n_cols} cols, 2^{log_n} rows)")
 
     challenger = Challenger()
     challenger.observe(log_n)
@@ -1228,6 +1248,7 @@ def prove_trace(matrix: np.ndarray,
                                     "s_ext_i": np.asarray(s_ext_i),
                                     "levels_s": levels_s})
         root_s = merkle.root(levels_s)
+        log(f"partial sums committed ({n_sums} QM31 columns)")
         challenger.observe_many(int(x) for x in root_s)
 
         def sq(lo, hi=None):
@@ -1316,6 +1337,7 @@ def prove_trace(matrix: np.ndarray,
                 save[f"q{k}i"] = np.asarray(q_cm_cols[k][1])
             store.save("quotient", save)
     root2 = merkle.root(levels2)
+    log("quotient committed")
     challenger.observe_many(int(x) for x in root2)
     alpha_b = challenger.sample_qm31()
 
@@ -1333,6 +1355,7 @@ def prove_trace(matrix: np.ndarray,
         batch4 = _combine(ext_r, ext_i, extra_cols, alpha_b)
         fri_proof = fri_prove(batch4, log_big, challenger,
                               fri_config, shift=shift)
+        log("fri done")
         if store is not None:
             store.save("fri", fri_proof)
 
