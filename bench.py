@@ -177,13 +177,15 @@ def bench_ntt(log_n=24, iters=8):
     return 1e3 / rate  # ms per 2^log_n NTT
 
 
-def bench_prove(log_rows=13):
+def bench_prove(log_rows=None):
     """End-to-end prove throughput (trace rows/s): a real executed
     2^log_rows-cycle trace, proven with the production FriConfig
     (range lookup + memory argument + PoW grinding), verified once."""
     from zkir_tpu.prover import FriConfig, prove_trace, verify_trace
     from zkir_tpu.prover.benchtrace import exact_trace_matrix
 
+    if log_rows is None:
+        log_rows = int(os.environ.get("BENCH_PROVE_LOG_ROWS", 13))
     matrix = exact_trace_matrix(log_rows)
 
     cfg = FriConfig()  # production defaults: 32 queries + 16 grinding bits

@@ -105,6 +105,25 @@ def build_tree(leaves) -> List[jnp.ndarray]:
     return levels
 
 
+@jax.jit
+def _tree_levels_jit(leaves):
+    """All tree levels as ONE dispatch (the per-level loop unrolls at
+    trace time).  Right for the FRI commit phase, whose many small
+    per-layer trees otherwise cost log^2(n) round trips over a
+    remote-TPU link; the persistent cache amortizes the one-time
+    unrolled compile per leaf count."""
+    levels = [leaves]
+    cur = leaves
+    while cur.shape[0] > 1:
+        cur = poseidon2_compress_batch(cur[0::2], cur[1::2])
+        levels.append(cur)
+    return tuple(levels)
+
+
+def build_tree_fused(leaves) -> List[jnp.ndarray]:
+    return list(_tree_levels_jit(leaves))
+
+
 def to_host(levels: List[jnp.ndarray]) -> List[np.ndarray]:
     """Materialize tree levels on the host in one batch (path opening is
     host-side random access; per-sibling device readbacks are ruinous

@@ -153,20 +153,23 @@ def fri_prove(vals, log_n: int, challenger: Challenger,
     """Prove that ``vals`` (a QM31 4-tuple of [2^log_n] arrays) are
     evaluations of a polynomial of degree < 2^(log_n - log_blowup) on
     the coset ``shift * <w>`` of the order-2^log_n subgroup."""
-    layers = []          # (host tree levels, host 4xN values) per layer
+    dev_layers = []      # (device tree levels, device values) per layer
     betas = []
     cur = tuple(jnp.asarray(c) for c in vals)
     log = log_n
     cur_shift = tuple(shift)
 
     while log > config.log_final:
+        # Per layer, only the 8-word ROOT crosses to the host (the fold
+        # chain is sequential through the transcript); the full levels
+        # and values transfer once, after the loop, for the query phase.
         leaves = merkle.hash_rows(_pair_matrix(cur))
-        levels = merkle.to_host(merkle.build_tree(leaves))
-        layer_root = merkle.root(levels)
+        levels = merkle.build_tree_fused(leaves)
+        layer_root = np.asarray(levels[-1][0])
         challenger.observe_many(int(x) for x in layer_root)
         beta = challenger.sample_qm31()
         betas.append(beta)
-        layers.append((levels, np.stack([np.asarray(c) for c in cur])))
+        dev_layers.append((levels, cur))
 
         sinv = cm31_inv_scalar(cur_shift)
         cur = _fold_jit(
@@ -175,6 +178,10 @@ def fri_prove(vals, log_n: int, challenger: Challenger,
         cur_shift = cm31_mul_scalar(cur_shift, cur_shift)
         log -= 1
 
+    layers = [
+        (merkle.to_host(levels), np.stack([np.asarray(c) for c in lv]))
+        for levels, lv in dev_layers
+    ]
     final = np.stack([np.asarray(c) for c in cur])
     for k in range(4):
         challenger.observe_many(int(x) for x in final[k])

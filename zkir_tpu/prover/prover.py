@@ -300,6 +300,31 @@ def _delta_compress_dev(components, delta):
     return tuple(acc)
 
 
+def _beta_minus_compress_np(components, beta, delta):
+    """(beta - sum_k comp_k delta^k) as a host uint32 [4, ...] array.
+
+    Host numpy: the compression is a cheap elementwise pass over a few
+    dozen component vectors — one uint64 multiply-accumulate each —
+    while the heavy field work (batched Fermat inversion, prefix sums)
+    stays in the jitted device kernels.  One transfer, one dispatch per
+    channel group instead of hundreds of eager device ops (the warm
+    TPU prove spent ~half its wall clock dispatching these)."""
+    from ..ops.qm31 import qm31_mul_scalar
+
+    c0 = np.asarray(components[0], dtype=np.uint64) % P
+    acc = [c0.copy(), np.zeros_like(c0), np.zeros_like(c0),
+           np.zeros_like(c0)]
+    pw = delta
+    for c in components[1:]:
+        cj = np.asarray(c, dtype=np.uint64) % P
+        for k in range(4):
+            if pw[k] % P:
+                acc[k] = (acc[k] + cj * (pw[k] % P)) % P
+        pw = qm31_mul_scalar(pw, delta)
+    return np.stack([((beta[k] - acc[k].astype(np.int64)) % P)
+                     .astype(np.uint32) for k in range(4)])
+
+
 def _beta_minus(beta, w4):
     """beta - w for a host QM31 beta and QM31 vector w."""
     from ..ops.field_ops import m31_sub as js
@@ -326,6 +351,19 @@ def _exclusive_cumsum4(term4):
         s = s.at[..., 1:].set(cum[..., :-1])
         out.append(s.astype(jnp.uint32))
     return tuple(out)
+
+
+@jax.jit
+def _masked_inv_kernel(bw4, mask):
+    """mask / bw over QM31 (batched inversion, one dispatch)."""
+    from ..ops.qm31 import qm31_batch_inv
+
+    return _qscale_m31(qm31_batch_inv(bw4), mask)
+
+
+@jax.jit
+def _exclusive_cumsum4_jit(term4):
+    return _exclusive_cumsum4(term4)
 
 
 @jax.jit
@@ -377,8 +415,8 @@ def memory_init_demand(program, beta, delta):
         comp[1][i] = cell >> 17
         for j in range(8):
             comp[11 + j][i] = (value >> (8 * j)) & 0xFF
-    t4 = _delta_compress_dev([jnp.asarray(c) for c in comp], delta)
-    out = _qm31_inv_sum_kernel(_beta_minus(beta, t4))
+    bw = _beta_minus_compress_np(comp, beta, delta)
+    out = _qm31_inv_sum_kernel(tuple(jnp.asarray(r) for r in bw))
     return tuple(int(x) for x in out)
 
 
@@ -406,10 +444,10 @@ def _memory_partial_sum(padded: np.ndarray, beta, delta):
     from .constraints import COL_OPCODE, LOAD_OPS, M_REAL, STORE_OPS
 
     w_comp, t_comp = _mem_tuple_components(padded)
-    w4 = _beta_minus(beta, _delta_compress_dev(
-        [jnp.asarray((c % P).astype(np.uint32)) for c in w_comp], delta))
-    t4 = _beta_minus(beta, _delta_compress_dev(
-        [jnp.asarray((c % P).astype(np.uint32)) for c in t_comp], delta))
+    w4 = tuple(jnp.asarray(r) for r in
+               _beta_minus_compress_np(w_comp, beta, delta))
+    t4 = tuple(jnp.asarray(r) for r in
+               _beta_minus_compress_np(t_comp, beta, delta))
     op = padded[:, COL_OPCODE]
     v = jnp.asarray(np.isin(op, LOAD_OPS + STORE_OPS).astype(np.uint32))
     real = jnp.asarray(padded[:, M_REAL])
@@ -465,8 +503,8 @@ def io_tape_demand(inputs, outputs, beta, delta):
         comp[1][r] = idx
         comp[2][r] = v & 0xFFFFF
         comp[3][r] = (v >> 20) & 0xFFFFF
-    t4 = _delta_compress_dev([jnp.asarray(c) for c in comp], delta)
-    out = _qm31_inv_sum_kernel(_beta_minus(beta, t4))
+    bw = _beta_minus_compress_np(comp, beta, delta)
+    out = _qm31_inv_sum_kernel(tuple(jnp.asarray(r) for r in bw))
     return tuple(int(x) for x in out)
 
 
@@ -500,10 +538,10 @@ def _io_partial_sum(padded: np.ndarray, beta, delta):
                padded[:, COL_WIDX],
                padded[:, 8 + 11],
                padded[:, 24 + 11]]
-    wr4 = _beta_minus(beta, _delta_compress_dev(
-        [jnp.asarray(c) for c in wr_comp], delta))
-    ww4 = _beta_minus(beta, _delta_compress_dev(
-        [jnp.asarray(c) for c in ww_comp], delta))
+    wr4 = tuple(jnp.asarray(r) for r in
+                _beta_minus_compress_np(wr_comp, beta, delta))
+    ww4 = tuple(jnp.asarray(r) for r in
+                _beta_minus_compress_np(ww_comp, beta, delta))
     erd = jnp.asarray(padded[:, COL_ERD])
     ewr = jnp.asarray(padded[:, COL_EWR])
     return _two_sided_sum_kernel(wr4, ww4, erd, ewr)
@@ -621,10 +659,9 @@ def _crypto_slot_inverses(padded: np.ndarray, beta, delta):
         np.stack([w_stack[s][c] for s in range(N_SLOTS)])
         for c in range(19)
     ]
-    w4 = _delta_compress_dev([jnp.asarray(c) for c in comp_mats], delta)
-    inv = qm31_batch_inv(_beta_minus(beta, w4))
+    bw = _beta_minus_compress_np(comp_mats, beta, delta)
     act = jnp.asarray(np.stack(act_stack).astype(np.uint32))
-    return _qscale_m31(inv, act)
+    return _masked_inv_kernel(tuple(jnp.asarray(r) for r in bw), act)
 
 
 def _crypto_tape_partial_sum(padded: np.ndarray, beta, delta):
@@ -646,10 +683,10 @@ def _crypto_tape_partial_sum(padded: np.ndarray, beta, delta):
              ln.astype(np.uint32)]
     comps += [padded[:, COL_CRB0 + k] for k in range(8 * N_READ_SLOTS)]
     comps += [padded[:, COL_CWD0 + k] for k in range(8 * N_WRITE_SLOTS)]
-    w4 = _delta_compress_dev([jnp.asarray(c) for c in comps], delta)
-    inv = qm31_batch_inv(_beta_minus(beta, w4))
-    f4 = _qscale_m31(inv, jnp.asarray(padded[:, COL_ECR]))
-    return _exclusive_cumsum4(f4), f4
+    bw = _beta_minus_compress_np(comps, beta, delta)
+    f4 = _masked_inv_kernel(tuple(jnp.asarray(r) for r in bw),
+                            jnp.asarray(padded[:, COL_ECR]))
+    return _exclusive_cumsum4_jit(f4), f4
 
 
 def _channel_witnesses(padded: np.ndarray) -> np.ndarray:
@@ -735,17 +772,14 @@ def _build_aux_partial_sums(padded: np.ndarray, aux_cols: np.ndarray,
                             beta, eta):
     """The aux-table channels' LogUp partial-sum columns (QM31 4-tuples,
     [NUM_AUX, n]): witness and table triples are eta-compressed
-    (aux_table.py), so both sides are QM31-valued."""
-    from ..ops.qm31 import qm31_mul_scalar
-
+    (aux_table.py), so both sides are QM31-valued.  Compression on the
+    host (cheap elementwise numpy), inversion + prefix sums in one
+    device kernel."""
     from .constraints import AUX_CHANNELS, COL_AUXM0
 
     n = padded.shape[0]
-    eta2 = qm31_mul_scalar(eta, eta)
-    pows = ((1, 0, 0, 0), eta, eta2)
-
-    w_parts = []
-    t_parts = []
+    bw_rows = []
+    bt_rows = []
     m_rows = []
     for k, (_, wspecs, t_base, _idx) in enumerate(AUX_CHANNELS):
         comps = []
@@ -753,31 +787,18 @@ def _build_aux_partial_sums(padded: np.ndarray, aux_cols: np.ndarray,
             acc = np.zeros(n, dtype=np.uint64)
             for c, coef in terms:
                 acc = (acc + padded[:, c].astype(np.uint64) * coef) % P
-            comps.append(jnp.asarray(acc.astype(np.uint32)))
-        # compress with explicit eta powers (w0 + eta w1 + eta^2 w2)
-        from ..ops.field_ops import m31_add as ja, m31_mul as jm
-        w4 = [comps[0], jnp.zeros_like(comps[0]),
-              jnp.zeros_like(comps[0]), jnp.zeros_like(comps[0])]
-        t4 = [jnp.asarray(aux_cols[t_base]),
-              jnp.zeros(n, jnp.uint32), jnp.zeros(n, jnp.uint32),
-              jnp.zeros(n, jnp.uint32)]
-        for j, pw in ((1, eta), (2, eta2)):
-            for kk in range(4):
-                if pw[kk] % P:
-                    w4[kk] = ja(w4[kk], jm(comps[j],
-                                           jnp.uint32(pw[kk] % P)))
-                    t4[kk] = ja(t4[kk],
-                                jm(jnp.asarray(aux_cols[t_base + j]),
-                                   jnp.uint32(pw[kk] % P)))
-        w_parts.append(w4)
-        t_parts.append(t4)
+            comps.append(acc)
+        bw_rows.append(_beta_minus_compress_np(comps, beta, eta))
+        bt_rows.append(_beta_minus_compress_np(
+            [aux_cols[t_base + j] for j in range(3)], beta, eta))
         m_rows.append(padded[:, COL_AUXM0 + k])
 
-    wr4 = tuple(jnp.stack([w[k] for w in w_parts]) for k in range(4))
-    tt4 = tuple(jnp.stack([t[k] for t in t_parts]) for k in range(4))
+    bw = np.stack(bw_rows, axis=1)   # [4, NUM_AUX, n]
+    bt = np.stack(bt_rows, axis=1)
     m = jnp.asarray(np.stack(m_rows))
     (s4, _f4) = _aux_sum_kernel(
-        _beta_minus(beta, wr4), _beta_minus(beta, tt4), m)
+        tuple(jnp.asarray(bw[k]) for k in range(4)),
+        tuple(jnp.asarray(bt[k]) for k in range(4)), m)
     return s4
 
 
@@ -866,34 +887,22 @@ def _program_partial_sum(padded: np.ndarray, prog_cols: np.ndarray,
         PROG_F_TERMS
 
     n = padded.shape[0]
-    g2 = qm31_mul_scalar(gamma, gamma)
-    g3 = qm31_mul_scalar(g2, gamma)
-
     f_trace = np.zeros(n, dtype=np.uint64)
     for c, coef in PROG_F_TERMS:
         f_trace = (f_trace + padded[:, c].astype(np.uint64) * coef) % P
 
-    def compress(pc_lo, pc_hi, f, imm):
-        comps = [jnp.asarray(np.asarray(pc_lo, dtype=np.uint32))]
-        acc = [comps[0], jnp.zeros(n, jnp.uint32),
-               jnp.zeros(n, jnp.uint32), jnp.zeros(n, jnp.uint32)]
-        from ..ops.field_ops import m31_add as ja, m31_mul as jm
-        for vals, pw in ((pc_hi, gamma), (f, g2), (imm, g3)):
-            v = jnp.asarray((np.asarray(vals, dtype=np.uint64) % P)
-                            .astype(np.uint32))
-            for k in range(4):
-                if pw[k] % P:
-                    acc[k] = ja(acc[k], jm(v, jnp.uint32(pw[k] % P)))
-        return tuple(acc)
-
-    w4 = compress(padded[:, COL_PC_LO], padded[:, COL_PC_HI],
-                  f_trace, padded[:, COL_IMM_LO])
-    t4 = compress(prog_cols[0], prog_cols[1], prog_cols[2], prog_cols[3])
+    bw = _beta_minus_compress_np(
+        [padded[:, COL_PC_LO], padded[:, COL_PC_HI], f_trace,
+         padded[:, COL_IMM_LO]], beta, gamma)
+    bt = _beta_minus_compress_np(
+        [prog_cols[0], prog_cols[1], prog_cols[2], prog_cols[3]],
+        beta, gamma)
     m = jnp.asarray(padded[:, COL_PROG_M])
     one = jnp.ones(n, jnp.uint32)
     # term = 1/(beta - w) - m/(beta - t): the memory kernel's shape.
     (s4, _f4) = _memory_partial_sum_kernel(
-        _beta_minus(beta, w4), _beta_minus(beta, t4), one, m)
+        tuple(jnp.asarray(r) for r in bw),
+        tuple(jnp.asarray(r) for r in bt), one, m)
     return s4
 
 
