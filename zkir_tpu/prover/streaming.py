@@ -72,6 +72,33 @@ def _eval_block(vr, vi, log_n: int, shift_c):
     return coset_ntt(cr, ci, log_n, shift=shift_c)
 
 
+@functools.partial(jax.jit, static_argnames=("b0",),
+                   donate_argnums=(0, 1))
+def _fill_rows(er, ei, r, i, b0: int):
+    """Write an eval block into the coset matrix IN PLACE (donated
+    buffers): one [n_cols, n] allocation per coset instead of an
+    all-columns NTT kernel whose working set blew past HBM at 2^20
+    rows (measured: 18.7 GB asked of 15.75 GB)."""
+    return (er.at[b0:b0 + r.shape[0]].set(r),
+            ei.at[b0:b0 + i.shape[0]].set(i))
+
+
+def _eval_all(vals_r, vals_i, log_n: int, shift_c, block: int):
+    """Evaluate every column on a coset, block by block, into one
+    preallocated pair of [n_cols, n] buffers."""
+    n_cols = vals_r.shape[0]
+    n = 1 << log_n
+    er = jnp.zeros((n_cols, n), jnp.uint32)
+    ei = jnp.zeros((n_cols, n), jnp.uint32)
+    for b0 in range(0, n_cols, block):
+        b1 = min(b0 + block, n_cols)
+        vr = vals_r[b0:b1]
+        vi = jnp.zeros_like(vr) if vals_i is None else vals_i[b0:b1]
+        r, i = _eval_block(vr, vi, log_n, shift_c)
+        er, ei = _fill_rows(er, ei, r, i, b0)
+    return er, ei
+
+
 def _coset_shifts(log_n: int, log_blowup: int, shift):
     w_big = root_of_unity(log_n + log_blowup)
     return [cm31_mul_scalar(shift, cm31_pow_scalar(w_big, c))
@@ -300,11 +327,15 @@ def prove_trace_streaming(matrix: np.ndarray,
     # coset == roll by blowup in full-domain order).
     n = 1 << log_n
     q_full = np.zeros((4, big), dtype=np.uint32)
+    ext_r_c = ext_i_c = s_ext_r_c = s_ext_i_c = None
     for c in range(blowup):
-        ext_r_c, ext_i_c = _eval_block(vals, jnp.zeros_like(vals),
-                                       log_n, tc.shifts[c])
-        s_ext_r_c, s_ext_i_c = _eval_block(s_r, s_i, log_n,
-                                           tc.shifts[c])
+        # Free the previous coset's evaluations BEFORE building the next
+        # (holding both doubles the peak and OOMs at 2^20).
+        del ext_r_c, ext_i_c, s_ext_r_c, s_ext_i_c
+        ext_r_c, ext_i_c = _eval_all(vals, None, log_n, tc.shifts[c],
+                                     col_block)
+        s_ext_r_c, s_ext_i_c = _eval_all(s_r, s_i, log_n, tc.shifts[c],
+                                         col_block)
         aux_r_c, aux_i_c = _eval_block(
             jnp.asarray(aux_pre["cols"]),
             jnp.zeros((aux_pre["cols"].shape[0], n), jnp.uint32),
