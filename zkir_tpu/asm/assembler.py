@@ -27,10 +27,59 @@ from .lexer import LexError, Token, tokenize
 
 
 class AssemblerError(ValueError):
-    def __init__(self, line: int, message: str):
-        super().__init__(f"line {line}: {message}")
+    """Line-numbered assembler error whose display text matches the
+    reference's ``AssemblerError`` enum per case (zkir-assembler/src/
+    error.rs:8-62): each classmethod below is one enum variant and
+    renders its exact ``#[error(...)]`` format string.  ``kind`` holds
+    the variant name for structured matching."""
+
+    def __init__(self, line: int, message: str, kind: str = "SyntaxError"):
+        # SyntaxError variant: "Syntax error at line {line}: {message}"
+        # (error.rs:10-11); other variants pre-render via the
+        # classmethods and pass kind explicitly.
+        if kind == "SyntaxError":
+            text = f"Syntax error at line {line}: {message}"
+        else:
+            text = message
+        super().__init__(text)
         self.line = line
         self.message = message
+        self.kind = kind
+
+    @classmethod
+    def invalid_instruction(cls, line: int, instruction: str):
+        return cls(line, f"Invalid instruction at line {line}: "
+                   f"{instruction}", kind="InvalidInstruction")
+
+    @classmethod
+    def invalid_register(cls, line: int, register: str):
+        return cls(line, f"Invalid register at line {line}: {register}",
+                   kind="InvalidRegister")
+
+    @classmethod
+    def invalid_immediate(cls, line: int, value: str):
+        return cls(line, f"Invalid immediate value at line {line}: "
+                   f"{value}", kind="InvalidImmediate")
+
+    @classmethod
+    def undefined_label(cls, line: int, label: str):
+        return cls(line, f"Undefined label at line {line}: {label}",
+                   kind="UndefinedLabel")
+
+    @classmethod
+    def invalid_directive(cls, line: int, directive: str):
+        return cls(line, f"Invalid directive at line {line}: {directive}",
+                   kind="InvalidDirective")
+
+    @classmethod
+    def config_error(cls, line: int, source: str):
+        return cls(line, f"Configuration error at line {line}: {source}",
+                   kind="ConfigError")
+
+    @classmethod
+    def invalid_config_value(cls, line: int, key: str, value: str):
+        return cls(line, f"Invalid config value at line {line}: "
+                   f"{key}={value}", kind="InvalidConfigValue")
 
 
 @dataclass
@@ -69,7 +118,7 @@ def assemble(source: str) -> Program:
         inst = item.inst
         if item.label is not None:
             if item.label not in labels:
-                raise AssemblerError(item.line, f"undefined label: {item.label}")
+                raise AssemblerError.undefined_label(item.line, item.label)
             offset = labels[item.label] - item.pc
             inst = Instruction(inst.op, rd=inst.rd, rs1=inst.rs1,
                                rs2=inst.rs2, imm=offset)
@@ -109,9 +158,11 @@ def _first_pass(source: str) -> Tuple[List[_PendingInstr], Dict[str, int], Confi
         if len(tokens) >= 2 and tokens[0].kind == "ident" and tokens[1].kind == "colon":
             name = tokens[0].text
             if not _is_valid_label(name):
-                raise AssemblerError(line_num, f"invalid label name: {name}")
+                raise AssemblerError(line_num, f"Invalid label name: {name}")
             if name in labels:
-                raise AssemblerError(line_num, f"duplicate label: {name}")
+                # The reference reports duplicates as a SyntaxError, not its
+                # DuplicateLabel variant (assembler.rs:106-111).
+                raise AssemblerError(line_num, f"Duplicate label: {name}")
             labels[name] = pc
             if len(tokens) > 2:
                 pending.append(_parse_instruction(tokens[2:], line_num, pc))
@@ -126,7 +177,8 @@ def _first_pass(source: str) -> Tuple[List[_PendingInstr], Dict[str, int], Confi
                         line_num, ".config requires 2 arguments: key value"
                     )
                 if tokens[1].kind != "ident":
-                    raise AssemblerError(line_num, "config key must be an identifier")
+                    raise AssemblerError(line_num,
+                                         "Config key must be an identifier")
                 key = tokens[1].text
                 value = _extract_number(tokens[2], line_num)
                 if key == "limb_bits":
@@ -136,15 +188,14 @@ def _first_pass(source: str) -> Tuple[List[_PendingInstr], Dict[str, int], Confi
                 elif key == "addr_limbs":
                     addr_limbs = value
                 else:
-                    raise AssemblerError(
-                        line_num, f"invalid config key: {key} = {value}"
-                    )
+                    raise AssemblerError.invalid_config_value(
+                        line_num, key, str(value))
                 try:
                     # Incremental validation after each mutation, matching
                     # the reference (assembler.rs:149-170).
                     Config(limb_bits, data_limbs, addr_limbs)
                 except ConfigError as e:
-                    raise AssemblerError(line_num, str(e)) from e
+                    raise AssemblerError.config_error(line_num, str(e)) from e
             # Other directives (.text, .data, ...) are ignored.
             continue
 
@@ -156,10 +207,11 @@ def _first_pass(source: str) -> Tuple[List[_PendingInstr], Dict[str, int], Confi
 
 def _parse_instruction(tokens: List[Token], line: int, pc: int) -> _PendingInstr:
     if not tokens:
-        raise AssemblerError(line, "empty instruction")
+        raise AssemblerError(line, "Empty instruction")
     head = tokens[0]
     if head.kind != "ident":
-        raise AssemblerError(line, f"expected instruction mnemonic, got {head.text!r}")
+        raise AssemblerError(
+            line, f"Expected instruction mnemonic, got {head.rust_debug()}")
     mnemonic = head.text.lower()
     operands = tokens[1:]
 
@@ -183,7 +235,8 @@ def _parse_instruction(tokens: List[Token], line: int, pc: int) -> _PendingInstr
         )
 
     if mnemonic in _SHIFT_IMM:
-        rd, rs1, shamt = _parse_reg_reg_imm(operands, line, "Shift")
+        rd, rs1, shamt = _parse_reg_reg_imm(operands, line, "Shift",
+                                            last="shamt")
         return _PendingInstr(
             Instruction(_SHIFT_IMM[mnemonic], rd=rd, rs1=rs1, imm=shamt & 0xFF),
             pc, line=line,
@@ -196,7 +249,8 @@ def _parse_instruction(tokens: List[Token], line: int, pc: int) -> _PendingInstr
         )
 
     if mnemonic in _STORE:
-        rs2, rs1, offset = _parse_mem_operands(operands, line, "Store")
+        rs2, rs1, offset = _parse_mem_operands(operands, line, "Store",
+                                               reg_name="rs2")
         return _PendingInstr(
             Instruction(_STORE[mnemonic], rs1=rs1, rs2=rs2, imm=offset), pc, line=line
         )
@@ -235,12 +289,13 @@ def _parse_instruction(tokens: List[Token], line: int, pc: int) -> _PendingInstr
         )
 
     if mnemonic == "jalr":
-        rd, rs1, imm = _parse_reg_reg_imm(operands, line, "JALR")
+        rd, rs1, imm = _parse_reg_reg_imm(operands, line, "JALR",
+                                          last="offset")
         return _PendingInstr(
             Instruction(Op.JALR, rd=rd, rs1=rs1, imm=imm), pc, line=line
         )
 
-    raise AssemblerError(line, f"invalid instruction: {mnemonic}")
+    raise AssemblerError.invalid_instruction(line, mnemonic)
 
 
 # ---- operand shape helpers (assembler.rs:338-497) ----
@@ -262,9 +317,10 @@ def _parse_three_regs(operands: List[Token], line: int, what: str):
     return rd, rs1, rs2
 
 
-def _parse_reg_reg_imm(operands: List[Token], line: int, what: str):
+def _parse_reg_reg_imm(operands: List[Token], line: int, what: str,
+                       last: str = "imm"):
     if len(operands) != 5:
-        raise AssemblerError(line, f"{what} requires 3 operands: rd, rs1, imm")
+        raise AssemblerError(line, f"{what} requires 3 operands: rd, rs1, {last}")
     rd = _extract_register(operands[0], line)
     _expect(operands[1], "comma", line)
     rs1 = _extract_register(operands[2], line)
@@ -273,10 +329,12 @@ def _parse_reg_reg_imm(operands: List[Token], line: int, what: str):
     return rd, rs1, imm
 
 
-def _parse_mem_operands(operands: List[Token], line: int, what: str):
+def _parse_mem_operands(operands: List[Token], line: int, what: str,
+                        reg_name: str = "rd"):
     """Parse ``reg, offset(base)`` shape; returns (reg, base, offset)."""
     if len(operands) != 6:
-        raise AssemblerError(line, f"{what} requires format: reg, offset(base)")
+        raise AssemblerError(
+            line, f"{what} requires format: {reg_name}, offset(rs1)")
     reg = _extract_register(operands[0], line)
     _expect(operands[1], "comma", line)
     offset = _extract_number(operands[2], line)
@@ -288,23 +346,27 @@ def _parse_mem_operands(operands: List[Token], line: int, what: str):
 
 def _extract_register(token: Token, line: int) -> int:
     if token.kind != "reg":
-        raise AssemblerError(line, f"expected register, got {token.text!r}")
+        raise AssemblerError(
+            line, f"Expected register, got {token.rust_debug()}")
     try:
         return reg_from_name(token.text)
     except KeyError as e:
-        raise AssemblerError(line, f"invalid register: {token.text}") from e
+        raise AssemblerError.invalid_register(line, token.text) from e
 
 
 def _extract_number(token: Token, line: int) -> int:
     if token.kind != "num":
-        raise AssemblerError(line, f"expected number, got {token.text!r}")
+        raise AssemblerError(
+            line, f"Expected number, got {token.rust_debug()}")
     return token.value
 
 
 def _expect(token: Token, kind: str, line: int) -> None:
     if token.kind != kind:
-        want = {"comma": "','", "lparen": "'('", "rparen": "')'"}.get(kind, kind)
-        raise AssemblerError(line, f"expected {want}, got {token.text!r}")
+        want = {"comma": "comma", "lparen": "'('",
+                "rparen": "')'"}.get(kind, kind)
+        raise AssemblerError(
+            line, f"Expected {want}, got {token.rust_debug()}")
 
 
 def _is_valid_label(label: str) -> bool:

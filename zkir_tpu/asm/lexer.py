@@ -21,6 +21,24 @@ class Token:
     kind: str  # ident | reg | num | comma | colon | lparen | rparen | directive
     text: str
     value: int = 0
+    base: int = 10  # for num tokens: 10 | 16 | 2 (reference Number/Hex/Binary)
+
+    def rust_debug(self) -> str:
+        """The reference token's Rust ``{:?}`` Debug text — assembler
+        error messages embed it (assembler.rs:222-226, 504-534), so exact
+        message parity needs the exact rendering: ``Identifier("x")``,
+        ``Number(5)``, ``Hex(255)``, ``Comma``, ..."""
+        if self.kind == "ident":
+            return f'Identifier("{self.text}")'
+        if self.kind == "reg":
+            return f'Register("{self.text}")'
+        if self.kind == "num":
+            return {10: "Number", 16: "Hex", 2: "Binary"}[self.base] \
+                + f"({self.value})"
+        if self.kind == "directive":
+            return f'Directive("{self.text}")'
+        return {"comma": "Comma", "colon": "Colon", "lparen": "LParen",
+                "rparen": "RParen"}[self.kind]
 
 
 _TOKEN_RE = re.compile(
@@ -52,16 +70,19 @@ def tokenize(line: str) -> List[Token]:
     while pos < n:
         m = _TOKEN_RE.match(line, pos)
         if m is None:
-            raise LexError(f"invalid token at position {pos}: {line[pos:]!r}")
+            # Reference message text (parser.rs:78-81); the reference
+            # wraps it in a line-0 SyntaxError — the assembler supplies
+            # the real line number instead.
+            raise LexError(f"Invalid token at position {pos}")
         pos = m.end()
         kind = m.lastgroup
         text = m.group()
         if kind in ("ws", "comment"):
             continue
         if kind == "hex":
-            tokens.append(Token("num", text, int(text, 16)))
+            tokens.append(Token("num", text, int(text, 16), base=16))
         elif kind == "bin":
-            tokens.append(Token("num", text, int(text, 2)))
+            tokens.append(Token("num", text, int(text, 2), base=2))
         elif kind == "num":
             tokens.append(Token("num", text, int(text)))
         elif kind == "word":

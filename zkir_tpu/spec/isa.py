@@ -76,7 +76,9 @@ class Instruction:
         """Decode a 32-bit word (reference zkir-disassembler/src/decoder.rs:20-180)."""
         opv = enc.extract_opcode(word)
         if opv not in VALID_OPCODES:
-            raise DecodeError(f"unknown opcode: {opv:#04x}")
+            # Reference message text: decoder.rs:26 via error.rs:11
+            # ("Unknown opcode: 0x{:02X}").
+            raise DecodeError(f"Unknown opcode: 0x{opv:02X}")
         op = Op(opv)
         if op in (Op.ECALL, Op.EBREAK):
             return Instruction(op)
