@@ -23,6 +23,11 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the prover compiles one kernel per
 # (shape, stage) — Merkle levels alone are ~12 shapes x ~9 s on CPU.
-# Caching them on disk makes repeat test runs dominated by actual compute.
-jax.config.update("jax_compilation_cache_dir", "/tmp/zkir_jax_cache")
+# Caching them on disk makes repeat test runs dominated by actual
+# compute.  Lives under the repo (.zkir_cache), not /tmp, so it
+# survives across sessions on the same checkout.
+from zkir_tpu.prover.constraints import cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(cache_dir(), "xla"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

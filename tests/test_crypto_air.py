@@ -184,11 +184,14 @@ class TestCompletenessDomain:
         with pytest.raises(ValueError, match="unaligned"):
             trace_to_matrix(res["trace"], program=prog)
 
-    def test_len_over_56_raises(self):
+    def test_len_over_total_cap_raises(self):
+        # len <= 56 was the round-4 ceiling; multi-block chaining lifted
+        # it to CRYPTO_MAX_TOTAL (64 KB).  Beyond THAT still raises.
         ins = [
-            Instruction(Op.ADDI, rd=10, rs1=0, imm=5),   # keccak: no
-            Instruction(Op.ADDI, rd=11, rs1=0, imm=PTR),  # witness cap
-            Instruction(Op.ADDI, rd=12, rs1=0, imm=57),
+            Instruction(Op.ADDI, rd=10, rs1=0, imm=5),   # keccak
+            Instruction(Op.ADDI, rd=11, rs1=0, imm=PTR),
+            Instruction(Op.ADDI, rd=12, rs1=0, imm=1),
+            Instruction(Op.SLLI, rd=12, rs1=12, imm=17),  # 131072 B
             Instruction(Op.ADDI, rd=13, rs1=0, imm=OUT),
             Instruction(Op.ECALL),
             Instruction(Op.EBREAK),
@@ -199,6 +202,63 @@ class TestCompletenessDomain:
         res = interp.run([[]])
         with pytest.raises(ValueError, match="provable domain"):
             trace_to_matrix(res["trace"], program=prog)
+
+
+class TestMultiBlockChaining:
+    """len > 56 proves via adjacent chunk rows (round-5 upgrade; layout
+    comment at trace.py CR_BASE): pc/registers frozen across the chain,
+    slot keys advance 7 cells per chunk, crem forces the chain length
+    from R12, and the verifier reassembles the message from consecutive
+    tape entries before re-hashing."""
+
+    def test_100_byte_sha256_chain(self):
+        data = bytes((i * 7 + 3) & 0xFF for i in range(100))
+        prog = _hash_program(3, data)
+        res, m = _run_matrix(prog)
+        want = int.from_bytes(hashlib.sha256(data).digest()[:4], "big")
+        assert res["regs"][0][5] == want
+        from zkir_tpu.prover.trace import COL_CBLK, COL_CMORE, COL_CREM
+        crows = np.nonzero(m[:, COL_ECR])[0]
+        assert len(crows) == 2 and crows[1] == crows[0] + 1
+        assert list(m[crows, COL_CMORE]) == [1, 0]
+        assert list(m[crows, COL_CBLK]) == [0, 1]
+        assert list(m[crows, COL_CREM]) == [100, 44]
+        proof = prove_trace(m, CFG, range_lookup=True, program=prog)
+        assert len(proof["crypto"]) == 2
+        assert verify_trace(proof, program=prog)
+
+    def test_1kb_sha256_chain(self):
+        data = bytes((i * 31 + 7) & 0xFF for i in range(1024))
+        prog = _hash_program(3, data)
+        res, m = _run_matrix(prog)
+        want = int.from_bytes(hashlib.sha256(data).digest()[:4], "big")
+        assert res["regs"][0][5] == want
+        proof = prove_trace(m, CFG, range_lookup=True, program=prog)
+        assert len(proof["crypto"]) == -(-1024 // 56)   # 19 chunk rows
+        assert verify_trace(proof, program=prog)
+
+    def test_keccak_two_chunks(self):
+        data = bytes(range(60))
+        prog = _hash_program(5, data, load_word=False)
+        _res, m = _run_matrix(prog)
+        proof = prove_trace(m, CFG, range_lookup=True, program=prog)
+        assert verify_trace(proof, program=prog)
+
+    def test_forged_intermediate_chunk_rejected(self):
+        data = bytes((i * 7 + 3) & 0xFF for i in range(100))
+        prog = _hash_program(3, data)
+        _res, m = _run_matrix(prog)
+        proof = prove_trace(m, CFG, range_lookup=True, program=prog)
+        proof["crypto"][0]["msg"][5] ^= 1
+        assert not verify_trace(proof, program=prog)
+
+    def test_forged_chain_structure_rejected(self):
+        data = bytes((i * 7 + 3) & 0xFF for i in range(100))
+        prog = _hash_program(3, data)
+        _res, m = _run_matrix(prog)
+        proof = prove_trace(m, CFG, range_lookup=True, program=prog)
+        proof["crypto"][1]["more"] = 1      # dangling chain
+        assert not verify_trace(proof, program=prog)
 
 
 def test_extract_crypto_tape_matches_proof():

@@ -65,3 +65,19 @@ def test_streaming_rejects_forged_trace():
 
     with pytest.raises(ConstraintViolation):
         prove_trace_streaming(bad, CFG, program=prog)
+
+
+def test_streaming_mesh_bit_identical():
+    """Sharded-streaming == single-device streaming (round-5 ask #3):
+    the commit passes shard NTTs over columns and sponge hashing over
+    rows with a device_put transpose between them; exact integer field
+    math means the proof must be BIT-identical, not just valid."""
+    from zkir_tpu.parallel import make_mesh
+
+    matrix, prog = _matrix_and_prog(with_crypto=False)
+    ref = prove_trace_streaming(matrix, CFG, program=prog, col_block=256)
+    st = prove_trace_streaming(matrix, CFG, program=prog, col_block=256,
+                               mesh=make_mesh(8))
+    assert json.dumps(st, default=str, sort_keys=True) == \
+        json.dumps(ref, default=str, sort_keys=True)
+    assert verify_trace(st, program=prog)

@@ -1,10 +1,15 @@
 """Streaming-prover scale driver: prove a 2^N-row trace on one chip
-with bounded HBM, recording wall time and device memory stats."""
+with bounded HBM, recording wall time, device memory stats, and verify
+status — the at-scale evidence artifact (round-5 ask #1).  Writes one
+JSON line to STREAM_OUT (default stream_prove_result.json) on top of
+the human-readable log."""
 import os, sys, time, json
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ["ZKIR_PROVE_LOG"] = "1"
+os.environ.setdefault("ZKIR_PROVE_LOG", "1")
 import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/zkir_jax_cache")
+from zkir_tpu.prover.constraints import cache_dir
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(cache_dir(), "xla"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import numpy as np
 from zkir_tpu.prover import verify_trace
@@ -13,9 +18,13 @@ from zkir_tpu.prover.fri import FriConfig
 from zkir_tpu.prover.streaming import prove_trace_streaming
 
 LOG = int(os.environ.get("STREAM_LOG_ROWS", "20"))
+BLOCK = int(os.environ.get("STREAM_COL_BLOCK", "64"))
+rec = {"log_rows": LOG, "col_block": BLOCK,
+       "backend": jax.default_backend()}
 t0 = time.time()
 matrix = exact_trace_matrix(LOG, chunk=4096)
-print(f"trace built: {matrix.shape} in {time.time()-t0:.1f}s", flush=True)
+rec["trace_build_s"] = round(time.time() - t0, 1)
+print(f"trace built: {matrix.shape} in {rec['trace_build_s']}s", flush=True)
 dev = jax.devices()[0]
 def hbm():
     try:
@@ -25,10 +34,19 @@ def hbm():
         return {"err": str(e)}
 print("hbm before:", hbm(), flush=True)
 t0 = time.time()
-proof = prove_trace_streaming(matrix, FriConfig(), col_block=64)
+proof = prove_trace_streaming(matrix, FriConfig(), col_block=BLOCK)
 dt = time.time() - t0
+rec["prove_s"] = round(dt, 1)
+rec["rows_per_s"] = round(matrix.shape[0] / dt)
+rec["hbm_after"] = hbm()
 print(f"STREAM PROVE 2^{LOG}: {dt:.1f}s = {matrix.shape[0]/dt:.0f} rows/s", flush=True)
-print("hbm after:", hbm(), flush=True)
+print("hbm after:", rec["hbm_after"], flush=True)
 t0 = time.time()
 ok = verify_trace(proof)
-print("verified:", ok, f"in {time.time()-t0:.1f}s", flush=True)
+rec["verified"] = bool(ok)
+rec["verify_s"] = round(time.time() - t0, 1)
+print("verified:", ok, f"in {rec['verify_s']}s", flush=True)
+out = os.environ.get("STREAM_OUT", "stream_prove_result.json")
+with open(out, "a") as f:
+    f.write(json.dumps(rec) + "\n")
+print("recorded ->", out, flush=True)

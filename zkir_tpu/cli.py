@@ -81,17 +81,32 @@ def cmd_prove(args) -> int:
     from .interp import InterpConfig, TpuInterpreter
     from .prover import prove_trace, trace_to_matrix
 
+    _configure_caches()
     program = _load_program(args.binary)
     inputs = [int(x, 0) for x in args.input]
     interp = TpuInterpreter(program, InterpConfig(
         lanes=1, chunk=256, collect_trace=True))
     result = interp.run([inputs], max_cycles=args.max_cycles)
     matrix = trace_to_matrix(result["trace"], program=program)
-    if args.bind:
+    mesh = None
+    if args.mesh:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(args.mesh)
+    if args.streaming:
+        # Column-streaming prover: bounded HBM (O(col_block x domain)),
+        # bit-identical proof; always the full constraint set.
+        from .prover.streaming import prove_trace_streaming
+
+        proof = prove_trace_streaming(
+            matrix, program=program if args.bind else None,
+            col_block=args.col_block, mesh=mesh)
+    elif args.bind:
         proof = prove_trace(matrix, range_lookup=True, program=program,
-                            checkpoint_dir=args.checkpoint_dir)
+                            mesh=mesh, checkpoint_dir=args.checkpoint_dir)
     else:
-        proof = prove_trace(matrix, checkpoint_dir=args.checkpoint_dir)
+        proof = prove_trace(matrix, mesh=mesh,
+                            checkpoint_dir=args.checkpoint_dir)
     import dataclasses as _dc
     proof["fri"]["config"] = _dc.asdict(proof["fri"]["config"])
     out = args.output or "proof.json"
@@ -102,28 +117,45 @@ def cmd_prove(args) -> int:
 
 
 def cmd_warm(args) -> int:
-    """Pre-populate the persistent XLA kernel cache for a prove shape:
-    run one full prove of a synthetic trace of the given size.  A cold
-    machine pays the quotient sub-kernel compiles here, in parallel;
-    every later prove of any 2^log-rows trace starts in seconds."""
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir",
-                      args.cache_dir or "/tmp/zkir_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    """Pre-populate the persistent caches for a prove shape: run one
+    full prove of a synthetic trace of the given size.  A cold machine
+    pays the quotient sub-kernel compiles here, in parallel, AND
+    serializes the traced+lowered quotient part kernels (AOT export) —
+    every later fresh-process prove of a 2^log-rows trace skips both
+    the XLA compiles and the ~336k-eqn term-graph retrace."""
     import time
 
     from .prover import FriConfig, prove_trace, verify_trace
     from .prover.benchtrace import exact_trace_matrix
 
+    _configure_caches(args.cache_dir)
     t0 = time.perf_counter()
     matrix = exact_trace_matrix(args.log_rows)
-    proof = prove_trace(matrix, FriConfig(), range_lookup=True)
+    if args.streaming:
+        from .prover.streaming import prove_trace_streaming
+
+        proof = prove_trace_streaming(matrix, FriConfig(),
+                                      col_block=args.col_block)
+    else:
+        proof = prove_trace(matrix, FriConfig(), range_lookup=True)
     assert verify_trace(proof)
     print(f"warmed prove kernels for 2^{args.log_rows} rows in "
-          f"{time.perf_counter() - t0:.1f}s (cache: "
-          f"{args.cache_dir or '/tmp/zkir_jax_cache'})")
+          f"{time.perf_counter() - t0:.1f}s")
     return 0
+
+
+def _configure_caches(cache_dir=None) -> None:
+    import os
+
+    import jax
+
+    from .prover.constraints import cache_dir as default_dir
+
+    if cache_dir:
+        os.environ["ZKIR_CACHE_DIR"] = cache_dir
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(cache_dir or default_dir(), "xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def cmd_verify(args) -> int:
@@ -180,6 +212,15 @@ def main(argv=None) -> int:
                    help="persist per-stage prove artifacts here; a killed "
                         "prove rerun with the same inputs resumes past "
                         "completed stages (bit-identical proof)")
+    p.add_argument("--streaming", action="store_true",
+                   help="column-streaming prover: peak HBM bounded by "
+                        "O(col-block x domain); bit-identical proof, "
+                        "always the full constraint set")
+    p.add_argument("--col-block", type=int, default=64,
+                   help="streaming column block size (default 64)")
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="shard the prove over an N-device mesh "
+                        "(composes with --streaming)")
     p.add_argument("-o", "--output")
     p.set_defaults(fn=cmd_prove)
 
@@ -187,6 +228,9 @@ def main(argv=None) -> int:
                                     "trace size (persistent cache)")
     p.add_argument("--log-rows", type=int, default=13)
     p.add_argument("--cache-dir")
+    p.add_argument("--streaming", action="store_true",
+                   help="warm the streaming prover's kernels instead")
+    p.add_argument("--col-block", type=int, default=64)
     p.set_defaults(fn=cmd_warm)
 
     p = sub.add_parser("verify", help="verify a proof")

@@ -166,8 +166,8 @@ def _build_memory_table(padded: np.ndarray, n_real: int,
                               M_AHI, M_CHA, M_CHB, M_CHC, M_CLK, M_HIEQ,
                               M_NB0, M_OB0, M_QA, M_QB, M_REAL, M_SAME,
                               STORE_OPS)
-    from .trace import (COL_CNA0, COL_CRB0, COL_CWD0, COL_CWO0, COL_ECR,
-                        N_WRITE_SLOTS)
+    from .trace import (COL_CBLK, COL_CMORE, COL_CNA0, COL_CRB0,
+                        COL_CWD0, COL_CWO0, COL_ECR, N_WRITE_SLOTS)
 
     n = padded.shape[0]
     op = padded[:n_real, COL_OPCODE]
@@ -178,13 +178,17 @@ def _build_memory_table(padded: np.ndarray, n_real: int,
     for r in crows:
         nc = int(np.nonzero(padded[r, COL_CNA0:COL_CNA0 + 8])[0][0])
         clk = int(padded[r, COL_CLK])
+        cblk = int(padded[r, COL_CBLK])
+        more = int(padded[r, COL_CMORE])
         r11 = (int(padded[r, 8 + 11]) + (int(padded[r, 24 + 11]) << 20))
         r13 = (int(padded[r, 8 + 13]) + (int(padded[r, 24 + 13]) << 20))
         for s in range(nc):
-            cell = (r11 >> 3) + s
+            cell = (r11 >> 3) + 7 * cblk + s
             b = [int(padded[r, COL_CRB0 + 8 * s + j]) for j in range(8)]
             crypto_rows.append((cell & 0x1FFFF, cell >> 17,
                                 2 * clk + 1, b, b))
+        if more:
+            continue        # digest writes fire on the final chunk only
         for s in range(N_WRITE_SLOTS):
             cell = (r13 >> 3) + s
             ob = [int(padded[r, COL_CWO0 + 8 * s + j]) for j in range(8)]
@@ -549,51 +553,77 @@ def _io_partial_sum(padded: np.ndarray, beta, delta):
 
 def extract_crypto_tape(matrix: np.ndarray):
     """The claimed public crypto tape read off a trace matrix: one
-    entry per crypto-syscall row (in cidx order) of
-    ``(num, len, msg_bytes)`` where msg_bytes are the 56 committed
-    input-cell bytes (zero beyond the active slots; the hash input is
-    ``msg_bytes[:len]``)."""
-    from .trace import COL_CRB0, COL_ECR, N_READ_SLOTS
+    entry per crypto CHUNK ROW (in cidx order) of
+    ``(num, len, more, msg_bytes)`` where len is THIS chunk's byte
+    count (8*nc - pad), ``more`` flags a non-final chunk, and msg_bytes
+    are the 56 committed input-cell bytes (zero beyond the active
+    slots; the chunk's hash input is ``msg_bytes[:len]``).  A chain's
+    full message is the concatenation of its consecutive entries."""
+    from .trace import (COL_CMORE, COL_CNA0, COL_CPAD, COL_CRB0, COL_ECR,
+                        N_READ_SLOTS)
 
     rows = np.nonzero(matrix[:, COL_ECR])[0]
     entries = []
     for r in rows:
         num = int(matrix[r, 8 + 10])
-        r12 = (int(matrix[r, 8 + 12]) + (int(matrix[r, 24 + 12]) << 20))
+        nc = int(np.nonzero(matrix[r, COL_CNA0:COL_CNA0 + 8])[0][0])
+        ln = 8 * nc - int(matrix[r, COL_CPAD])
         msg = [int(matrix[r, COL_CRB0 + k])
                for k in range(8 * N_READ_SLOTS)]
-        entries.append({"num": num, "len": r12, "msg": msg})
+        entries.append({"num": num, "len": ln,
+                        "more": int(matrix[r, COL_CMORE]), "msg": msg})
     return entries
 
 
 def crypto_tape_demand(entries, beta, delta):
-    """The VERIFIER-computed crypto-tape demand: for each claimed entry
-    the digest is RECOMPUTED from the claimed input bytes
-    (trace.crypto_digest), so an accepted proof attests that every
-    crypto syscall's in-memory digest is the true hash of its in-memory
-    input.  Returns a QM31 4-tuple; zero for an empty tape."""
+    """The VERIFIER-computed crypto-tape demand.  Entries are per
+    CHUNK ROW; consecutive entries with ``more = 1`` chain into one
+    logical message (multi-block hashing — trace.py layout comment at
+    CR_BASE), whose digest is RECOMPUTED from the claimed chunk bytes
+    (trace.crypto_digest) and demanded on the FINAL entry (non-final
+    entries demand all-zero digest bytes, matching the pinned-zero
+    write slots) — so an accepted proof attests that every crypto
+    syscall's in-memory digest is the true hash of its full in-memory
+    input, however many chunks it spans.  Returns a QM31 4-tuple; zero
+    for an empty tape; None (reject) for a malformed claimed tape."""
     from .trace import CRYPTO_MAX_LEN, N_READ_SLOTS, crypto_digest
 
     if not entries:
         return (0, 0, 0, 0)
     m = len(entries)
-    n_comp = 3 + 8 * N_READ_SLOTS + 32
+    n_comp = 4 + 8 * N_READ_SLOTS + 32
     comp = [np.zeros(m, dtype=np.uint32) for _ in range(n_comp)]
+    acc = bytearray()      # current chain's accumulated message
+    acc_num = None
     for i, e in enumerate(entries):
         num, ln = int(e["num"]), int(e["len"])
+        more = int(e.get("more", 0))
         msg = [int(b) for b in e["msg"]]
         if not (3 <= num <= 6) or not (0 <= ln <= CRYPTO_MAX_LEN) \
+                or more not in (0, 1) \
                 or len(msg) != 8 * N_READ_SLOTS \
                 or any(not 0 <= b < 256 for b in msg):
             return None  # malformed claimed tape -> reject
-        digest = crypto_digest(num, bytes(msg[:ln]))
+        if acc_num is not None and num != acc_num:
+            return None  # a chain cannot change algorithm mid-way
+        if more and ln != CRYPTO_MAX_LEN:
+            return None  # non-final chunks carry exactly 56 bytes
+        acc += bytes(msg[:ln])
+        acc_num = num
+        digest = b"\x00" * 32 if more else crypto_digest(num, bytes(acc))
+        if not more:
+            acc = bytearray()
+            acc_num = None
         comp[0][i] = num
         comp[1][i] = i
         comp[2][i] = ln
+        comp[3][i] = more
         for k in range(8 * N_READ_SLOTS):
-            comp[3 + k][i] = msg[k]
+            comp[4 + k][i] = msg[k]
         for k in range(32):
-            comp[3 + 8 * N_READ_SLOTS + k][i] = digest[k]
+            comp[4 + 8 * N_READ_SLOTS + k][i] = digest[k]
+    if acc_num is not None:
+        return None  # dangling chain (last entry claims more)
     t4 = _delta_compress_dev([jnp.asarray(c) for c in comp], delta)
     out = _qm31_inv_sum_kernel(_beta_minus(beta, t4))
     return tuple(int(x) for x in out)
@@ -606,6 +636,7 @@ def _observe_crypto(challenger, entries) -> None:
     for e in entries:
         challenger.observe(int(e["num"]))
         challenger.observe(int(e["len"]))
+        challenger.observe(int(e.get("more", 0)))
         challenger.observe_many(int(b) for b in e["msg"])
 
 
@@ -618,14 +649,19 @@ def _crypto_slot_inverses(padded: np.ndarray, beta, delta):
     from ..ops.qm31 import qm31_batch_inv
 
     from .constraints import COL_CLK, N_SLOTS
-    from .trace import (COL_CNA0, COL_CRB0, COL_CRC1, COL_CWC1, COL_CWD0,
-                        COL_CWO0, COL_ECR, N_READ_SLOTS, N_WRITE_SLOTS)
+    from .trace import (COL_CBLK, COL_CMORE, COL_CNA0, COL_CRB0, COL_CRC0,
+                        COL_CRC1, COL_CWC1, COL_CWD0, COL_CWO0, COL_ECR,
+                        N_READ_SLOTS, N_WRITE_SLOTS)
 
     n = padded.shape[0]
     inv8 = pow(8, P - 2, P)
     clk = padded[:, COL_CLK].astype(np.uint64)
     na = padded[:, COL_CNA0:COL_CNA0 + 8]
     ecr = padded[:, COL_ECR]
+    cblk7 = 7 * padded[:, COL_CBLK].astype(np.uint64)
+    elast = ((ecr.astype(np.int64)
+              - padded[:, COL_CMORE].astype(np.int64)) % P).astype(
+        np.uint32)
     w_stack = []     # per-slot component lists
     act_stack = []
     for s in range(N_SLOTS):
@@ -633,11 +669,12 @@ def _crypto_slot_inverses(padded: np.ndarray, beta, delta):
             i = s
             lo = padded[:, 8 + 11].astype(np.uint64)
             hi = padded[:, 24 + 11].astype(np.uint64)
-            carry = (np.zeros(n, dtype=np.uint64) if i == 0
+            carry = (padded[:, COL_CRC0].astype(np.uint64) if i == 0
                      else padded[:, COL_CRC1 + i - 1].astype(np.uint64))
             ts = 2 * clk + 1
             ob = [padded[:, COL_CRB0 + 8 * i + j] for j in range(8)]
             nb = ob
+            offset = cblk7 + i
             active = na[:, i + 1:].sum(axis=1).astype(np.uint32)
         else:
             i = s - N_READ_SLOTS
@@ -648,8 +685,9 @@ def _crypto_slot_inverses(padded: np.ndarray, beta, delta):
             ts = 2 * clk + 2
             ob = [padded[:, COL_CWO0 + 8 * i + j] for j in range(8)]
             nb = [padded[:, COL_CWD0 + 8 * i + j] for j in range(8)]
-            active = ecr
-        q_s = (lo * inv8 + i + (P - ((carry << 17) % P))) % P
+            offset = np.uint64(i)
+            active = elast
+        q_s = (lo * inv8 + offset + (P - ((carry << 17) % P))) % P
         ahi_s = (hi + carry) % P
         comps = [q_s.astype(np.uint32), ahi_s.astype(np.uint32),
                  ts.astype(np.uint32)] + list(ob) + list(nb)
@@ -669,8 +707,9 @@ def _crypto_tape_partial_sum(padded: np.ndarray, beta, delta):
     (per-row term ecr/(beta - w_tape)) columns (QM31 4-tuples [n])."""
     from ..ops.qm31 import qm31_batch_inv
 
-    from .trace import (COL_CIDX, COL_CNA0, COL_CPAD, COL_CRB0, COL_CWD0,
-                        COL_ECR, N_READ_SLOTS, N_WRITE_SLOTS)
+    from .trace import (COL_CIDX, COL_CMORE, COL_CNA0, COL_CPAD,
+                        COL_CRB0, COL_CWD0, COL_ECR, N_READ_SLOTS,
+                        N_WRITE_SLOTS)
 
     n = padded.shape[0]
     num = padded[:, 8 + 10] * padded[:, COL_ECR]   # R10 low limb on
@@ -680,7 +719,7 @@ def _crypto_tape_partial_sum(padded: np.ndarray, beta, delta):
     ln = (8 * nc.astype(np.int64)
           - padded[:, COL_CPAD].astype(np.int64)) % P
     comps = [num.astype(np.uint32), padded[:, COL_CIDX],
-             ln.astype(np.uint32)]
+             ln.astype(np.uint32), padded[:, COL_CMORE]]
     comps += [padded[:, COL_CRB0 + k] for k in range(8 * N_READ_SLOTS)]
     comps += [padded[:, COL_CWD0 + k] for k in range(8 * N_WRITE_SLOTS)]
     bw = _beta_minus_compress_np(comps, beta, delta)

@@ -293,31 +293,53 @@ COL_WIDX = IO_BASE + 6
 # ECALL row with num in {3..6} (SHA256/POSEIDON2/KECCAK256/BLAKE3) the
 # machine hashes len = R12 bytes at ptr = R11 and writes the 32-byte
 # digest at out = R13.  The PROVABLE DOMAIN is 8-aligned ptr/out with
-# len <= 56 (the runtime executes anything; unaligned or longer inputs
-# are a documented completeness limit — trace_to_matrix raises).
+# len <= CRYPTO_MAX_TOTAL (the runtime executes anything; unaligned or
+# longer inputs are a documented completeness limit — trace_to_matrix
+# raises).
 #
-# Design (no in-AIR hash): the row carries up to 7 READ SLOTS (one per
-# input cell, bytes ob==nb) and exactly 4 WRITE SLOTS (digest cells,
-# old -> digest bytes), each entering the byte-level memory-update
-# multiset as an extra demand via a committed phase-2 inverse column
-# (inv_s * (beta - w_s) = active_s); reads timestamp 2*clk + 1, writes
-# 2*clk + 2 (regular loads/stores use 2*clk + 2), so an in-place hash
-# read-then-write chains correctly.  Slot keys derive from R11/R13:
-# q_0 = R11_lo / 8 (field-exact; forces 8-alignment), ahi_0 = R11_hi,
-# q_i = q_0 + i - 2^17 c_i with committed carry bits.  The (num, cidx,
-# len, 56 input bytes, 32 digest bytes) tuple of every crypto row is
-# LogUp-bound to the PUBLIC crypto tape; the verifier RECOMPUTES each
-# digest from the claimed input bytes (prover.crypto_tape_demand), so a
-# forged digest byte kills the proof at the verifier.  Layout:
+# Design (no in-AIR hash): each crypto CHUNK ROW carries up to 7 READ
+# SLOTS (one per input cell, bytes ob==nb) and 4 WRITE SLOTS (digest
+# cells, old -> digest bytes; live only on the FINAL chunk row), each
+# entering the byte-level memory-update multiset as an extra demand via
+# a committed phase-2 inverse column (inv_s * (beta - w_s) = active_s);
+# reads timestamp 2*clk + 1, writes 2*clk + 2 (regular loads/stores use
+# 2*clk + 2), so an in-place hash read-then-write chains correctly.
+# Slot keys derive from R11/R13: q_0 = R11_lo / 8 (field-exact; forces
+# 8-alignment), ahi_0 = R11_hi, read slot i of chunk cblk has key
+# q_0 + 7*cblk + i - 2^17 c_i with committed carry bits.
+#
+# MULTI-BLOCK CHAINING (len > 56, round-5 upgrade): a syscall hashing
+# len bytes expands into ceil(len/56) ADJACENT chunk rows sharing the
+# machine state (pc and registers frozen across the chain; clk still
+# advances, so every chunk's memory reads are distinctly timestamped).
+# Chain bookkeeping columns, all AIR-enforced:
+#   cblk   chunk index within the chain (0 on a fresh syscall; the
+#          slot keys advance by 7 cells per chunk)
+#   more   1 on every chunk row except the last
+#   crem   bytes REMAINING at this chunk: crem = R12_lo on the first
+#          chunk (R12_hi pinned 0, so len < 2^20 by register range),
+#          crem' = crem - 56 across more-rows, and the final row pins
+#          crem = 8*nc - pad in [0, 56] — so the CHAIN LENGTH and total
+#          hashed byte count are forced by R12 (a truncated or extended
+#          chain cannot close: 56k ~ p needs ~2^25 rows > any domain).
+# Non-final rows pin len = 56 (full slots) and zero digest slots.
+#
+# The (num, cidx, chunk_len, more, 56 input bytes, 32 digest bytes)
+# tuple of EVERY chunk row is LogUp-bound to the PUBLIC crypto tape;
+# the verifier reassembles each chain's message from consecutive
+# entries and RECOMPUTES the digest (prover.crypto_tape_demand), so a
+# forged digest byte — or a forged intermediate chunk byte — kills the
+# proof at the verifier.  Layout:
 #   ecr         crypto-row flag (= b2 + b0*b1 of the io block bits)
-#   cidx        running crypto-call index (exclusive prefix count)
-#   na0..na7    one-hot: number of active read slots (ceil(len/8))
-#   pad         8*nc - len, in [0, 8) (lookup channel, coeff 128)
-#   crc1..crc6  read-slot key carry bits (slot i key = base + i)
+#   cidx        running crypto-row index (exclusive prefix count)
+#   na0..na7    one-hot: number of active read slots this chunk
+#   pad         8*nc - chunk_len, in [0, 8) (lookup channel, coeff 128)
+#   crc1..crc6  read-slot key carry bits (slot i key = base + 7cblk + i)
 #   cwc1..cwc3  write-slot key carry bits
 #   crb[7][8]   read-slot cell bytes (zero on inactive slots)
 #   cwo[4][8]   write-slot OLD cell bytes (pre-digest contents)
-#   cwd[4][8]   digest bytes
+#   cwd[4][8]   digest bytes (final chunk row only)
+#   cblk, more, crem   chain bookkeeping (above)
 CR_BASE = IO_BASE + 7
 COL_ECR = CR_BASE
 COL_CIDX = CR_BASE + 1
@@ -328,10 +350,19 @@ COL_CWC1 = CR_BASE + 17           # 3 write carry bits (slots 1..3)
 COL_CRB0 = CR_BASE + 20           # 7 x 8 read-slot bytes
 COL_CWO0 = CR_BASE + 76           # 4 x 8 write-slot old bytes
 COL_CWD0 = CR_BASE + 108          # 4 x 8 digest bytes
-N_CRYPTO_COLUMNS = 140
+COL_CBLK = CR_BASE + 140          # chunk index within the chain
+COL_CMORE = CR_BASE + 141         # 1 on non-final chunk rows
+COL_CREM = CR_BASE + 142          # bytes remaining at this chunk
+COL_CRC0 = CR_BASE + 143          # read-slot-0 key carry bit (a later
+#                                   chunk's base cell q0 + 7*cblk can
+#                                   itself cross the 2^17 key boundary)
+N_CRYPTO_COLUMNS = 144
 N_COLUMNS = CR_BASE + N_CRYPTO_COLUMNS
 
-CRYPTO_MAX_LEN = 56               # read slots cover <= 7 cells
+CRYPTO_MAX_LEN = 56               # read slots cover <= 7 cells/chunk
+CRYPTO_MAX_TOTAL = 1 << 16        # chain completeness cap (64 KB): keeps
+#                                   7*cblk + 6 well under 2^17 so the
+#                                   slot-key carry stays a single bit
 N_READ_SLOTS = 7
 N_WRITE_SLOTS = 4
 
@@ -682,47 +713,87 @@ def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0,
         got = cells.get(cell)
         return initial_cell(cell) if got is None else got
 
+    # Multi-block chains: extra chunk rows (j >= 1) per long crypto
+    # syscall, inserted by the expansion pass below the main loop.
+    chain_extra: Dict[int, list] = {}
+
+    def apply_chunk(row: np.ndarray, f: Dict[str, int]) -> None:
+        row[COL_ECR] = 1
+        row[COL_CNA0:COL_CNA0 + 8] = 0
+        row[COL_CNA0 + f["nc"]] = 1
+        row[COL_CPAD] = f["pad"]
+        row[COL_CBLK] = f["cblk"]
+        row[COL_CMORE] = f["more"]
+        row[COL_CREM] = f["crem"]
+        row[COL_CRC0] = f["crc0"]
+        row[COL_CRC1:COL_CRC1 + N_READ_SLOTS - 1] = f["crc"]
+        row[COL_CWC1:COL_CWC1 + N_WRITE_SLOTS - 1] = f["cwc"]
+        row[COL_CRB0:COL_CRB0 + 56] = f["crb"]
+        row[COL_CWO0:COL_CWO0 + 32] = f["cwo"]
+        row[COL_CWD0:COL_CWD0 + 32] = f["cwd"]
+
     def replay_crypto(i: int) -> None:
         num = int(r10v[i])
         ptr = int(values[i, 11])
         ln = int(values[i, 12])
         out_ptr = int(values[i, 13])
-        if ln > CRYPTO_MAX_LEN:
+        if ln > CRYPTO_MAX_TOTAL:
             raise ValueError(
                 f"crypto syscall at trace row {i} hashes {ln} bytes; the "
-                f"provable domain is len <= {CRYPTO_MAX_LEN} (the runtime "
-                "still executes it — documented completeness limit)")
+                f"provable domain is len <= {CRYPTO_MAX_TOTAL} (the "
+                "runtime still executes it — documented completeness "
+                "limit)")
         if (ln > 0 and ptr % 8) or out_ptr % 8:
             raise ValueError(
                 f"crypto syscall at trace row {i} uses unaligned "
                 f"ptr={ptr:#x}/out={out_ptr:#x}; the provable domain "
                 "requires 8-byte alignment (documented completeness limit)")
-        nc = (ln + 7) // 8
-        out[i, COL_ECR] = 1
-        out[i, COL_CNA0 + nc] = 1
-        out[i, COL_CPAD] = 8 * nc - ln
+        n_chunks = max(1, -(-ln // CRYPTO_MAX_LEN))
         base_cell = ptr >> 3
+        q0 = base_cell & 0x1FFFF
         msg = bytearray()
-        for s in range(nc):
-            cv = cell_value(base_cell + s)
-            if s >= 1:
-                q0 = base_cell & 0x1FFFF
-                out[i, COL_CRC1 + s - 1] = 1 if q0 + s >= (1 << 17) else 0
-            for j in range(8):
-                out[i, COL_CRB0 + 8 * s + j] = (cv >> (8 * j)) & 0xFF
-            msg += int(cv).to_bytes(8, "little")
+        nc_total = (ln + 7) // 8
+        for s in range(nc_total):
+            msg += int(cell_value(base_cell + s)).to_bytes(8, "little")
         digest = crypto_digest(num, bytes(msg[:ln]))
-        w_cell = out_ptr >> 3
-        for s in range(N_WRITE_SLOTS):
-            old = cell_value(w_cell + s)
-            new = int.from_bytes(digest[8 * s: 8 * s + 8], "little")
-            if s >= 1:
-                q0 = w_cell & 0x1FFFF
-                out[i, COL_CWC1 + s - 1] = 1 if q0 + s >= (1 << 17) else 0
-            for j in range(8):
-                out[i, COL_CWO0 + 8 * s + j] = (old >> (8 * j)) & 0xFF
-                out[i, COL_CWD0 + 8 * s + j] = (new >> (8 * j)) & 0xFF
-            cells[w_cell + s] = new
+
+        def chunk_fields(j: int) -> Dict[str, int]:
+            last = j == n_chunks - 1
+            nc_j = (nc_total - 7 * j) if last else 7
+            len_j = (ln - 56 * j) if last else 56
+            f = {"ecr": 1, "nc": nc_j, "pad": 8 * nc_j - len_j,
+                 "cblk": j, "more": 0 if last else 1,
+                 "crem": ln - 56 * j, "crb": [0] * 56,
+                 "crc0": 1 if (nc_total and q0 + 7 * j >= (1 << 17))
+                 else 0,
+                 "crc": [0] * (N_READ_SLOTS - 1),
+                 "cwo": [0] * 32, "cwd": [0] * 32,
+                 "cwc": [0] * (N_WRITE_SLOTS - 1)}
+            for s in range(nc_j):
+                off = 7 * j + s
+                if s >= 1:
+                    f["crc"][s - 1] = 1 if q0 + off >= (1 << 17) else 0
+                cv = int.from_bytes(msg[8 * off: 8 * off + 8], "little")
+                for b in range(8):
+                    f["crb"][8 * s + b] = (cv >> (8 * b)) & 0xFF
+            if last:
+                w_cell = out_ptr >> 3
+                wq0 = w_cell & 0x1FFFF
+                for s in range(N_WRITE_SLOTS):
+                    old = cell_value(w_cell + s)
+                    new = int.from_bytes(digest[8 * s: 8 * s + 8],
+                                         "little")
+                    if s >= 1:
+                        f["cwc"][s - 1] = 1 if wq0 + s >= (1 << 17) else 0
+                    for b in range(8):
+                        f["cwo"][8 * s + b] = (old >> (8 * b)) & 0xFF
+                        f["cwd"][8 * s + b] = (new >> (8 * b)) & 0xFF
+                    cells[w_cell + s] = new
+            return f
+
+        apply_chunk(out[i], chunk_fields(0))
+        if n_chunks > 1:
+            chain_extra[i] = [chunk_fields(j) for j in range(1, n_chunks)]
 
     for i in sorted(set(mrows.tolist()) | crows):
         if i in crows:
@@ -998,6 +1069,30 @@ def trace_to_matrix(trace: Dict[str, np.ndarray], lane: int = 0,
         out[:, COL_E0] = e0.astype(np.uint32)
         cd0 = live_div & ((prod_lo & _M20) + (r & _M20) >= (1 << 20))
         out[:, COL_CD0] = cd0.astype(np.uint32)
+
+    # --- Multi-block chain expansion (layout comment at CR_BASE) ---
+    # A crypto syscall hashing > 56 bytes becomes ceil(len/56) adjacent
+    # chunk rows: continuation rows copy the parent row (pc + registers
+    # frozen — exactly what the chain AIR requires) and overwrite only
+    # the crypto block; clk and cidx are then recomputed over the
+    # expanded row count.
+    if chain_extra:
+        reps = np.ones(n, dtype=np.int64)
+        for i, extras in chain_extra.items():
+            reps[i] += len(extras)
+        starts = np.cumsum(reps) - reps
+        out = np.repeat(out, reps, axis=0)
+        for i, extras in chain_extra.items():
+            for j, f in enumerate(extras):
+                apply_chunk(out[int(starts[i]) + 1 + j], f)
+        # Non-final chunk rows keep pc (ec_adv is gated by more); the
+        # shared pc-carry column is dead there — zero it.
+        out[out[:, COL_CMORE] == 1, 8 + 32 + 6] = 0
+        n = out.shape[0]
+        out[:, COL_CLK] = np.arange(n, dtype=np.uint32)
+        ecr_all = out[:, COL_ECR]
+        out[:, COL_CIDX] = (np.cumsum(ecr_all, dtype=np.uint64)
+                            - ecr_all).astype(np.uint32)
     return fill_io_block(out)
 
 
