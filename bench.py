@@ -35,7 +35,7 @@ def _configure_cache():
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.path.join(cache_dir(), "xla"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 

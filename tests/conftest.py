@@ -30,4 +30,4 @@ from zkir_tpu.prover.constraints import cache_dir  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(cache_dir(), "xla"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -10,7 +10,7 @@ import jax
 from zkir_tpu.prover.constraints import cache_dir
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(cache_dir(), "xla"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import numpy as np
 from zkir_tpu.prover import verify_trace
 from zkir_tpu.prover.benchtrace import exact_trace_matrix

@@ -31,8 +31,10 @@ import jax  # noqa: E402
 
 if not os.environ.get("WEAK_SCALING_REAL_DEVICES"):
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/zkir_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from zkir_tpu.prover.constraints import cache_dir  # noqa: E402
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(cache_dir(), "xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402
 

@@ -155,7 +155,7 @@ def _configure_caches(cache_dir=None) -> None:
         os.environ["ZKIR_CACHE_DIR"] = cache_dir
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(cache_dir or default_dir(), "xla"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def cmd_verify(args) -> int:

@@ -84,7 +84,7 @@ def _preprocess_aux_cached(log_n: int, log_blowup: int):
                        log_n, log_blowup, shift=shift)
     from .prover import _interleave_rows
     rows = _interleave_rows(ext_r, ext_i)  # [N, 12]
-    levels = merkle.to_host(merkle.build_tree(merkle.hash_rows(rows)))
+    levels = merkle.to_host(merkle.build_tree_fused(merkle.hash_rows(rows)))
     return {
         "cols": cols,
         "ext": (ext_r, ext_i),

@@ -2302,11 +2302,19 @@ def _source_fingerprint() -> str:
 
 def _aot_quotient_load(key: str):
     """Load serialized part kernels: (parts, consts) or None.  Any
-    malformed/partial directory (a kill mid-write) reads as a miss."""
+    malformed/partial directory (a kill mid-write) reads as a miss.
+
+    Parts are stored as PICKLED COMPILED EXECUTABLES
+    (jax.experimental.serialize_executable), not jax.export StableHLO:
+    the exported modules' bytes drift per process (fresh internal ids),
+    so every fresh process paid a full XLA recompile of all 12 parts
+    (~200 s over a remote-TPU tunnel) despite a persistent-cache "hit"
+    architecture.  A pickled executable loads in milliseconds and pays
+    zero compile."""
     import os
     import pickle
 
-    from jax import export as _export
+    from jax.experimental import serialize_executable as _se
 
     d = os.path.join(cache_dir(), "quotient", key)
     try:
@@ -2318,40 +2326,53 @@ def _aot_quotient_load(key: str):
         parts = []
         for i, (used_in, lo, hi) in enumerate(meta["parts"]):
             with open(os.path.join(d, f"part{i}.bin"), "rb") as f:
-                exp = _export.deserialize(f.read())
-            parts.append(((jax.jit(exp.call), used_in), (lo, hi)))
+                blob, in_tree, out_tree = pickle.load(f)
+            comp = _se.deserialize_and_load(blob, in_tree, out_tree)
+            parts.append(((comp, used_in), (lo, hi)))
         return parts, consts
     except Exception:
         return None
 
 
 def _aot_quotient_save(key: str, parts, consts, example_args,
-                       pw_np, dinv) -> None:
-    """Serialize each part's compiled-shape kernel (jax.export: traced
-    + lowered StableHLO, no challenge values baked in) plus the term
-    graph's constants.  Atomic via tmpdir + rename."""
+                       pw_np, dinv):
+    """Compile each part for its concrete shapes and pickle the loaded
+    TPU/CPU executable (jax.experimental.serialize_executable) plus the
+    term graph's constants.  Atomic via tmpdir + rename.  Returns the
+    compiled parts (so the calling process executes through the same
+    executables it just persisted), or None on failure."""
     import os
     import pickle
 
-    from jax import export as _export
+    from jax.experimental import serialize_executable as _se
 
     d = os.path.join(cache_dir(), "quotient", key)
     if os.path.isdir(d):
-        return
+        return None
     tmp = d + f".tmp{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
     try:
-        meta_parts = []
-        new_parts = []
-        for i, ((runner, used_in), (lo, hi)) in enumerate(parts):
+        import concurrent.futures as _fut
+
+        def compile_part(item):
+            (runner, used_in), (lo, hi) = item
             args_used = tuple(a for a, u in zip(example_args, used_in)
                               if u)
-            exp = _export.export(runner)(
-                args_used, jnp.asarray(pw_np[lo:hi]), dinv)
+            return runner.lower(args_used, jnp.asarray(pw_np[lo:hi]),
+                                dinv).compile()
+
+        with _fut.ThreadPoolExecutor(max_workers=min(8, len(parts))) \
+                as pool:
+            comps = list(pool.map(compile_part, parts))
+        meta_parts = []
+        new_parts = []
+        for i, (comp, ((runner, used_in), (lo, hi))) in enumerate(
+                zip(comps, parts)):
+            blob, in_tree, out_tree = _se.serialize(comp)
             with open(os.path.join(tmp, f"part{i}.bin"), "wb") as f:
-                f.write(exp.serialize())
+                pickle.dump((blob, in_tree, out_tree), f, protocol=4)
             meta_parts.append((used_in, lo, hi))
-            new_parts.append(((jax.jit(exp.call), used_in), (lo, hi)))
+            new_parts.append(((comp, used_in), (lo, hi)))
         np.savez(os.path.join(tmp, "consts.npz"),
                  **{f"c{i}": np.asarray(c) for i, c in enumerate(consts)})
         with open(os.path.join(tmp, "meta.pkl"), "wb") as f:

@@ -90,7 +90,14 @@ class FriConfig:
     """
 
     log_blowup: int = 2
-    log_final: int = 3     # stop folding at 2^log_final evaluations
+    # Stop folding at 2^log_final evaluations (clamped to log_n - 1 for
+    # tiny domains).  6 trades ~1 KB of plaintext final layer for three
+    # fewer fold rounds than the round-4 default of 3 — each round is a
+    # Merkle build + a host round trip through the Fiat-Shamir
+    # transcript, which dominates warm-prove FRI time on a remote-TPU
+    # link.  Soundness is unaffected: the verifier checks the final
+    # layer's degree directly.
+    log_final: int = 6
     num_queries: int = 32
     grinding_bits: int = 16
     min_security: int = 80
@@ -158,8 +165,9 @@ def fri_prove(vals, log_n: int, challenger: Challenger,
     cur = tuple(jnp.asarray(c) for c in vals)
     log = log_n
     cur_shift = tuple(shift)
+    log_final = min(config.log_final, log_n - 1)
 
-    while log > config.log_final:
+    while log > log_final:
         # Per layer, only the 8-word ROOT crosses to the host (the fold
         # chain is sequential through the transcript); the full levels
         # and values transfer once, after the loop, for the query phase.
@@ -250,18 +258,19 @@ def fri_verify(proof: Dict[str, Any], challenger: Challenger) -> bool:
                                 config.grinding_bits):
         return False
 
+    log_final = min(config.log_final, log_n - 1)
     num_layers = len(proof["roots"])
-    if num_layers != log_n - config.log_final:
+    if num_layers != log_n - log_final:
         return False
 
     # Final layer must be low degree: the componentwise iNTT (QM31 is a
     # 2-dim CM31 vector space; the NTT twiddles are CM31) beyond the
     # degree bound must vanish.
     fv = np.asarray(proof["final"], dtype=np.uint32)
-    bound = 1 << max(config.log_final - config.log_blowup, 0)
+    bound = 1 << max(log_final - config.log_blowup, 0)
     for base in (0, 2):
         cr, ci = intt(jnp.asarray(fv[base]), jnp.asarray(fv[base + 1]),
-                      config.log_final)
+                      log_final)
         if np.any(np.asarray(cr)[bound:]) or np.any(np.asarray(ci)[bound:]):
             return False
 
@@ -312,7 +321,7 @@ def fri_verify(proof: Dict[str, Any], challenger: Challenger) -> bool:
             expected = qm31_add_scalar(half_s, qm31_mul_scalar(beta, odd))
             cur_idx = leaf_idx
         # Final layer: the last fold must equal the plaintext final value.
-        final_h = 1 << config.log_final
+        final_h = 1 << log_final
         final_idx = cur_idx % final_h
         if tuple(proof["final"][k][final_idx] for k in range(4)) != expected:
             return False

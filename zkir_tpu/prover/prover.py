@@ -890,7 +890,7 @@ def preprocess_program(code_words, log_n: int,
     ext_r, ext_i = lde(jnp.asarray(cols), jnp.zeros_like(jnp.asarray(cols)),
                        log_n, fri_config.log_blowup, shift=shift)
     rows = _interleave_rows(ext_r, ext_i)  # [N, 8]
-    levels = merkle.to_host(merkle.build_tree(merkle.hash_rows(rows)))
+    levels = merkle.to_host(merkle.build_tree_fused(merkle.hash_rows(rows)))
     return {
         "cols": cols,
         "ext": (ext_r, ext_i),
@@ -1183,9 +1183,17 @@ def prove_trace(matrix: np.ndarray,
             ext_r = jax.device_put(ext_r.T, row_sharding).T
             ext_i = jax.device_put(ext_i.T, row_sharding).T
 
+        import os as _os
+
+        if _os.environ.get("ZKIR_PROVE_LOG"):   # sub-stage timing syncs
+            jax.block_until_ready(ext_r)
+            log(f"lde done ({n_cols} cols)")
         trace_rows = _interleave_rows(ext_r, ext_i)
-        levels1 = merkle.to_host(
-            merkle.build_tree(merkle.hash_rows(trace_rows)))
+        leaves1 = merkle.hash_rows(trace_rows)
+        if _os.environ.get("ZKIR_PROVE_LOG"):
+            jax.block_until_ready(leaves1)
+            log("trace rows hashed")
+        levels1 = merkle.to_host(merkle.build_tree_fused(leaves1))
         if store is not None:
             store.save("commit", {"ext_r": np.asarray(ext_r),
                                   "ext_i": np.asarray(ext_i),
@@ -1290,7 +1298,7 @@ def prove_trace(matrix: np.ndarray,
                                    fri_config.log_blowup, shift=shift)
             s_rows = _interleave_rows(s_ext_r, s_ext_i)
             levels_s = merkle.to_host(
-                merkle.build_tree(merkle.hash_rows(s_rows)))
+                merkle.build_tree_fused(merkle.hash_rows(s_rows)))
             if store is not None:
                 store.save("sums", {"s_ext_r": np.asarray(s_ext_r),
                                     "s_ext_i": np.asarray(s_ext_i),
@@ -1377,7 +1385,7 @@ def prove_trace(matrix: np.ndarray,
     q_rows = jnp.stack(
         [c for pair in q_cm_cols for c in pair], axis=1)   # [N, 8]
     if ck is None:
-        levels2 = merkle.to_host(merkle.build_tree(merkle.hash_rows(q_rows)))
+        levels2 = merkle.to_host(merkle.build_tree_fused(merkle.hash_rows(q_rows)))
         if store is not None:
             save = {"levels2": levels2}
             for k in range(4):

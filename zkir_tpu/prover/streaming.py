@@ -209,7 +209,7 @@ class _StreamedCommit:
                 sponge.absorb(_interleave_rows(er, ei))
             leaves[c::blowup] = np.asarray(sponge.finalize())
         self.levels = merkle.to_host(
-            merkle.build_tree(jnp.asarray(leaves)))
+            merkle.build_tree_fused(jnp.asarray(leaves)))
         return merkle.root(self.levels)
 
     def gather_rows(self, indices) -> Dict[int, np.ndarray]:
@@ -477,7 +477,7 @@ def prove_trace_streaming(matrix: np.ndarray,
                 q_coef[coord][1][j * n:(j + 1) * n])
             q_cm_cols.append(coset_ntt(cr, ci, log_big, shift=shift))
     q_rows = jnp.stack([cc for pair in q_cm_cols for cc in pair], axis=1)
-    levels2 = merkle.to_host(merkle.build_tree(merkle.hash_rows(q_rows)))
+    levels2 = merkle.to_host(merkle.build_tree_fused(merkle.hash_rows(q_rows)))
     root2 = merkle.root(levels2)
     challenger.observe_many(int(x) for x in root2)
     alpha_b = challenger.sample_qm31()
