@@ -2536,7 +2536,11 @@ def _quotient_parts_eval(ext_r, ext_i, log_blowup, dinv, alpha, chan_sums,
               f"{_time.perf_counter() - t0:.1f}s")
         return out
 
-    with _f.ThreadPoolExecutor(max_workers=min(8, len(parts))) as pool:
+    # Large domains: dispatch parts sequentially — each part saturates
+    # the chip on its own, and 8 concurrent parts' scratch workspaces
+    # stack up against the HBM headroom the streaming prover runs at.
+    workers = 1 if ext_r.shape[1] >= (1 << 20) else min(8, len(parts))
+    with _f.ThreadPoolExecutor(max_workers=workers) as pool:
         outs = list(pool.map(run_part, parts))
     acc = outs[0]
     for o in outs[1:]:

@@ -1294,6 +1294,13 @@ def prove_trace(matrix: np.ndarray,
                     for k in range(4)]            # [n_sums, n] x 4
             s_r = jnp.concatenate([comp[0], comp[2]], axis=0)
             s_i = jnp.concatenate([comp[1], comp[3]], axis=0)
+            # Free the per-channel intermediates: otherwise they stay
+            # referenced by these locals for the rest of the prove
+            # (several GB of dead HBM at large domains).
+            del s_chan, s_aux, slot_inv4, sm4, fm4, si4, fi4, scr4, fcr4
+            del slot_total, groups, comp
+            if prog is not None:
+                del sp4
             s_ext_r, s_ext_i = lde(s_r, s_i, log_n,
                                    fri_config.log_blowup, shift=shift)
             s_rows = _interleave_rows(s_ext_r, s_ext_i)

@@ -309,6 +309,8 @@ def prove_trace_streaming(matrix: np.ndarray,
     (see ``_StreamedCommit``).  All field arithmetic is exact integer
     math, so the proof is bit-identical to the single-device streaming
     proof (tested on the virtual 8-device CPU mesh)."""
+    from .prover import _stage_logger
+    log = _stage_logger()
     matrix = np.asarray(matrix, dtype=np.uint32)
     n_real = matrix.shape[0]
     padded, log_n = _pad_rows(matrix, min_log=10)
@@ -343,6 +345,7 @@ def prove_trace_streaming(matrix: np.ndarray,
     tc = _StreamedCommit(vals, None, log_n, fri_config.log_blowup,
                          shift, block=col_block, mesh=mesh)
     root1 = tc.commit()
+    log(f"trace committed (streamed, {n_cols} cols, 2^{log_n} rows)")
 
     challenger = Challenger()
     challenger.observe(log_n)
@@ -390,9 +393,18 @@ def prove_trace_streaming(matrix: np.ndarray,
             for k in range(4)]
     s_r = jnp.concatenate([comp[0], comp[2]], axis=0)  # [2*n_sums, n]
     s_i = jnp.concatenate([comp[1], comp[3]], axis=0)
+    # Free the phase-1.5 intermediates: every per-channel term/sum
+    # vector above stays referenced by these locals for the REST of the
+    # prove otherwise — ~3-4 GB of dead HBM at 2^20, which is exactly
+    # what pushed the first quotient coset over the 16 GB budget.
+    del s_chan, s_aux, slot_inv4, sm4, fm4, si4, fi4, scr4, fcr4
+    del slot_total, groups, comp
+    if prog is not None:
+        del sp4
     sc = _StreamedCommit(s_r, s_i, log_n, fri_config.log_blowup, shift,
                          block=col_block, mesh=mesh)
     root_s = sc.commit()
+    log(f"partial sums committed (streamed, {n_sums} QM31 columns)")
     challenger.observe_many(int(x) for x in root_s)
 
     d_init = memory_init_demand(program, beta, delta)
@@ -406,11 +418,17 @@ def prove_trace_streaming(matrix: np.ndarray,
     # coset == roll by blowup in full-domain order).
     n = 1 << log_n
     q_full = np.zeros((4, big), dtype=np.uint32)
-    ext_r_c = ext_i_c = s_ext_r_c = s_ext_i_c = None
+    ext_r_c = ext_i_c = None
+    lookup = aux_args = memory_args = io_args = crypto_args = None
+    prog_args = None
     for c in range(blowup):
-        # Free the previous coset's evaluations BEFORE building the next
-        # (holding both doubles the peak and OOMs at 2^20).
-        del ext_r_c, ext_i_c, s_ext_r_c, s_ext_i_c
+        # Free the previous coset's evaluations AND the argument tuples
+        # referencing its sums slices BEFORE building the next coset
+        # (jnp slicing copies, so a stale arg tuple pins a full extra
+        # sums matrix; holding two cosets at once OOMed at 2^20).
+        del ext_r_c, ext_i_c
+        del lookup, aux_args, memory_args, io_args, crypto_args
+        del prog_args
         ext_r_c, ext_i_c = _eval_all(vals, None, log_n, tc.shifts[c],
                                      col_block)
         s_ext_r_c, s_ext_i_c = _eval_all(s_r, s_i, log_n, tc.shifts[c],
@@ -445,6 +463,11 @@ def prove_trace_streaming(matrix: np.ndarray,
         if prog is not None:
             prog_args = ((prog_r_c, prog_i_c), sq(i_cr + N_CR_SUMS),
                          gamma, entry_point)
+        # The arg slices above COPIED every sums column they need; the
+        # full sums matrices are dead weight from here on — free them
+        # before the quotient dispatch (2 GB of headroom at 2^20).
+        jax.block_until_ready(s_ext_i_c)
+        del s_ext_r_c, s_ext_i_c
         # quotient_evals derives the domain divisors from (log_n,
         # log_blowup=0, shift_c): on the "blowup-0 coset LDE" the
         # domain IS coset c and Z_H is the constant shift_c^n - 1 —
@@ -455,6 +478,7 @@ def prove_trace_streaming(matrix: np.ndarray,
                             io=io_args, crypto=crypto_args)
         for k in range(4):
             q_full[k, c::blowup] = np.asarray(qc[k])
+        log(f"quotient coset {c + 1}/{blowup} evaluated")
 
     # Chunk Q = Q0 + x^n Q1 (QM31 -> two CM31 coordinate polys each).
     q_coef = [coset_intt(jnp.asarray(q_full[0]), jnp.asarray(q_full[1]),
@@ -480,6 +504,7 @@ def prove_trace_streaming(matrix: np.ndarray,
     levels2 = merkle.to_host(merkle.build_tree_fused(merkle.hash_rows(q_rows)))
     root2 = merkle.root(levels2)
     challenger.observe_many(int(x) for x in root2)
+    log("quotient committed (per-coset streamed)")
     alpha_b = challenger.sample_qm31()
 
     # Batch combination (streamed block accumulation) + FRI.
@@ -506,8 +531,10 @@ def prove_trace_streaming(matrix: np.ndarray,
         batch[k] = (batch[k] + np.asarray(part).astype(np.int64)) % P
     batch4 = tuple(jnp.asarray(batch[k].astype(np.uint32))
                    for k in range(4))
+    log("batch combination accumulated")
     fri_proof = fri_prove(batch4, log_big, challenger, fri_config,
                           shift=shift)
+    log("fri done")
 
     # Openings: recompute the queried rows per commitment (block sweep,
     # only the gathered cells move to host).
@@ -520,6 +547,7 @@ def prove_trace_streaming(matrix: np.ndarray,
                   (k + half + blowup) % big)
     })
     trace_np = tc.gather_rows(all_indices)
+    log("openings gathered")
     s_np = sc.gather_rows(all_indices)
     q_np = np.asarray(q_rows)
     openings = []
